@@ -1,0 +1,223 @@
+"""urlkit goldens — reference parity.
+
+resolve cases: all 74 from t/resolve_href.t:17-165
+host_key:      t/user_agent_userinfo.t:22-31 (+ IDNA pair :40-52)
+digest:        Job.pm:77-82 semantics
+encoding:      t/guess_encoding.t:38-64
+css urls:      t/collect_urls.t:123-157
+"""
+
+import pytest
+
+from wcm_spark.urlkit import (
+    append_query,
+    collect_urls_css,
+    decode_body,
+    guess_encoding,
+    host_key,
+    job_digest,
+    resolve_href,
+)
+
+B1 = "http://a/b/c/d?q#f"
+B2 = "http://example.com"
+B3 = "http://example.com/dir/"
+B4 = "https://example.com/"
+B5 = "http://example.com/org"
+B6 = "http://example.com/dir/org"
+B7 = "https://example.com/org"
+
+RESOLVE_CASES = [
+    # RFC 1808 suite (t/resolve_href.t:17-36)
+    (B1, "g", "http://a/b/c/g"),
+    (B1, "./g", "http://a/b/c/g"),
+    (B1, "g/", "http://a/b/c/g/"),
+    (B1, "//g", "http://g"),
+    (B1, "?y", "http://a/b/c/d?y"),
+    (B1, "g?y", "http://a/b/c/g?y"),
+    (B1, "g?y/./x", "http://a/b/c/g?y/./x"),
+    (B1, "#s", "http://a/b/c/d?q"),
+    (B1, "g#s", "http://a/b/c/g"),
+    (B1, "g#s/./x", "http://a/b/c/g"),
+    (B1, "g?y#s", "http://a/b/c/g?y"),
+    (B1, ".", "http://a/b/c"),
+    (B1, "./", "http://a/b/c/"),
+    (B1, "..", "http://a/b"),
+    (B1, "../", "http://a/b/"),
+    (B1, "../g", "http://a/b/g"),
+    (B1, "../..", "http://a/"),
+    (B1, "../../", "http://a/"),
+    (B1, "../../g", "http://a/g"),
+    # base without path (:38-49)
+    (B2, "/hoge.html", "http://example.com/hoge.html"),
+    (B2, "./hoge.html", "http://example.com/hoge.html"),
+    (B2, "#a", "http://example.com"),
+    (B2, "http://example2.com/hoge.html", "http://example2.com/hoge.html"),
+    (B2, "http://example2.com//hoge.html", "http://example2.com//hoge.html"),
+    # dir base (:51-85)
+    (B3, "./hoge.html", "http://example.com/dir/hoge.html"),
+    (B3, "../hoge.html", "http://example.com/hoge.html"),
+    (B3, "../../hoge.html", "http://example.com/hoge.html"),
+    (B3, "/hoge.html", "http://example.com/hoge.html"),
+    (B3, "/", "http://example.com/"),
+    (B3, "", "http://example.com/dir/"),
+    (B3, "foo", "http://example.com/dir/foo"),
+    (B3, "./hoge.html/?a=b", "http://example.com/dir/hoge.html/?a=b"),
+    (B3, "../hoge.html/?a=b", "http://example.com/hoge.html/?a=b"),
+    (B3, "../../hoge.html/?a=b", "http://example.com/hoge.html/?a=b"),
+    (B3, "/hoge.html/?a=b", "http://example.com/hoge.html/?a=b"),
+    (B3, "./hoge.html#fragment", "http://example.com/dir/hoge.html"),
+    (B3, "../hoge.html#fragment", "http://example.com/hoge.html"),
+    (B3, "../../hoge.html#fragment", "http://example.com/hoge.html"),
+    (B3, "/hoge.html#fragment", "http://example.com/hoge.html"),
+    (B3, "/#fragment", "http://example.com/"),
+    (B3, "./#fragment", "http://example.com/dir/"),
+    (B3, "#fragment", "http://example.com/dir/"),
+    # protocol-relative (:87-93)
+    (B4, "//example2.com/hoge.html", "https://example2.com/hoge.html"),
+    (B4, "//example2.com:8080/hoge.html", "https://example2.com:8080/hoge.html"),
+    # file base (:95-141)
+    (B5, "/hoge.html", "http://example.com/hoge.html"),
+    (B5, "./hoge.html", "http://example.com/hoge.html"),
+    (B5, "http://example2.com/hoge.html", "http://example2.com/hoge.html"),
+    (B5, "http://example2.com//hoge.html", "http://example2.com//hoge.html"),
+    (B6, "./hoge.html", "http://example.com/dir/hoge.html"),
+    (B6, "../hoge.html", "http://example.com/hoge.html"),
+    (B6, "../../hoge.html", "http://example.com/hoge.html"),
+    (B6, "/hoge.html", "http://example.com/hoge.html"),
+    (B6, "/", "http://example.com/"),
+    (B6, "", "http://example.com/dir/org"),
+    (B6, "foo", "http://example.com/dir/foo"),
+    (B6, "./hoge.html/?a=b", "http://example.com/dir/hoge.html/?a=b"),
+    (B6, "../hoge.html/?a=b", "http://example.com/hoge.html/?a=b"),
+    (B6, "../../hoge.html/?a=b", "http://example.com/hoge.html/?a=b"),
+    (B6, "/hoge.html/?a=b", "http://example.com/hoge.html/?a=b"),
+    (B6, "./hoge.html#fragment", "http://example.com/dir/hoge.html"),
+    (B6, "../hoge.html#fragment", "http://example.com/hoge.html"),
+    (B6, "../../hoge.html#fragment", "http://example.com/hoge.html"),
+    (B6, "/hoge.html#fragment", "http://example.com/hoge.html"),
+    (B6, "/#fragment", "http://example.com/"),
+    (B6, "./#fragment", "http://example.com/dir/"),
+    (B6, "#fragment", "http://example.com/dir/org"),
+    (B7, "//example2.com/hoge.html", "https://example2.com/hoge.html"),
+    (B7, "//example2.com:8080/hoge.html", "https://example2.com:8080/hoge.html"),
+    # real-world (:151-165)
+    ("http://www.eclipse.org/forums/index.php/f/48/", "//www.eclipse.org/forums/",
+     "http://www.eclipse.org/forums/"),
+    ("https://www.eclipse.org/forums/index.php/f/48/", "//www.eclipse.org/forums/",
+     "https://www.eclipse.org/forums/"),
+    ("https://example.com/", " foo", "https://example.com/foo"),
+    ("https://example.com/", "foo ", "https://example.com/foo"),
+    ("https://example.com/", "foo bar", "https://example.com/foo%20bar"),
+    ("https://example.com/", "foo\nbar", "https://example.com/foobar"),
+]
+
+assert len(RESOLVE_CASES) == 74
+
+
+@pytest.mark.parametrize("base,href,expected", RESOLVE_CASES)
+def test_resolve_href(base, href, expected):
+    assert resolve_href(base, href) == expected
+
+
+HOST_KEY_CASES = [
+    ("http://a/a", "http://a"),
+    ("http://a:80/a", "http://a"),
+    ("http://a:8080/a", "http://a:8080"),
+    ("http://a:443/a", "http://a:443"),
+    ("https://a/a", "https://a"),
+    ("https://a:443/a", "https://a"),
+    ("https://a:1443/a", "https://a:1443"),
+    ("https://a:80/a", "https://a:80"),
+    ("ftp://a/a", None),
+    ("/a", None),
+]
+
+
+@pytest.mark.parametrize("url,expected", HOST_KEY_CASES)
+def test_host_key(url, expected):
+    assert host_key(url) == expected
+
+
+def test_host_key_idna():
+    assert host_key("http://☃.net") == host_key("http://xn--n3h.net") == "http://xn--n3h.net"
+
+
+def test_digest():
+    import hashlib
+
+    assert job_digest("http://example.com/") == hashlib.md5(b"http://example.com/").hexdigest()
+    assert job_digest("http://x/", "POST", "a=1") == hashlib.md5(b"http://x/POSTa=1").hexdigest()
+    # method/params change the digest
+    assert job_digest("http://x/") != job_digest("http://x/", "POST", "a=1")
+
+
+HTML_PLAIN = "<html>\n<body>\n日本\n</body>\n</html>\n".encode()
+HTML_META = (
+    '<html>\n<head>\n    <meta http-equiv="Content-Type" content="text/html; charset=cp932" />\n'
+    "</head>\n<body>\n日本\n</body>\n</html>\n"
+).encode()
+
+
+def test_guess_encoding():
+    assert guess_encoding("text/html", HTML_PLAIN) is None
+    assert guess_encoding("text/html", HTML_META) == "cp932"
+    assert guess_encoding("text/html; charset=cp932", HTML_PLAIN) == "cp932"
+    assert guess_encoding("text/html; charset=cp932; hoge", HTML_PLAIN) == "cp932"
+    assert guess_encoding(None, HTML_PLAIN) is None
+
+
+def test_decode_body_cp932():
+    body = "日本".encode("cp932")
+    assert decode_body("text/html; charset=cp932", body) == "日本"
+    # unknown charset falls back to utf-8
+    assert decode_body("text/html; charset=nosuchenc", "日本".encode()) == "日本"
+    css = '@charset "cp932";\nbody{}'.encode()
+    assert guess_encoding("text/css", css) == "cp932"
+
+
+CSS_BLOCK = """
+body {
+    background-image:url('/image/a.png');
+}
+div {
+    background-image:url('/image/b.png');
+}
+div {
+    background: #fff url('/image/c.png');
+}
+div {
+    background: #fff url(/image/d.png);
+}
+div {
+    background: #fff url("/image/e.png");
+}
+div {
+    background: #fff url(/image/?spring15');
+}
+div {
+    background: #fff URL(/image/f);
+}
+"""
+
+
+def test_collect_urls_css():
+    assert collect_urls_css(CSS_BLOCK) == [
+        "/image/a.png",
+        "/image/b.png",
+        "/image/c.png",
+        "/image/d.png",
+        "/image/e.png",
+        "/image/?spring15'",
+        "/image/f",
+    ]
+    assert collect_urls_css(None) == []
+    assert collect_urls_css("") == []
+
+
+def test_append_query():
+    assert append_query("http://h/form_receptor2?a=b", "query2=default") == (
+        "http://h/form_receptor2?a=b&query2=default"
+    )
+    assert append_query("http://h/x", "q=1") == "http://h/x?q=1"
+    assert append_query("http://h/x", "") == "http://h/x"

@@ -1,0 +1,478 @@
+"""Mini-DOM + selector engine + link-extraction presets (pure Python).
+
+Re-implements the reference's scrape stage semantics
+(lib/WWW/Crawler/Mojo/ScraperUtil.pm:40-145, lib/WWW/Crawler/Mojo.pm:125-159)
+on top of the stdlib ``html.parser`` so it can run inside Arrow-batched
+pandas UDFs with no non-stdlib dependency:
+
+- 13 selector→extractor presets (script[src], link[href], a[href], img[src],
+  area, embed[src], frame[src], iframe[src], input[src], object[data], form,
+  meta[content] refresh, style, [style], sitemap urlset) — emit order is
+  ASCII-sorted selector key then document order, pinned by
+  t/collect_urls.t:79-107 and t/main.t:50-76.
+- form submission emulation (ScraperUtil.pm:52-112) with the reference's
+  quirks: disabled inputs included, only the first submit/image contributes,
+  select fallback to first-child options, checked-only radio/checkbox —
+  pinned by t/form.t.
+- container scoping (reduce_html_handlers, ScraperUtil.pm:131-145).
+- XML script-ancestor guard (_wrong_dom_detection, ScraperUtil.pm:173-179).
+
+Everything here is scalar-level; wcm_spark.operators.scrape batches it.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+
+from .urlkit import collect_urls_css, decode_body
+
+__all__ = ["Node", "parse_html", "find", "at", "serialize_node", "extract_links", "weave_form"]
+
+VOID_ELEMENTS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+# Minimal HTML implied-end-tag rules — enough for crawler-relevant markup.
+_AUTOCLOSE = {
+    "option": {"option"},
+    "li": {"li"},
+    "tr": {"tr", "td", "th"},
+    "td": {"td", "th"},
+    "th": {"td", "th"},
+    "p": {"p"},
+}
+
+
+@dataclass
+class Node:
+    tag: str | None  # None for the document root
+    attrs: dict[str, str | None] = field(default_factory=dict)
+    parent: "Node | None" = None
+    children: list = field(default_factory=list)  # Node or str
+    pos: int = 0  # document order
+
+    def element_children(self):
+        return [c for c in self.children if isinstance(c, Node)]
+
+    @property
+    def text(self) -> str:
+        out = []
+        for c in self.children:
+            if isinstance(c, str):
+                out.append(c)
+            else:
+                out.append(c.text)
+        return "".join(out)
+
+    def iter(self):
+        yield self
+        for c in self.children:
+            if isinstance(c, Node):
+                yield from c.iter()
+
+    def has_script_ancestor(self) -> bool:
+        p = self.parent
+        while p is not None:
+            if p.tag == "script":
+                return True
+            p = p.parent
+        return False
+
+
+class _DomBuilder(HTMLParser):
+    """HTML mode: script/style content treated as CDATA (default)."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = Node(tag=None)
+        self.stack = [self.root]
+        self.counter = 0
+
+    def _open(self, tag, attrs, self_closing):
+        tag = tag.lower()
+        rule = _AUTOCLOSE.get(tag)
+        if rule and self.stack[-1].tag in rule:
+            self.stack.pop()
+        self.counter += 1
+        attr_map = {}
+        for k, v in attrs:
+            if k not in attr_map:  # first occurrence wins
+                attr_map[k.lower()] = v
+        node = Node(tag=tag, attrs=attr_map, parent=self.stack[-1], pos=self.counter)
+        self.stack[-1].children.append(node)
+        if not self_closing and tag not in VOID_ELEMENTS:
+            self.stack.append(node)
+
+    def handle_starttag(self, tag, attrs):
+        self._open(tag, attrs, self_closing=False)
+
+    def handle_startendtag(self, tag, attrs):
+        self._open(tag, attrs, self_closing=True)
+
+    def handle_endtag(self, tag):
+        tag = tag.lower()
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+        # stray end tag: ignore
+
+    def handle_data(self, data):
+        if data:
+            self.stack[-1].children.append(data)
+
+
+class _XmlDomBuilder(_DomBuilder):
+    """XML mode: no CDATA elements — markup inside <script> becomes nodes,
+    which the script-ancestor guard then rejects (ScraperUtil.pm:173-179)."""
+
+    CDATA_CONTENT_ELEMENTS = ()
+
+
+def parse_html(text: str, xml: bool | None = None) -> Node:
+    if xml is None:
+        xml = text.lstrip()[:5].lower() == "<?xml"
+    builder = _XmlDomBuilder() if xml else _DomBuilder()
+    builder.feed(text)
+    builder.close()
+    root = builder.root
+    root.xml = xml  # type: ignore[attr-defined]
+    return root
+
+
+# ---------------------------------------------------------------------------
+# Selector engine: tag, #id, [attr], [attr=v], [attr^=v], :nth-child(n),
+# descendant combinator. Covers every selector the presets + tests use.
+# ---------------------------------------------------------------------------
+
+_SIMPLE_RE = re.compile(
+    r"""
+    (?P<tag>[a-zA-Z][\w-]*)
+  | \#(?P<id>[\w-]+)
+  | \[(?P<attr>[\w:-]+)
+      (?:(?P<op>[\^]?=)(?P<quote>['"]?)(?P<val>[^\]'"]*)(?P=quote))?
+    \]
+  | :nth-child\((?P<nth>\d+)\)
+""",
+    re.VERBOSE,
+)
+
+
+def _parse_compound(token: str):
+    tests = []
+    pos = 0
+    while pos < len(token):
+        m = _SIMPLE_RE.match(token, pos)
+        if not m:
+            raise ValueError(f"unsupported selector: {token!r}")
+        pos = m.end()
+        if m.group("tag"):
+            tag = m.group("tag").lower()
+            tests.append(lambda n, tag=tag: n.tag == tag)
+        elif m.group("id"):
+            ident = m.group("id")
+            tests.append(lambda n, ident=ident: n.attrs.get("id") == ident)
+        elif m.group("attr"):
+            attr = m.group("attr").lower()
+            op, val = m.group("op"), m.group("val")
+            if op is None:
+                tests.append(lambda n, attr=attr: attr in n.attrs)
+            elif op == "=":
+                tests.append(lambda n, attr=attr, val=val: n.attrs.get(attr) == val)
+            else:  # ^=
+                tests.append(
+                    lambda n, attr=attr, val=val: (n.attrs.get(attr) or "").startswith(val)
+                    and attr in n.attrs
+                )
+        elif m.group("nth"):
+            k = int(m.group("nth"))
+            def nth_test(n, k=k):
+                if n.parent is None:
+                    return False
+                sibs = n.parent.element_children()
+                return k - 1 < len(sibs) and sibs[k - 1] is n
+            tests.append(nth_test)
+    return tests
+
+
+def _compile_selector(selector: str):
+    compounds = [_parse_compound(tok) for tok in selector.split()]
+
+    def matches(node: Node) -> bool:
+        if not all(t(node) for t in compounds[-1]):
+            return False
+        # ancestors must satisfy remaining compounds right-to-left
+        need = len(compounds) - 2
+        anc = node.parent
+        while need >= 0 and anc is not None:
+            if anc.tag is not None and all(t(anc) for t in compounds[need]):
+                need -= 1
+            anc = anc.parent
+        return need < 0
+
+    return matches
+
+
+_SELECTOR_CACHE: dict[str, object] = {}
+
+
+def find(root: Node, selector: str) -> list[Node]:
+    fn = _SELECTOR_CACHE.get(selector)
+    if fn is None:
+        fn = _compile_selector(selector)
+        _SELECTOR_CACHE[selector] = fn
+    return [n for n in root.iter() if n.tag is not None and fn(n)]
+
+
+def at(root: Node, selector: str) -> Node | None:
+    found = find(root, selector)
+    return found[0] if found else None
+
+
+# ---------------------------------------------------------------------------
+# Serialization (Mojo::DOM-compatible: attributes sorted by name, void
+# elements unclosed) — practical.t:65-106 pins exact context strings.
+# ---------------------------------------------------------------------------
+
+
+def _esc_attr(v: str) -> str:
+    return v.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;").replace('"', "&quot;")
+
+
+def _esc_text(v: str) -> str:
+    return v.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def serialize_node(node: Node) -> str:
+    if node.tag is None:
+        return "".join(
+            serialize_node(c) if isinstance(c, Node) else _esc_text(c) for c in node.children
+        )
+    parts = [f"<{node.tag}"]
+    for k in sorted(node.attrs):
+        v = node.attrs[k]
+        parts.append(f' {k}="{_esc_attr(v)}"' if v is not None else f" {k}")
+    parts.append(">")
+    if node.tag in VOID_ELEMENTS and not node.children:
+        return "".join(parts)
+    for c in node.children:
+        if isinstance(c, Node):
+            parts.append(serialize_node(c))
+        elif node.tag in ("script", "style"):
+            parts.append(c)  # CDATA content kept raw
+        else:
+            parts.append(_esc_text(c))
+    parts.append(f"</{node.tag}>")
+    return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Handler presets (ScraperUtil.pm:40-129)
+# ---------------------------------------------------------------------------
+
+
+def _perl_truthy(v) -> bool:
+    return v is not None and v != "" and v != "0"
+
+
+def weave_form(form: Node):
+    """Form → (action, METHOD, [(name, value), ...]) per ScraperUtil.pm:52-112.
+
+    Quirks kept on purpose: disabled controls are included; only the first
+    submit/image contributes (its value only if named); selects fall back to
+    every first-child option; checkbox/radio need ``checked``; Perl-falsy
+    names ('', '0') create no parameter.
+    """
+    seed: dict[str, list] = {}
+    order: list[str] = []
+    submit_seen = False
+
+    matched = [
+        n
+        for n in form.iter()
+        if n is not form
+        and n.tag is not None
+        and ("name" in n.attrs or n.attrs.get("type") in ("submit", "image"))
+    ]
+    for e in matched:
+        name = e.attrs.get("name")
+        named = _perl_truthy(name)
+        if named and name not in seed:
+            seed[name] = []
+            order.append(name)
+
+        if e.tag == "select" and named:
+            found = 0
+            if "multiple" in e.attrs:
+                for opt in find(e, "option[selected]"):
+                    seed[name].append(opt.attrs.get("value"))
+                    found += 1
+            else:
+                opt = at(e, "option[selected]")
+                if opt is not None:
+                    seed[name].append(opt.attrs.get("value"))
+                    found += 1
+            if not found:
+                for opt in find(e, "option:nth-child(1)"):
+                    seed[name].append(opt.attrs.get("value"))
+        elif e.tag == "textarea" and named:
+            seed[name].append(e.text)
+
+        etype = e.attrs.get("type")
+        if not _perl_truthy(etype):
+            continue
+        if not submit_seen and etype in ("submit", "image"):
+            submit_seen = True
+            if named:
+                seed[name].append(e.attrs.get("value"))
+        if named:
+            if etype in ("text", "hidden", "number", "password", "date"):
+                seed[name].append(e.attrs.get("value"))
+            elif etype in ("checkbox", "radio"):
+                if "checked" in e.attrs:
+                    seed[name].append(e.attrs.get("value"))
+
+    pairs = [(n, v if v is not None else "") for n in order for v in seed[n]]
+    action = form.attrs.get("action") or ""
+    method = (form.attrs.get("method") or "GET").upper()
+    return action, method, pairs
+
+
+_REFRESH_RE = re.compile(r"URL=(.+)", re.IGNORECASE | re.DOTALL)
+
+
+def _meta_refresh(node: Node):
+    http_equiv = node.attrs.get("http-equiv") or ""
+    if not re.match(r"refresh", http_equiv, re.IGNORECASE):
+        return []
+    m = _REFRESH_RE.search(node.attrs.get("content") or "")
+    return [m.group(1)] if m else []
+
+
+# Each preset returns a list of results; a result is a URL string or a
+# ("form", action, method, pairs) tuple. Order of dict insertion is
+# irrelevant — extraction iterates ASCII-sorted keys (Mojo.pm:140).
+HANDLER_PRESETS = {
+    "script[src]": lambda n: [n.attrs.get("src")],
+    "link[href]": lambda n: [n.attrs.get("href")],
+    "a[href]": lambda n: [n.attrs.get("href")],
+    "img[src]": lambda n: [n.attrs.get("src")],
+    "area": lambda n: [n.attrs.get("href"), n.attrs.get("ping")],
+    "embed[src]": lambda n: [n.attrs.get("src")],
+    "frame[src]": lambda n: [n.attrs.get("src")],
+    "iframe[src]": lambda n: [n.attrs.get("src")],
+    "input[src]": lambda n: [n.attrs.get("src")],
+    "object[data]": lambda n: [n.attrs.get("data")],
+    "form": lambda n: [("form",) + weave_form(n)],
+    "meta[content]": _meta_refresh,
+    "style": lambda n: collect_urls_css(n.text),
+    "[style]": lambda n: collect_urls_css(n.attrs.get("style")),
+    "urlset[xmlns^=http://www.sitemaps.org/schemas/sitemap/]": lambda n: [
+        loc.text for loc in find(n, "url loc")
+    ],
+}
+
+_HTMLISH_CT = re.compile(r"^(text|application)/(html|xml|xhtml)")
+_CSS_CT = re.compile(r"text/css")
+
+
+def extract_links(
+    url: str,
+    content_type: str | None,
+    content_length: int | None,
+    body: bytes | str | None,
+    containers=None,
+):
+    """One fetched page → ordered candidate link dicts (the scrape stage).
+
+    Mirrors WWW::Crawler::Mojo::scrape (Mojo.pm:125-159): guard on
+    content_length+body, base-tag resolution, sorted-selector extraction for
+    HTML/XML, css url() sweep for text/css. Returns list of dicts with keys:
+    emit_idx, literal_uri, method, params (serialized), tag, context,
+    context_kind, base — resolution/scheme-filtering happens downstream
+    (operators.resolve) so this stage stays a pure parse.
+    """
+    from .urlkit import resolve_href, serialize_params
+
+    if not content_length or body is None or body == b"" or body == "":
+        return []
+
+    items = []
+    emit_idx = 0
+    base = url
+
+    if content_type and _HTMLISH_CT.match(content_type):
+        text = decode_body(content_type, body)
+        dom = parse_html(text)
+        base_tag = at(dom, "base[href]")
+        if base_tag is not None:
+            base = resolve_href(url, base_tag.attrs.get("href") or "")
+
+        if containers is None:
+            containers = [None]
+        elif isinstance(containers, str):
+            containers = [containers]
+
+        keyed = {}
+        for sel, handler in HANDLER_PRESETS.items():
+            for cont in containers:
+                key = (cont + " " + sel) if cont else sel
+                keyed[key] = (key if cont else sel, handler)
+
+        xml = getattr(dom, "xml", False)
+        for key in sorted(keyed):
+            selector, handler = keyed[key]
+            for node in find(dom, selector):
+                if xml and node.has_script_ancestor():
+                    continue
+                for result in handler(node):
+                    if isinstance(result, tuple):
+                        _, action, method, pairs = result
+                        items.append(
+                            dict(
+                                emit_idx=emit_idx,
+                                literal_uri=action,
+                                method=method,
+                                params=serialize_params(pairs),
+                                tag=node.tag,
+                                context=serialize_node(node),
+                                context_kind="dom",
+                                base=base,
+                            )
+                        )
+                        emit_idx += 1
+                    elif result:  # Perl-truthy URL strings only
+                        items.append(
+                            dict(
+                                emit_idx=emit_idx,
+                                literal_uri=result,
+                                method=None,
+                                params=None,
+                                tag=node.tag,
+                                context=serialize_node(node),
+                                context_kind="dom",
+                                base=base,
+                            )
+                        )
+                        emit_idx += 1
+
+    if content_type and _CSS_CT.search(content_type):
+        text = decode_body(content_type, body)
+        for u in collect_urls_css(text):
+            items.append(
+                dict(
+                    emit_idx=emit_idx,
+                    literal_uri=u,
+                    method=None,
+                    params=None,
+                    tag=None,
+                    context=url,
+                    context_kind="url",
+                    base=base,
+                )
+            )
+            emit_idx += 1
+
+    return items
