@@ -1,0 +1,125 @@
+"""End-to-end ordering + URL-seen parity: Spark engine vs reference loop.
+
+The north-rule contract (BASELINE.json:14): under the same seed list and
+politeness budget the crawl emits an identical visit ordering and final
+URL-seen set as WWW::Crawler::Mojo. The oracle is the pure-Python
+CrawlSimulator (crawlcore.py) which replays the reference's FIFO loop
+semantics exactly (dedup-at-enqueue, 5-redirect cap, scheme filter,
+scrape emit order).
+"""
+
+import pytest
+
+from wcm_spark.corpus import corpus_rows, seed_urls
+from wcm_spark.crawlcore import CorpusPage, CrawlSimulator
+from wcm_spark.scheduler import CrawlConfig, Crawler
+
+N_SITES = 2
+PAGES = 12
+
+
+@pytest.fixture(scope="module")
+def corpus_small():
+    rows = corpus_rows(N_SITES, PAGES)
+    return rows
+
+
+@pytest.fixture(scope="module")
+def sim_result(corpus_small):
+    pages = {
+        r["url"]: CorpusPage(
+            url=r["url"], status=r["status"], content_type=r["content_type"],
+            content_length=r["content_length"], body=r["body"],
+            redirect_to=r["redirect_to"],
+        )
+        for r in corpus_small
+    }
+    sim = CrawlSimulator(corpus=pages)
+    for u in seed_urls(N_SITES):
+        sim.enqueue(u)
+    return sim.crawl()
+
+
+@pytest.fixture(scope="module")
+def spark_result(spark, corpus_small):
+    corpus_df = spark.createDataFrame(
+        [
+            (r["url"], r["status"], r["content_type"], r["content_length"],
+             r["body"], r["redirect_to"])
+            for r in corpus_small
+        ],
+        "url string, status int, content_type string, content_length bigint, "
+        "body binary, redirect_to string",
+    ).cache()
+    crawler = Crawler(spark, corpus_df, CrawlConfig(expected_urls=10_000))
+    return crawler.run(seed_urls(N_SITES))
+
+
+def test_visit_set_nonempty(sim_result, spark_result):
+    # the corpus tree guarantees every page is reachable
+    assert len(sim_result.visit_order) >= N_SITES * PAGES
+
+
+def test_visit_ordering_parity(sim_result, spark_result):
+    got = [
+        r["url"]
+        for r in spark_result.visits.filter("status is not null")
+        .orderBy("pos")
+        .select("url")
+        .collect()
+    ]
+    assert got == sim_result.visit_order
+
+
+def test_seen_set_parity(sim_result, spark_result):
+    got = {r["digest"] for r in spark_result.seen.collect()}
+    assert got == sim_result.seen
+
+
+def test_error_channel(sim_result, spark_result):
+    errs = {
+        r["request_url"]
+        for r in spark_result.visits.filter("status is null").collect()
+    }
+    assert errs == set(sim_result.errors)
+
+
+def test_redirect_history(spark_result):
+    rows = spark_result.visits.filter("size(redirect_history) > 0").collect()
+    assert rows, "corpus contains redirects — some must surface"
+    for r in rows:
+        # original_url = last history entry (Job.pm:92-97)
+        assert r["original_url"] == r["redirect_history"][-1]
+        assert r["url"] != r["request_url"]
+        assert r["request_url"] == r["original_url"]
+
+
+def test_redirect_cap_five_hops(spark_result, sim_result):
+    # the 7-hop chain must stop at hop 5 (Mojo.pm:50): final URL chain/5
+    chain_visits = [u for u in sim_result.visit_order if "/chain/" in u]
+    assert chain_visits and all(u.endswith("/chain/5") for u in chain_visits)
+    got = [
+        r["url"]
+        for r in spark_result.visits.filter("url like '%/chain/%'").collect()
+    ]
+    assert got and all(u.endswith("/chain/5") for u in got)
+
+
+def test_politeness_budget_restricts_waves(spark, corpus_small):
+    corpus_df = spark.createDataFrame(
+        [
+            (r["url"], r["status"], r["content_type"], r["content_length"],
+             r["body"], r["redirect_to"])
+            for r in corpus_small
+        ],
+        "url string, status int, content_type string, content_length bigint, "
+        "body binary, redirect_to string",
+    )
+    cfg = CrawlConfig(max_conn=4, max_conn_per_host=2, max_waves=3, expected_urls=10_000)
+    res = Crawler(spark, corpus_df, cfg).run(seed_urls(N_SITES))
+    per_wave = (
+        res.visits.groupBy("wave", "host_key").count().collect()
+    )
+    assert all(r["count"] <= 2 for r in per_wave)
+    wave_sizes = res.visits.groupBy("wave").count().collect()
+    assert all(r["count"] <= 4 for r in wave_sizes)

@@ -1,0 +1,254 @@
+"""Deterministic synthetic web corpus — the engine's test/bench fetch source.
+
+Mirrors the reference's mock-server strategy (t/practical.t:17-35 serves
+t/public/, t/empty.t serves t/public2/, xt/memory_usage.t:12-43 generates a
+synthetic chain): instead of network IO, the fetch stage joins scheduled
+waves against this corpus table (FIXTURES.md §1 schema:
+url/status/content_type/content_length/body/redirect_to).
+
+Generation is pure-functional on (site, page) — no RNG state — so the same
+rows materialize identically in the pure-Python simulator, in a local
+DataFrame, or distributed via mapInPandas over site ids at bench scale
+(sites are the parallel unit; no driver materialization).
+
+Content coverage: every handler selector (links, css, script, img, area,
+forms GET/POST, meta refresh, sitemap namespace yes/no, style/[style]),
+scheme noise (mailto/tel/foo), whitespace-duplicate hrefs, redirect chains
+(incl. > 5 hops), 404s/网errors, cp932 pages, image payloads with captions.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from .crawlcore import CorpusPage
+from .images import LOSSLESS_FMT, LOSSY_FMT, encode_image, gen_image
+
+__all__ = ["site_url", "page_url", "gen_site_pages", "corpus_rows", "seed_urls", "CORPUS_SCHEMA"]
+
+CORPUS_SCHEMA = (
+    "url string, status int, content_type string, content_length bigint, "
+    "body binary, redirect_to string"
+)
+
+
+def _h(key: str) -> int:
+    return int.from_bytes(hashlib.md5(key.encode()).digest()[:8], "big")
+
+
+def site_url(site: int) -> str:
+    return f"http://site{site}.example.test"
+
+
+def page_url(site: int, page: int) -> str:
+    return f"{site_url(site)}/p/{page}.html"
+
+
+def _page_body(site: int, page: int, n_sites: int, pages_per_site: int) -> str:
+    h = _h(f"{site}/{page}")
+    parts = ["<html>\n<head>\n"]
+    if page == 0:
+        parts.append('    <link rel="stylesheet" type="text/css" href="/style.css" />\n')
+        parts.append('    <a href="/sitemap.xml">sm</a>\n')  # head-links fine for parser
+    if h % 10 == 0:
+        parts.append(
+            '    <meta http-equiv="Content-Type" content="text/html; charset=cp932" />\n'
+        )
+    if h % 11 == 0:
+        parts.append(
+            f'    <meta http-equiv="Refresh" content="5;URL=/p/{(page + 3) % pages_per_site}.html">\n'
+        )
+    parts.append("</head>\n<body>\n")
+
+    # spanning-tree children guarantee every page is reachable from page 0
+    for child in (page * 2 + 1, page * 2 + 2):
+        if child < pages_per_site:
+            parts.append(f'<a href="/p/{child}.html">c{child}</a>\n')
+    # deterministic cross-site link
+    if n_sites > 1 and h % 3 == 0:
+        other = (site + 1 + h % (n_sites - 1)) % n_sites
+        parts.append(f'<a href="{page_url(other, h % pages_per_site)}">x</a>\n')
+    # intra-site shortcut with whitespace-duplicate quirk (t/main.t:34-35)
+    if h % 4 == 0:
+        tgt = (page + 7) % pages_per_site
+        parts.append(f'<a href="/p/{tgt}.html">s</a>\n')
+        parts.append(f'<a href=" /p/{tgt}.html ">s-dup</a>\n')
+    # scheme noise — must be filtered out (Mojo.pm:177)
+    parts.append('<a href="mailto:x@example.test">m</a>\n')
+    if h % 5 == 0:
+        parts.append('<a href="tel:000">t</a>\n<a href="foo://x/">f</a>\n')
+    # image with caption (the payload pairs for the Iceberg sink)
+    if h % 3 == 0:
+        parts.append(
+            f'<img src="/img/{page}.wci" alt="caption site {site} image {page}">\n'
+        )
+    # redirect entry points
+    if h % 6 == 0:
+        parts.append(f'<a href="/r/{page}">r</a>\n')
+    # long chain head (tests the 5-redirect cap, Mojo.pm:50)
+    if page == 1:
+        parts.append('<a href="/chain/0">chain</a>\n')
+    # GET form
+    if h % 5 == 1:
+        parts.append(
+            f'<form action="/search?s={site}" method="get">\n'
+            f'  <input type="text" name="q" value="page{page}">\n'
+            '  <input type="submit" value="go">\n</form>\n'
+        )
+    # POST form
+    if h % 7 == 1:
+        parts.append(
+            '<form action="/submit" method="post">\n'
+            f'  <input type="hidden" name="p" value="{page}">\n'
+            '  <textarea name="note">n</textarea>\n'
+            '  <input type="submit" value="go">\n</form>\n'
+        )
+    # inline style attr (css url extraction from [style])
+    if h % 8 == 2:
+        parts.append(f'<div style="background-image:url(/img/bg{page % 3}.wci)">d</div>\n')
+    parts.append("</body>\n</html>\n")
+    return "".join(parts)
+
+
+def gen_site_pages(
+    site: int, n_sites: int, pages_per_site: int, with_images: bool = True
+) -> Iterator[dict]:
+    """All corpus rows of one site, as plain dicts (CORPUS_SCHEMA order)."""
+    base = site_url(site)
+
+    for page in range(pages_per_site):
+        h = _h(f"{site}/{page}")
+        body = _page_body(site, page, n_sites, pages_per_site)
+        if h % 10 == 0:
+            raw = body.encode("cp932", errors="replace")
+            ct = "text/html"  # charset declared in the meta tag
+        else:
+            raw = body.encode("utf-8")
+            ct = "text/html"
+        yield dict(
+            url=page_url(site, page),
+            status=200,
+            content_type=ct,
+            content_length=len(raw),
+            body=raw,
+            redirect_to=None,
+        )
+
+    css = f'@charset "utf-8";\nbody {{ background-image:url(/img/bg0.wci); }}\n/* site {site} */\n'
+    yield dict(
+        url=f"{base}/style.css",
+        status=200,
+        content_type="text/css",
+        content_length=len(css),
+        body=css.encode(),
+        redirect_to=None,
+    )
+
+    locs = "".join(
+        f"    <url>\n        <loc>{page_url(site, p)}</loc>\n    </url>\n"
+        for p in range(min(pages_per_site, 5))
+    )
+    ns = "" if site % 4 == 3 else ' xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+    sm = f'<?xml version="1.0" encoding="utf-8"?>\n<urlset{ns}>\n{locs}</urlset>\n'
+    yield dict(
+        url=f"{base}/sitemap.xml",
+        status=200,
+        content_type="text/html",  # reference dispatches on html/xml either way
+        content_length=len(sm),
+        body=sm.encode(),
+        redirect_to=None,
+    )
+
+    # redirect hops: /r/{page} -> target page (1-2 hops)
+    for page in range(pages_per_site):
+        h = _h(f"{site}/{page}")
+        if h % 6 == 0:
+            tgt = page_url(site, (page + 1) % pages_per_site)
+            if h % 12 == 0:  # two-hop chain
+                yield dict(
+                    url=f"{base}/r/{page}",
+                    status=302,
+                    content_type=None,
+                    content_length=0,
+                    body=None,
+                    redirect_to=f"{base}/r2/{page}",
+                )
+                yield dict(
+                    url=f"{base}/r2/{page}",
+                    status=302,
+                    content_type=None,
+                    content_length=0,
+                    body=None,
+                    redirect_to=tgt,
+                )
+            else:
+                yield dict(
+                    url=f"{base}/r/{page}",
+                    status=302,
+                    content_type=None,
+                    content_length=0,
+                    body=None,
+                    redirect_to=tgt,
+                )
+
+    # 7-hop chain from page 1 — exceeds the 5-redirect cap
+    for i in range(7):
+        yield dict(
+            url=f"{base}/chain/{i}",
+            status=302,
+            content_type=None,
+            content_length=0,
+            body=None,
+            redirect_to=f"{base}/chain/{i + 1}" if i < 6 else page_url(site, 0),
+        )
+
+    if with_images:
+        img_pages = sorted(
+            {p for p in range(pages_per_site) if _h(f"{site}/{p}") % 3 == 0}
+            | {f"bg{i}" for i in range(3)},
+            key=str,
+        )
+        for tag in img_pages:
+            key = f"{site}/img/{tag}"
+            arr = gen_image(key)
+            fmt = LOSSY_FMT if _h(key) % 2 else LOSSLESS_FMT
+            data = encode_image(arr, fmt)
+            yield dict(
+                url=f"{base}/img/{tag}.wci",
+                status=200,
+                content_type=f"image/x-{fmt}",
+                content_length=len(data),
+                body=data,
+                redirect_to=None,
+            )
+
+
+def corpus_rows(n_sites: int, pages_per_site: int, with_images: bool = True) -> list[dict]:
+    rows = []
+    for s in range(n_sites):
+        rows.extend(gen_site_pages(s, n_sites, pages_per_site, with_images))
+    return rows
+
+
+def seed_urls(n_sites: int) -> list[str]:
+    return [page_url(s, 0) for s in range(n_sites)]
+
+
+def corpus_df(spark, n_sites: int, pages_per_site: int, with_images: bool = True, parts: int | None = None):
+    """Distributed corpus materialization: one generator task per site."""
+    import pandas as pd
+
+    parts = parts or min(n_sites, 256)
+
+    def gen(batches):
+        for pdf in batches:
+            for s in pdf["id"]:
+                rows = list(gen_site_pages(int(s), n_sites, pages_per_site, with_images))
+                yield pd.DataFrame(rows)
+
+    return (
+        spark.range(n_sites)
+        .repartition(parts)
+        .mapInPandas(gen, schema=CORPUS_SCHEMA)
+    )

@@ -1,0 +1,118 @@
+"""Distributed scrape stage: fetched pages → ordered candidate edges.
+
+Spark mapping of the reference's scrape pipeline (Mojo.pm:125-159 +
+ScraperUtil presets; SURVEY.md §2.4 P1-P9): an Arrow-batched mapInPandas
+over (url, content_type, content_length, body) exploding each page into
+candidate link rows, followed by a vectorized resolve/filter/project stage
+(R1-R5) that stays columnar.
+
+Emit order is data, not execution: each edge carries (parent_seq,
+emit_idx); downstream seq assignment sorts on exactly that, reproducing
+the reference's FIFO enqueue order under any parallelism.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..crawlcore import make_child
+from ..htmlkit import extract_links
+from ..functions.core import digest_col, host_key_udf
+
+__all__ = ["scrape_edges", "resolve_children", "EDGE_SCHEMA"]
+
+EDGE_SCHEMA = (
+    "page_url string, page_seq long, page_depth int, emit_idx int, "
+    "literal_uri string, method string, params string, tag string, "
+    "context string, context_kind string, base string"
+)
+
+
+def scrape_edges(pages: DataFrame, containers=None) -> DataFrame:
+    """Explode fetched pages into candidate edges (P1-P9 + O1 ordering).
+
+    ``pages`` needs columns url, content_type, content_length, body and
+    (for lineage) seq, depth — extra columns are pruned here so the binary
+    ``body`` column never travels past this stage (memory frugality the
+    reference gets from Job::close, Job.pm:66-70).
+    """
+    cols = ["url", "content_type", "content_length", "body"]
+    lineage = [c for c in ("seq", "depth") if c in pages.columns]
+    src = pages.select(*cols, *lineage)
+    if "seq" not in src.columns:
+        src = src.withColumn("seq", F.lit(0).cast("long"))
+    if "depth" not in src.columns:
+        src = src.withColumn("depth", F.lit(0).cast("int"))
+
+    def explode_pages(batches):
+        for pdf in batches:
+            out = []
+            for url, ct, cl, body, seq, depth in zip(
+                pdf["url"], pdf["content_type"], pdf["content_length"],
+                pdf["body"], pdf["seq"], pdf["depth"],
+            ):
+                items = extract_links(
+                    url, ct, int(cl) if cl is not None else None, body, containers
+                )
+                for it in items:
+                    out.append(
+                        (
+                            url, int(seq), int(depth), it["emit_idx"],
+                            it["literal_uri"], it["method"], it["params"],
+                            it["tag"], it["context"], it["context_kind"], it["base"],
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "page_url", "page_seq", "page_depth", "emit_idx",
+                    "literal_uri", "method", "params", "tag", "context",
+                    "context_kind", "base",
+                ],
+            )
+
+    return src.mapInPandas(explode_pages, schema=EDGE_SCHEMA)
+
+
+def resolve_children(edges: DataFrame) -> DataFrame:
+    """R1-R5 + D1: resolve, scheme-filter, form-param routing, lineage.
+
+    The URL resolution itself is one vectorized pandas UDF; digest and
+    host-key columns are added afterwards (digest fully JVM-side).
+    Output keeps (page_seq, emit_idx) as the deterministic ordering key.
+    """
+
+    @F.pandas_udf("struct<url:string, method:string, tx_params:string>")
+    def resolve_batch(literal: pd.Series, base: pd.Series, method: pd.Series, params: pd.Series) -> pd.DataFrame:
+        urls, methods, txs = [], [], []
+        for lu, b, m, p in zip(literal, base, method, params):
+            child = make_child(lu, b, m, p)
+            if child is None:
+                urls.append(None)
+                methods.append(None)
+                txs.append(None)
+            else:
+                urls.append(child[0])
+                methods.append(child[1])
+                txs.append(child[2])
+        return pd.DataFrame({"url": urls, "method": methods, "tx_params": txs})
+
+    resolved = edges.withColumn(
+        "__r", resolve_batch(F.col("literal_uri"), F.col("base"), F.col("method"), F.col("params"))
+    )
+    return (
+        resolved.filter(F.col("__r.url").isNotNull())  # scheme filter inside make_child (R2)
+        .select(
+            F.col("__r.url").alias("url"),
+            F.col("__r.method").alias("method"),
+            F.col("__r.tx_params").alias("params"),
+            F.col("page_url").alias("referrer_url"),
+            (F.col("page_depth") + 1).alias("depth"),
+            F.col("page_seq").alias("parent_seq"),
+            "emit_idx", "literal_uri", "tag", "context", "context_kind",
+        )
+        .withColumn("digest", digest_col(F.col("url"), F.col("method"), F.col("params")))
+        .withColumn("host_key", host_key_udf(F.col("url")))
+    )

@@ -1,0 +1,66 @@
+"""Scalable deterministic sequence assignment (O1 in SURVEY.md §2.5).
+
+The reference's FIFO position is implicit in its in-memory array
+(Queue/Memory.pm:12-14); here visit order is a *data* property: every
+frontier row carries a dense global ``seq``. A naive
+``row_number().over(Window.orderBy(...))`` funnels the whole dataset
+through ONE partition — fine at 60k rows, fatal at 10^10. This module
+implements the classic two-phase distributed ranking instead:
+
+1. range-repartition by the ordering key (sampled range exchange),
+2. count rows per partition, cumulative-sum the counts on the driver
+   (#partitions values, not #rows),
+3. per-partition local row_number + broadcast offset.
+
+Wall-clock scales linearly with executors; no single-partition sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["assign_seq"]
+
+
+def assign_seq(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "seq",
+    start: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``out_col`` = start + dense rank of the row under ``order_cols``.
+
+    The ordering key must be unique per row (the caller guarantees it:
+    children use (parent_seq, emit_idx), seeds use input position).
+    """
+    cols = [F.col(c) for c in order_cols]
+    if num_partitions is not None:
+        ranged = df.repartitionByRange(num_partitions, *cols)
+    else:
+        ranged = df.repartitionByRange(*cols)
+    ranged = ranged.withColumn("__pid", F.spark_partition_id())
+
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets = {}
+    acc = start
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    spark = df.sparkSession
+    offsets_df = spark.createDataFrame(
+        [(int(pid), int(off)) for pid, off in offsets.items()], "__pid int, __off long"
+    )
+    local = Window.partitionBy("__pid").orderBy(*cols)
+    out = (
+        ranged.join(F.broadcast(offsets_df), "__pid")
+        .withColumn(out_col, (F.row_number().over(local) - 1 + F.col("__off")).cast("long"))
+        .drop("__pid", "__off")
+    )
+    return out

@@ -1,0 +1,400 @@
+"""The crawl scheduler: iterative DataFrame supersteps over the frontier.
+
+Spark re-expression of the reference's IOLoop tick (Mojo.pm:54-68) per
+SURVEY.md §3: each superstep (wave) declaratively selects the fetchable
+slice of the pending frontier (politeness cut, F1), fetches it (corpus
+join in test/bench mode, F9 redirects via a precomputed closure), scrapes
++ resolves children, dedups against the URL-seen set (bloom-prefiltered
+exact anti-join, D2), assigns deterministic sequence numbers (O1) and
+commits. Ordering parity: with the reference's default politeness budget
+(max_conn=1 ⇒ strict FIFO drain) the visit sequence ordered by
+(wave, seq) is *identical* to the reference loop — children enter the
+queue in (parent_seq, emit_idx) order, exactly the order the single
+-threaded loop appends them (proof sketch in SURVEY.md §3.1; asserted
+against the pure-Python simulator in tests/test_parity.py).
+
+Scale notes (the 1000-executor view):
+- no global sort anywhere: wave cut = per-host window + TakeOrdered top-K;
+  seq assignment = range-exchange + per-partition ranks (operators/seq.py)
+- the ``body`` column is pruned out of every stage except scrape/sink
+- seen-set growth: bloom absorbs the common case; the anti-join backstop
+  shuffles only bloom-positive candidates
+- per-wave lineage is cut with eager localCheckpoint (plan growth is the
+  silent killer of iterative DataFrame jobs); durable state commits go to
+  the TableStore (Iceberg-shaped) for resume
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .functions.core import digest_col, host_key_udf, host_salt_col
+from .operators.dedup import NumpyBloom, build_bloom, seen_anti_join
+from .operators.scrape import resolve_children, scrape_edges
+from .operators.seq import assign_seq
+from .store import TableStore
+
+__all__ = ["CrawlConfig", "CrawlResult", "Crawler"]
+
+PENDING_COLS = [
+    "seq", "wave", "url", "host_key", "host_salt", "method", "params",
+    "digest", "depth", "referrer_url", "literal_uri", "context",
+    "context_kind", "retries",
+]
+
+
+@dataclass
+class CrawlConfig:
+    max_conn: int | None = None            # global per-wave fetch cap (F1); None = drain level
+    max_conn_per_host: int | None = None   # per-host per-wave cap (F1/F6)
+    max_redirects: int = 5                 # Mojo.pm:50
+    max_depth: int | None = None
+    cap: int | None = None                 # queue capacity (F4, Queue/Memory.pm:42)
+    max_waves: int | None = None
+    retry_errors: int = 0                  # S2/F10 requeue budget (0 = reference default)
+    salts: int = 64                        # host-salt partitioning fanout
+    containers: list | None = None         # P4 context scoping
+    expected_urls: int = 1_000_000         # bloom sizing
+    bloom_fpp: float = 0.01
+    use_bloom: bool = True
+    checkpoint_dir: str | None = None      # TableStore root for durable commits
+    commit_every: int = 1                  # waves between durable commits
+    collect_images: bool = False           # S7 image+caption sink
+    shuffle_every: int | None = None       # F5 seeded re-sequencing
+
+
+@dataclass
+class CrawlResult:
+    visits: DataFrame          # (pos, wave, seq, url, original_url, redirect_history, status, depth, host_key)
+    seen: DataFrame            # (digest)
+    metrics: list = field(default_factory=list)
+    images: DataFrame | None = None
+    waves: int = 0
+    fetched: int = 0
+
+
+def _dedup_min(df: DataFrame, key: str, order_cols: list[str]) -> DataFrame:
+    """Keep the first row per key under order_cols (D3: first-emit wins).
+    partitionBy windows scale — each key group sorts locally after the
+    hash exchange; no global sort."""
+    w = Window.partitionBy(key).orderBy(*[F.col(c) for c in order_cols])
+    return df.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1").drop("__rn")
+
+
+class Crawler:
+    def __init__(self, spark: SparkSession, corpus: DataFrame, config: CrawlConfig | None = None):
+        self.spark = spark
+        self.config = config or CrawlConfig()
+        self.corpus = corpus
+        self.store = TableStore(self.config.checkpoint_dir) if self.config.checkpoint_dir else None
+        self._closure = self._redirect_closure(corpus, self.config.max_redirects)
+
+    # -- fetch ------------------------------------------------------------
+
+    @staticmethod
+    def _redirect_closure(corpus: DataFrame, max_redirects: int) -> DataFrame:
+        """Resolve redirect chains once: src -> (final url, history).
+
+        Only redirect rows participate (a small corpus subset), so the
+        iterated self-join is cheap and wave fetches stay single-join.
+        History layout matches Job::redirect (Job.pm:84-90): newest-first
+        intermediates, original last, final excluded.
+        """
+        red = corpus.filter(F.col("redirect_to").isNotNull()).select(
+            F.col("url").alias("r_src"), F.col("redirect_to").alias("r_to")
+        )
+        closure = red.select(
+            F.col("r_src").alias("src"),
+            F.col("r_to").alias("cur"),
+            F.array(F.col("r_src")).alias("history"),
+        )
+        step = red.select(F.col("r_src").alias("s_url"), F.col("r_to").alias("s_to"))
+        for _ in range(max_redirects - 1):
+            j = closure.join(step, closure.cur == step.s_url, "left")
+            closure = j.select(
+                "src",
+                F.coalesce(F.col("s_to"), F.col("cur")).alias("cur"),
+                F.when(
+                    F.col("s_to").isNotNull(), F.concat(F.array(F.col("cur")), F.col("history"))
+                )
+                .otherwise(F.col("history"))
+                .alias("history"),
+            )
+        return closure.withColumnRenamed("cur", "final_url").localCheckpoint(eager=False)
+
+    def _fetch_wave(self, wave: DataFrame) -> DataFrame:
+        """S3 test/bench-mode fetch: redirect-closure hop + one corpus join."""
+        w = wave.join(self._closure, wave.url == self._closure.src, "left").select(
+            wave["*"],
+            F.coalesce(F.col("final_url"), wave.url).alias("fetch_url"),
+            F.coalesce(F.col("history"), F.array().cast("array<string>")).alias("redirect_history"),
+        )
+        c = self.corpus.select(
+            F.col("url").alias("c_url"), "status", "content_type", "content_length", "body"
+        )
+        fetched = w.join(c, w.fetch_url == c.c_url, "left")
+        return fetched.select(
+            wave["seq"], wave["wave"], wave["depth"], wave["retries"],
+            wave["method"], wave["params"], wave["host_key"], wave["digest"],
+            wave["context"], wave["literal_uri"],
+            F.col("url").alias("request_url"),
+            F.col("fetch_url").alias("url"),  # final URL after redirects (F9)
+            F.try_element_at(F.col("redirect_history"), F.lit(-1)).alias("original_url_raw"),
+            "redirect_history", "status", "content_type", "content_length", "body",
+        ).withColumn("original_url", F.coalesce(F.col("original_url_raw"), F.col("url"))).drop(
+            "original_url_raw"
+        )
+
+    # -- seeds ------------------------------------------------------------
+
+    def _seed_frontier(self, seeds) -> DataFrame:
+        if isinstance(seeds, DataFrame):
+            df = seeds
+            if "seed_order" not in df.columns:
+                df = df.withColumn(
+                    "seed_order", F.row_number().over(Window.orderBy(F.lit(1))) - 1
+                )
+        else:
+            df = self.spark.createDataFrame(
+                [(i, u, None, None) for i, u in enumerate(seeds)],
+                "seed_order long, url string, method string, params string",
+            )
+        if "method" not in df.columns:
+            df = df.withColumn("method", F.lit(None).cast("string"))
+        if "params" not in df.columns:
+            df = df.withColumn("params", F.lit(None).cast("string"))
+        df = (
+            df.withColumn("digest", digest_col(F.col("url"), F.col("method"), F.col("params")))
+            .withColumn("host_key", host_key_udf(F.col("url")))
+            .withColumn("host_salt", host_salt_col(F.col("host_key"), self.config.salts))
+        )
+        df = _dedup_min(df, "digest", ["seed_order"])
+        df = assign_seq(df, ["seed_order"], out_col="seq", start=0)
+        return df.select(
+            "seq",
+            F.lit(0).alias("wave"),
+            "url", "host_key", "host_salt", "method", "params", "digest",
+            F.lit(0).alias("depth"),
+            F.lit(None).cast("string").alias("referrer_url"),
+            F.lit(None).cast("string").alias("literal_uri"),
+            F.lit(None).cast("string").alias("context"),
+            F.lit(None).cast("string").alias("context_kind"),
+            F.lit(0).alias("retries"),
+        )
+
+    # -- politeness cut (F1) ----------------------------------------------
+
+    def _wave_cut(self, pending: DataFrame) -> DataFrame:
+        cfg = self.config
+        wave = pending
+        if cfg.max_conn_per_host is not None:
+            w = Window.partitionBy("host_key").orderBy("seq")
+            wave = (
+                wave.withColumn("__hr", F.row_number().over(w))
+                .filter(F.col("__hr") <= cfg.max_conn_per_host)
+                .drop("__hr")
+            )
+        if cfg.max_conn is not None:
+            # TakeOrdered top-K: per-partition heads merged on one reducer,
+            # K rows — not a global sort of the frontier
+            wave = wave.orderBy("seq").limit(cfg.max_conn)
+        return wave
+
+    # -- main loop ----------------------------------------------------------
+
+    def run(self, seeds) -> CrawlResult:
+        cfg = self.config
+        pending = self._seed_frontier(seeds).localCheckpoint(eager=True)
+        seen = pending.select("digest").localCheckpoint(eager=True)
+        next_seq = pending.count()
+        bloom = None
+        if cfg.use_bloom:
+            bloom = NumpyBloom.sized(cfg.expected_urls, cfg.bloom_fpp)
+            build_bloom(pending, bloom)
+        return self._loop(pending, seen, next_seq, start_wave=0, bloom=bloom)
+
+    @classmethod
+    def resume(cls, spark: SparkSession, corpus: DataFrame, config: CrawlConfig) -> "CrawlResult":
+        """Continue a crawl from the last committed wave in checkpoint_dir.
+
+        Restores frontier/seen/next_seq from the TableStore snapshots the
+        loop commits every ``commit_every`` waves; the bloom prefilter is
+        rebuilt from the restored seen table (one narrow pass)."""
+        assert config.checkpoint_dir, "resume needs checkpoint_dir"
+        crawler = cls(spark, corpus, config)
+        store = crawler.store
+        pending = store.read(spark, "frontier")
+        if pending is None:
+            raise ValueError("nothing to resume: no committed frontier")
+        seen = store.read(spark, "seen")
+        meta = store.latest_meta("frontier") or {}
+        bloom = None
+        if config.use_bloom:
+            bloom = NumpyBloom.sized(config.expected_urls, config.bloom_fpp)
+            build_bloom(seen, bloom)
+        return crawler._loop(
+            pending.localCheckpoint(eager=True),
+            seen.localCheckpoint(eager=True),
+            next_seq=int(meta.get("next_seq", 0)),
+            start_wave=int(meta.get("wave", 0)),
+            bloom=bloom,
+        )
+
+    def _loop(self, pending, seen, next_seq, start_wave, bloom) -> CrawlResult:
+        cfg = self.config
+        spark = self.spark
+
+        visit_frames: list[DataFrame] = []
+        image_frames: list[DataFrame] = []
+        metrics: list[dict] = []
+        wave_id = start_wave
+        waves_run = 0
+        total_fetched = 0
+
+        while True:
+            pending_count = pending.count()
+            if pending_count == 0:
+                break  # the 'empty' event (Mojo.pm:38-39,58-60)
+            if cfg.max_waves is not None and waves_run >= cfg.max_waves:
+                break
+            t0 = time.monotonic()
+            wave_id += 1
+            waves_run += 1
+
+            wave = self._wave_cut(pending).localCheckpoint(eager=True)
+            fetched = self._fetch_wave(wave)
+
+            # 'wave' on a visit = the fetch wave (the enqueue wave lives on
+            # the frontier row); pos ordering below needs the fetch wave
+            visits = fetched.select(
+                F.lit(wave_id).alias("wave"), "seq", "url", "request_url",
+                "original_url", "redirect_history", "status", "depth", "host_key",
+            ).localCheckpoint(eager=True)
+            visit_frames.append(visits)
+
+            pages = fetched.filter(F.col("status").isNotNull())
+            if cfg.max_depth is not None:
+                pages = pages.filter(F.col("depth") < cfg.max_depth)
+
+            if cfg.collect_images:
+                from .operators.imagesink import extract_image_rows
+
+                image_frames.append(extract_image_rows(fetched).localCheckpoint(eager=True))
+
+            edges = scrape_edges(
+                pages.select("url", "content_type", "content_length", "body", "seq", "depth"),
+                cfg.containers,
+            )
+            children = resolve_children(edges)
+            children = _dedup_min(children, "digest", ["parent_seq", "emit_idx"])  # D3
+            fresh = seen_anti_join(children, seen, bloom)  # D2
+
+            # error channel (F10): requeue with retries+1, bypassing seen-check (S2)
+            retry = None
+            if cfg.retry_errors > 0:
+                retry = (
+                    fetched.filter(F.col("status").isNull())
+                    .filter(F.col("retries") < cfg.retry_errors)
+                    .select(
+                        F.col("request_url").alias("url"), "method", "params", "digest",
+                        "host_key", "depth",
+                        F.lit(None).cast("string").alias("referrer_url"),
+                        F.lit(None).cast("string").alias("literal_uri"),
+                        F.lit(None).cast("string").alias("context"),
+                        F.lit(None).cast("string").alias("context_kind"),
+                        (F.col("retries") + 1).alias("retries"),
+                        F.lit(-1).cast("long").alias("parent_seq"),
+                        F.lit(0).alias("emit_idx"),
+                    )
+                )
+
+            remaining = pending.join(wave.select("seq"), "seq", "left_anti")
+
+            if cfg.cap is not None:
+                # F4: newcomers dropped once length exceeds cap; dropped rows
+                # are NOT marked seen (Queue/Memory.pm:42-44 quirk)
+                remaining_count = remaining.count()
+                room = max(0, cfg.cap + 1 - remaining_count)
+                fresh = fresh.orderBy("parent_seq", "emit_idx").limit(room)
+
+            enqueue = fresh.select(
+                "url", "host_key", "method", "params", "digest", "depth",
+                "referrer_url", "literal_uri", "context", "context_kind",
+                F.lit(0).alias("retries"), "parent_seq", "emit_idx",
+            )
+            if retry is not None:
+                enqueue = enqueue.unionByName(retry)
+
+            enqueue = assign_seq(enqueue, ["parent_seq", "emit_idx"], out_col="seq", start=next_seq)
+            enqueue = (
+                enqueue.withColumn("wave", F.lit(wave_id))
+                .withColumn("host_salt", host_salt_col(F.col("host_key"), cfg.salts))
+                .select(*PENDING_COLS)
+                .localCheckpoint(eager=True)
+            )
+            enq_count = enqueue.count()
+            next_seq += enq_count
+
+            new_pending = remaining.unionByName(enqueue).localCheckpoint(eager=True)
+            new_seen = seen.unionByName(enqueue.select("digest")).localCheckpoint(eager=True)
+            if bloom is not None and enq_count:
+                build_bloom(enqueue.select("digest"), bloom)
+            pending.unpersist()
+            seen.unpersist()
+            pending, seen = new_pending, new_seen
+
+            wave_count = wave.count()
+            total_fetched += wave_count
+            metrics.append(
+                dict(
+                    wave=wave_id,
+                    fetched=wave_count,
+                    enqueued=enq_count,
+                    pending=pending_count - wave_count + enq_count,
+                    sec=round(time.monotonic() - t0, 3),
+                )
+            )
+
+            if self.store and wave_id % cfg.commit_every == 0:
+                self.store.commit("visits", visits, mode="append", meta={"wave": wave_id})
+                self.store.commit(
+                    "frontier", pending, mode="overwrite",
+                    meta={"wave": wave_id, "next_seq": next_seq},
+                )
+                self.store.commit("seen", seen, mode="overwrite", meta={"wave": wave_id})
+                self.store.commit(
+                    "metrics",
+                    spark.createDataFrame([metrics[-1]]),
+                    mode="append",
+                    meta={"wave": wave_id},
+                )
+
+        visits_all = visit_frames[0] if visit_frames else self._empty_visits()
+        for vf in visit_frames[1:]:
+            visits_all = visits_all.unionByName(vf)
+        visits_all = visits_all.withColumn(
+            "pos",
+            F.row_number().over(Window.orderBy("wave", "seq")).cast("long") - 1,
+        )
+        images = None
+        if image_frames:
+            images = image_frames[0]
+            for f in image_frames[1:]:
+                images = images.unionByName(f)
+
+        return CrawlResult(
+            visits=visits_all, seen=seen, metrics=metrics, images=images,
+            waves=wave_id, fetched=total_fetched,
+        )
+
+    def _empty_visits(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [],
+            "wave int, seq long, url string, request_url string, original_url string, "
+            "redirect_history array<string>, status int, depth int, host_key string",
+        )
