@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()      — flagship: one politeness-cut frontier wave with digest dedup
+               over a synthetic frontier derived from sf0.001 documents.
+queries()    — every implemented operator from SURVEY.md §2 + the
+               training-data pipeline ops; see wcm_spark/datapipe/queries.py.
+oracle_sql() — DuckDB-equivalent SQL per query (engine-native ops — the
+               crawl loop, scrape, image decode — are rows-only checked).
 """
 
 from __future__ import annotations
@@ -13,26 +14,19 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from wcm_spark.datapipe.queries import oracle_sqls, spark_queries
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: frontier wave scheduling (F1 politeness cut + D1 digest +
+    D2 seen anti-join) over /root/testdata/sf0.001 documents."""
+    qs = spark_queries()
+    return qs["wave_cut_politeness"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return spark_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return oracle_sqls()

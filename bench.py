@@ -1,0 +1,164 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Measures:
+1. headline registry queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+2. crawl-pipeline throughput (fetch-join + scrape + resolve + dedup over a
+   deterministic synthetic corpus sized by the sf) — the north metric
+   "frontier URLs fetched+deduped per second"
+3. scaling efficiency: the same pipeline at two parallelism levels
+   (local[8] vs local[32] — the sandbox stand-in for N vs 4N executors),
+   efficiency = (thr_4N / thr_N) / 4, target >= 0.8
+
+Each parallelism level runs in a subprocess (one SparkContext per JVM).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# corpus sizing by scale factor (pages ~= sites * pages_per_site)
+_SF_SIZES = {"sf0.001": (16, 40), "sf0.01": (48, 80), "sf0.1": (128, 160)}
+
+HEADLINE_QUERIES = [
+    "wave_cut_politeness",
+    "frontier_digest",
+    "seen_antijoin",
+    "redirect_final_hop",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_token_jaccard",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "embedding_neardup",
+    "lang_id_heuristic",
+    "quality_score",
+    "token_count",
+    "doc_fingerprint",
+    "status_histogram",
+]
+
+
+def _corpus_size() -> tuple[int, int]:
+    name = os.path.basename(SF_DIR.rstrip("/"))
+    return _SF_SIZES.get(name, (64, 100))
+
+
+def _pipeline_run(cores: int, corpus_path: str) -> dict:
+    """Child-process body: single-wave crawl pipeline, timed."""
+    from pyspark.sql import functions as F
+
+    from wcm_spark.operators.dedup import NumpyBloom, build_bloom, seen_anti_join
+    from wcm_spark.operators.scrape import resolve_children, scrape_edges
+    from wcm_spark.scheduler import _dedup_min
+    from wcm_spark.session import get_spark
+
+    spark = get_spark(f"wcm-bench-{cores}", cpus=cores, shuffle_partitions=cores)
+    corpus = spark.read.parquet(corpus_path)
+    # warm the input into the OS cache / JVM so both levels see equal IO
+    n_pages = corpus.count()
+
+    t0 = time.monotonic()
+    pages = corpus.filter(F.col("status").isNotNull()).select(
+        "url", "content_type", "content_length", "body",
+        F.xxhash64("url").alias("seq"), F.lit(0).alias("depth"),
+    )
+    edges = scrape_edges(pages)
+    children = resolve_children(edges)
+    children = _dedup_min(children, "digest", ["parent_seq", "emit_idx"])
+    seen = corpus.select(F.md5("url").alias("digest"))
+    bloom = NumpyBloom.sized(max(n_pages * 4, 1024), 0.01)
+    build_bloom(seen, bloom)
+    fresh = seen_anti_join(children, seen, bloom)
+    n_fresh = fresh.count()
+    elapsed = time.monotonic() - t0
+    spark.stop()
+    processed = n_pages + n_fresh
+    return dict(
+        cores=cores,
+        pages=n_pages,
+        deduped=n_fresh,
+        processed=processed,
+        sec=round(elapsed, 3),
+        urls_per_sec=round(processed / elapsed, 1),
+    )
+
+
+def _child_main():
+    cores = int(os.environ["WCM_BENCH_CORES"])
+    corpus_path = os.environ["WCM_BENCH_CORPUS"]
+    print(json.dumps(_pipeline_run(cores, corpus_path)))
+
+
+def _spawn(cores: int, corpus_path: str) -> dict:
+    env = dict(os.environ, WCM_BENCH_CORES=str(cores), WCM_BENCH_CORPUS=corpus_path)
+    out = subprocess.run(
+        [sys.executable, __file__, "--child"], env=env, capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    if out.returncode != 0:
+        raise RuntimeError(f"bench child failed: {out.stderr[-2000:]}")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main():
+    from wcm_spark.corpus import corpus_df
+    from wcm_spark.datapipe.queries import spark_queries
+    from wcm_spark.session import get_spark
+
+    sf_name = os.path.basename(SF_DIR.rstrip("/"))
+    sites, pages_per_site = _corpus_size()
+
+    qs = spark_queries()
+    query_secs: dict[str, float] = {}
+
+    spark = get_spark("wcm-bench-queries", cpus=CPUS, shuffle_partitions=CPUS)
+    corpus_tmp = tempfile.mkdtemp(prefix="wcm-bench-corpus-")
+    corpus_path = os.path.join(corpus_tmp, "corpus.parquet")
+    corpus_df(spark, sites, pages_per_site).write.mode("overwrite").parquet(corpus_path)
+
+    for name in HEADLINE_QUERIES:
+        t0 = time.monotonic()
+        qs[name](spark, SF_DIR).count()
+        query_secs[name] = round(time.monotonic() - t0, 3)
+    spark.stop()
+
+    lo_cores = max(2, CPUS // 4)
+    lo = _spawn(lo_cores, corpus_path)
+    hi = _spawn(CPUS, corpus_path)
+    ratio = hi["urls_per_sec"] / lo["urls_per_sec"] if lo["urls_per_sec"] else 0.0
+    efficiency = round(ratio / (CPUS / lo_cores), 3)
+
+    total = round(sum(query_secs.values()) + lo["sec"] + hi["sec"], 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": query_secs,
+                "sf": sf_name,
+                "throughput": {
+                    f"local{lo_cores}": lo,
+                    f"local{CPUS}": hi,
+                    "urls_per_sec": hi["urls_per_sec"],
+                    "scaling_ratio": round(ratio, 3),
+                    "scaling_efficiency": efficiency,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--child" in sys.argv:
+        _child_main()
+    else:
+        main()

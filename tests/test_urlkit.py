@@ -19,98 +19,7 @@ from wcm_spark.urlkit import (
     resolve_href,
 )
 
-B1 = "http://a/b/c/d?q#f"
-B2 = "http://example.com"
-B3 = "http://example.com/dir/"
-B4 = "https://example.com/"
-B5 = "http://example.com/org"
-B6 = "http://example.com/dir/org"
-B7 = "https://example.com/org"
-
-RESOLVE_CASES = [
-    # RFC 1808 suite (t/resolve_href.t:17-36)
-    (B1, "g", "http://a/b/c/g"),
-    (B1, "./g", "http://a/b/c/g"),
-    (B1, "g/", "http://a/b/c/g/"),
-    (B1, "//g", "http://g"),
-    (B1, "?y", "http://a/b/c/d?y"),
-    (B1, "g?y", "http://a/b/c/g?y"),
-    (B1, "g?y/./x", "http://a/b/c/g?y/./x"),
-    (B1, "#s", "http://a/b/c/d?q"),
-    (B1, "g#s", "http://a/b/c/g"),
-    (B1, "g#s/./x", "http://a/b/c/g"),
-    (B1, "g?y#s", "http://a/b/c/g?y"),
-    (B1, ".", "http://a/b/c"),
-    (B1, "./", "http://a/b/c/"),
-    (B1, "..", "http://a/b"),
-    (B1, "../", "http://a/b/"),
-    (B1, "../g", "http://a/b/g"),
-    (B1, "../..", "http://a/"),
-    (B1, "../../", "http://a/"),
-    (B1, "../../g", "http://a/g"),
-    # base without path (:38-49)
-    (B2, "/hoge.html", "http://example.com/hoge.html"),
-    (B2, "./hoge.html", "http://example.com/hoge.html"),
-    (B2, "#a", "http://example.com"),
-    (B2, "http://example2.com/hoge.html", "http://example2.com/hoge.html"),
-    (B2, "http://example2.com//hoge.html", "http://example2.com//hoge.html"),
-    # dir base (:51-85)
-    (B3, "./hoge.html", "http://example.com/dir/hoge.html"),
-    (B3, "../hoge.html", "http://example.com/hoge.html"),
-    (B3, "../../hoge.html", "http://example.com/hoge.html"),
-    (B3, "/hoge.html", "http://example.com/hoge.html"),
-    (B3, "/", "http://example.com/"),
-    (B3, "", "http://example.com/dir/"),
-    (B3, "foo", "http://example.com/dir/foo"),
-    (B3, "./hoge.html/?a=b", "http://example.com/dir/hoge.html/?a=b"),
-    (B3, "../hoge.html/?a=b", "http://example.com/hoge.html/?a=b"),
-    (B3, "../../hoge.html/?a=b", "http://example.com/hoge.html/?a=b"),
-    (B3, "/hoge.html/?a=b", "http://example.com/hoge.html/?a=b"),
-    (B3, "./hoge.html#fragment", "http://example.com/dir/hoge.html"),
-    (B3, "../hoge.html#fragment", "http://example.com/hoge.html"),
-    (B3, "../../hoge.html#fragment", "http://example.com/hoge.html"),
-    (B3, "/hoge.html#fragment", "http://example.com/hoge.html"),
-    (B3, "/#fragment", "http://example.com/"),
-    (B3, "./#fragment", "http://example.com/dir/"),
-    (B3, "#fragment", "http://example.com/dir/"),
-    # protocol-relative (:87-93)
-    (B4, "//example2.com/hoge.html", "https://example2.com/hoge.html"),
-    (B4, "//example2.com:8080/hoge.html", "https://example2.com:8080/hoge.html"),
-    # file base (:95-141)
-    (B5, "/hoge.html", "http://example.com/hoge.html"),
-    (B5, "./hoge.html", "http://example.com/hoge.html"),
-    (B5, "http://example2.com/hoge.html", "http://example2.com/hoge.html"),
-    (B5, "http://example2.com//hoge.html", "http://example2.com//hoge.html"),
-    (B6, "./hoge.html", "http://example.com/dir/hoge.html"),
-    (B6, "../hoge.html", "http://example.com/hoge.html"),
-    (B6, "../../hoge.html", "http://example.com/hoge.html"),
-    (B6, "/hoge.html", "http://example.com/hoge.html"),
-    (B6, "/", "http://example.com/"),
-    (B6, "", "http://example.com/dir/org"),
-    (B6, "foo", "http://example.com/dir/foo"),
-    (B6, "./hoge.html/?a=b", "http://example.com/dir/hoge.html/?a=b"),
-    (B6, "../hoge.html/?a=b", "http://example.com/hoge.html/?a=b"),
-    (B6, "../../hoge.html/?a=b", "http://example.com/hoge.html/?a=b"),
-    (B6, "/hoge.html/?a=b", "http://example.com/hoge.html/?a=b"),
-    (B6, "./hoge.html#fragment", "http://example.com/dir/hoge.html"),
-    (B6, "../hoge.html#fragment", "http://example.com/hoge.html"),
-    (B6, "../../hoge.html#fragment", "http://example.com/hoge.html"),
-    (B6, "/hoge.html#fragment", "http://example.com/hoge.html"),
-    (B6, "/#fragment", "http://example.com/"),
-    (B6, "./#fragment", "http://example.com/dir/"),
-    (B6, "#fragment", "http://example.com/dir/org"),
-    (B7, "//example2.com/hoge.html", "https://example2.com/hoge.html"),
-    (B7, "//example2.com:8080/hoge.html", "https://example2.com:8080/hoge.html"),
-    # real-world (:151-165)
-    ("http://www.eclipse.org/forums/index.php/f/48/", "//www.eclipse.org/forums/",
-     "http://www.eclipse.org/forums/"),
-    ("https://www.eclipse.org/forums/index.php/f/48/", "//www.eclipse.org/forums/",
-     "https://www.eclipse.org/forums/"),
-    ("https://example.com/", " foo", "https://example.com/foo"),
-    ("https://example.com/", "foo ", "https://example.com/foo"),
-    ("https://example.com/", "foo bar", "https://example.com/foo%20bar"),
-    ("https://example.com/", "foo\nbar", "https://example.com/foobar"),
-]
+from wcm_spark.goldens import HOST_KEY_CASES, RESOLVE_CASES
 
 assert len(RESOLVE_CASES) == 74
 
@@ -120,18 +29,6 @@ def test_resolve_href(base, href, expected):
     assert resolve_href(base, href) == expected
 
 
-HOST_KEY_CASES = [
-    ("http://a/a", "http://a"),
-    ("http://a:80/a", "http://a"),
-    ("http://a:8080/a", "http://a:8080"),
-    ("http://a:443/a", "http://a:443"),
-    ("https://a/a", "https://a"),
-    ("https://a:443/a", "https://a"),
-    ("https://a:1443/a", "https://a:1443"),
-    ("https://a:80/a", "https://a:80"),
-    ("ftp://a/a", None),
-    ("/a", None),
-]
 
 
 @pytest.mark.parametrize("url,expected", HOST_KEY_CASES)

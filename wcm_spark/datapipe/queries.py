@@ -1,0 +1,693 @@
+"""Driver-facing query registry: Spark implementations + DuckDB oracles.
+
+Every SQL-expressible operator from SURVEY.md §2 — plus the training-data
+pipeline ops (dedup families, similarity search, text analysis) — is
+registered here as a (spark_fn, oracle_sql) pair over the driver's
+testdata tables. Crawl-shaped inputs are derived *deterministically in
+SQL* from the ``documents`` table (a synthetic frontier keyed on doc_id)
+so both engines compute on identical rows with zero side channels.
+
+Most query bodies are written once as dialect-templated SQL: the Spark
+side renders with ``parquet.`path``` table refs and Spark function names,
+the DuckDB side with plain view names — this guarantees the two texts
+express the same computation. Engine-native operators that SQL cannot
+express (the crawl loop itself, image decode, scrape) register Spark-only
+callables; the driver records a weaker rows-only check for those.
+
+Float columns are rounded to 4 decimals on BOTH sides: cross-engine sums
+differ in the last ULPs, value-hash comparison does not forgive that.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from ..goldens import RESOLVE_CASES
+
+# ---------------------------------------------------------------------------
+# dialect plumbing
+# ---------------------------------------------------------------------------
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _tbl(name: str, d: str, sf_dir: str | None) -> str:
+    if d == "spark":
+        return f"parquet.`{sf_dir}/{name}.parquet`"
+    return name
+
+
+def _fn(d: str) -> dict[str, str]:
+    if d == "spark":
+        return dict(
+            SPLIT="split",
+            LEN="size",
+            AJOIN="array_join",
+            LFILTER="filter",
+            STR="STRING",
+        )
+    return dict(
+        SPLIT="string_split_regex",
+        LEN="len",
+        AJOIN="array_to_string",
+        LFILTER="list_filter",
+        STR="VARCHAR",
+    )
+
+
+def _hex2int(expr: str, d: str) -> str:
+    """First-15-hex-digits of an md5 → BIGINT, identical in both engines."""
+    if d == "spark":
+        return f"cast(conv({expr}, 16, 10) as bigint)"
+    return f"cast(('0x' || {expr}) as bigint)"
+
+
+def _rx(raw: str, d: str) -> str:
+    """Regex pattern as a SQL string literal. Spark string literals process
+    C-style backslash escapes; DuckDB's are standard-conforming (no
+    escapes) — so Spark needs backslashes doubled, DuckDB takes them raw."""
+    body = raw.replace("'", "''")
+    if d == "spark":
+        body = body.replace("\\", "\\\\")
+    return f"'{body}'"
+
+
+# The synthetic frontier: one row per document, fully determined by doc_id.
+# 37 hosts, every 13th row a POST form, every 11th a query string.
+def _frontier_cte(d: str, sf_dir: str | None) -> str:
+    return f"""frontier AS (
+  SELECT
+    doc_id AS seq,
+    CAST(doc_id % 37 AS INT) AS host_id,
+    'http://host' || CAST(doc_id % 37 AS {_fn(d)['STR']}) || '.example.test' AS host_key,
+    CAST(doc_id % 7 AS INT) AS depth,
+    'http://host' || CAST(doc_id % 37 AS {_fn(d)['STR']}) || '.example.test/doc/'
+      || CAST(doc_id AS {_fn(d)['STR']})
+      || CASE WHEN doc_id % 11 = 0 THEN '?q=' || CAST(doc_id % 5 AS {_fn(d)['STR']}) ELSE '' END
+      AS url,
+    CASE WHEN doc_id % 13 = 0 THEN 'POST' END AS method,
+    CASE WHEN doc_id % 13 = 0 THEN 'p=' || CAST(doc_id % 7 AS {_fn(d)['STR']}) END AS params,
+    CASE WHEN doc_id % 17 = 0 THEN CAST(NULL AS INT)
+         WHEN doc_id % 23 = 0 THEN 404 ELSE 200 END AS status
+  FROM {_tbl('documents', d, sf_dir)}
+)"""
+
+
+def _tokens_cte(d: str, sf_dir: str | None) -> str:
+    f = _fn(d)
+    return f"""toks AS (
+  SELECT doc_id,
+         {f['LFILTER']}({f['SPLIT']}(lower(text), '[^a-z0-9]+'), x -> x != '') AS tokens
+  FROM {_tbl('documents', d, sf_dir)}
+)"""
+
+
+# each builder: fn(dialect, sf_dir) -> full SQL text
+_BUILDERS: dict[str, Callable[[str, str | None], str]] = {}
+_SPARK_ONLY: dict[str, Callable] = {}
+
+
+def register(name: str):
+    def deco(fn):
+        _BUILDERS[name] = fn
+        return fn
+
+    return deco
+
+
+def spark_only(name: str):
+    def deco(fn):
+        _SPARK_ONLY[name] = fn
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# crawl operators (SURVEY.md §2) over the synthetic frontier
+# ---------------------------------------------------------------------------
+
+
+@register("frontier_digest")
+def _q_digest(d, sf):
+    """D1 (Job.pm:77-82): md5(url || method || params), JVM/duck md5 parity."""
+    return f"""WITH {_frontier_cte(d, sf)}
+SELECT seq, url,
+       md5(url || coalesce(method, '') || coalesce(params, '')) AS digest
+FROM frontier"""
+
+
+@register("seen_antijoin")
+def _q_seen(d, sf):
+    """D2 (Queue/Memory.pm:37-46): unseen candidates via anti-join on digest."""
+    return f"""WITH {_frontier_cte(d, sf)},
+cand AS (SELECT seq, url, md5(url) AS digest FROM frontier),
+seen AS (SELECT md5(url) AS digest FROM frontier WHERE seq % 3 = 0)
+SELECT c.seq, c.url FROM cand c LEFT JOIN seen s ON c.digest = s.digest
+WHERE s.digest IS NULL"""
+
+
+@register("dedup_first_wins")
+def _q_dedup_first(d, sf):
+    """D3: duplicate digests collapse to the earliest seq (emit order)."""
+    return f"""WITH {_frontier_cte(d, sf)},
+cand AS (SELECT seq % 101 AS dup_key, seq, url FROM frontier)
+SELECT dup_key, seq, url FROM (
+  SELECT dup_key, seq, url,
+         row_number() OVER (PARTITION BY dup_key ORDER BY seq) AS rn
+  FROM cand
+) t WHERE rn = 1"""
+
+
+@register("wave_cut_politeness")
+def _q_wave(d, sf):
+    """F1/F6 (Mojo.pm:54-68): per-host rank <= 2, then global top-50 by seq."""
+    return f"""WITH {_frontier_cte(d, sf)},
+ranked AS (
+  SELECT seq, url, host_id,
+         row_number() OVER (PARTITION BY host_id ORDER BY seq) AS hr
+  FROM frontier
+)
+SELECT seq, url, host_id FROM ranked WHERE hr <= 2
+ORDER BY seq LIMIT 50"""
+
+
+@register("queue_fifo_topk")
+def _q_fifo(d, sf):
+    """F2 (Queue/Memory.pm:12-14): dequeue = min-seq selection."""
+    return f"""WITH {_frontier_cte(d, sf)}
+SELECT seq, url FROM frontier WHERE status IS NOT NULL ORDER BY seq LIMIT 10"""
+
+
+@register("queue_length")
+def _q_len(d, sf):
+    """F3 (Queue/Memory.pm:20-22): pending count."""
+    return f"""WITH {_frontier_cte(d, sf)}
+SELECT CAST(count(*) AS BIGINT) AS pending FROM frontier WHERE status IS NULL"""
+
+
+@register("queue_cap")
+def _q_cap(d, sf):
+    """F4 (Queue/Memory.pm:42): capacity keeps the earliest cap+1 rows."""
+    return f"""WITH {_frontier_cte(d, sf)}
+SELECT seq, url FROM frontier ORDER BY seq LIMIT 101"""
+
+
+@register("shuffle_hash_reseq")
+def _q_shuffle(d, sf):
+    """F5 (Queue/Memory.pm:32-35): seeded deterministic re-sequencing —
+    rank under md5 ordering stands in for the (unseeded) Perl shuffle."""
+    return f"""WITH {_frontier_cte(d, sf)}
+SELECT seq, CAST(row_number() OVER (ORDER BY md5(url)) AS BIGINT) AS new_seq
+FROM frontier"""
+
+
+@register("host_key_wellknown")
+def _q_hostkey(d, sf):
+    """F7 (UserAgent.pm:65-74): scheme://host[:port], well-known port elided
+    (ASCII subset — the IDNA corner is pinned in pytest goldens)."""
+    f = _fn(d)
+    return f"""WITH urls AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 4 AS INT)
+      WHEN 0 THEN 'http' WHEN 1 THEN 'https' WHEN 2 THEN 'http' ELSE 'https' END AS scheme,
+    'h' || CAST(doc_id % 19 AS {f['STR']}) || '.example.test' AS host,
+    CASE CAST(doc_id % 5 AS INT)
+      WHEN 0 THEN 80 WHEN 1 THEN 443 WHEN 2 THEN 8080 ELSE NULL END AS port
+  FROM {_tbl('documents', d, sf)}
+)
+SELECT doc_id,
+  scheme || '://' || host ||
+  CASE WHEN port IS NULL THEN ''
+       WHEN scheme = 'http'  AND port = 80  THEN ''
+       WHEN scheme = 'https' AND port = 443 THEN ''
+       ELSE ':' || CAST(port AS {f['STR']}) END AS host_key
+FROM urls"""
+
+
+@register("redirect_final_hop")
+def _q_redirect(d, sf):
+    """F9 (Mojo.pm:50,202-208): follow redirect chains at most 5 hops.
+    Chain: url(i) -> url(i+6) whenever i % 6 = 0 (arbitrary-length chains,
+    capped like ua->max_redirects(5))."""
+    f = _fn(d)
+
+    def u(expr):
+        return (
+            f"'http://host' || CAST(({expr}) % 37 AS {f['STR']}) || '.example.test/doc/' "
+            f"|| CAST(({expr}) AS {f['STR']}) "
+            f"|| CASE WHEN ({expr}) % 11 = 0 THEN '?q=' || CAST(({expr}) % 5 AS {f['STR']}) ELSE '' END"
+        )
+
+    # the cap is 5 followed redirects (r0 is hop 1, so join 4 more)
+    joins = [
+        f"LEFT JOIN redirects r{i} ON r{i}.src_id = r{i-1}.dst_id" for i in range(1, 5)
+    ]
+    final_id = (
+        "coalesce(" + ", ".join(reversed([f"r{i}.dst_id" for i in range(1, 5)])) + ", r0.dst_id)"
+    )
+    return f"""WITH docs AS (SELECT doc_id FROM {_tbl('documents', d, sf)}),
+redirects AS (
+  SELECT doc_id AS src_id, doc_id + 6 AS dst_id FROM docs
+  WHERE doc_id % 6 = 0 AND doc_id + 6 <= (SELECT max(doc_id) FROM docs)
+),
+r0 AS (SELECT src_id, dst_id FROM redirects)
+SELECT r0.src_id AS start_id,
+       {u('r0.src_id')} AS start_url,
+       CAST({final_id} AS BIGINT) AS final_id,
+       {u(final_id)} AS final_url
+FROM r0
+{chr(10).join(joins)}"""
+
+
+@register("error_retry_channel")
+def _q_errors(d, sf):
+    """F10 (Mojo.pm:100-104): NULL-status rows route to the error channel;
+    per-host error/ok tallies (the checkbot example's %count)."""
+    return f"""WITH {_frontier_cte(d, sf)}
+SELECT host_id,
+       CAST(sum(CASE WHEN status IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+       CAST(sum(CASE WHEN status = 200 THEN 1 ELSE 0 END) AS BIGINT) AS ok,
+       CAST(sum(CASE WHEN status = 404 THEN 1 ELSE 0 END) AS BIGINT) AS notfound
+FROM frontier GROUP BY host_id"""
+
+
+@register("scheme_filter")
+def _q_scheme(d, sf):
+    """R2 (Mojo.pm:177): keep http/https/ftp/ws/wss, drop mailto/tel/foo."""
+    f = _fn(d)
+    return f"""WITH links AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 7 AS INT)
+      WHEN 0 THEN 'http' WHEN 1 THEN 'https' WHEN 2 THEN 'ftp' WHEN 3 THEN 'ws'
+      WHEN 4 THEN 'mailto' WHEN 5 THEN 'tel' ELSE 'foo' END
+      || '://x' || CAST(doc_id AS {f['STR']}) AS url
+  FROM {_tbl('documents', d, sf)}
+)
+SELECT doc_id, url FROM links
+WHERE regexp_extract(url, '^([a-z]+):', 1) IN ('http','https','ftp','ws','wss')"""
+
+
+@register("query_merge_get")
+def _q_merge(d, sf):
+    """R3 (Mojo.pm:179): GET-form params append to the action's query."""
+    return f"""WITH {_frontier_cte(d, sf)}
+SELECT seq,
+  url || CASE WHEN url LIKE '%?%' THEN '&' ELSE '?' END || 'submitted=1' AS merged_url
+FROM frontier WHERE method IS NULL"""
+
+
+@register("child_depth_lineage")
+def _q_depth(d, sf):
+    """R5 (Job.pm:72-75): child depth = parent depth + 1, referrer lineage."""
+    return f"""WITH {_frontier_cte(d, sf)}
+SELECT c.seq AS child_seq, p.seq AS parent_seq,
+       CAST(p.depth + 1 AS INT) AS child_depth, p.url AS referrer_url
+FROM frontier c JOIN frontier p ON p.seq * 2 = c.seq"""
+
+
+@register("css_url_extract")
+def _q_css(d, sf):
+    """P8 (ScraperUtil.pm:13-15): url(...) extraction via regexp, in order."""
+    f = _fn(d)
+    css_rx = _rx(r"url\(([^)]+)\)", d)
+    return f"""WITH css AS (
+  SELECT doc_id,
+    'body {{ background:url(/img/' || CAST(doc_id % 9 AS {f['STR']})
+      || '.png) }} div {{ background:url("/x/' || CAST(doc_id AS {f['STR']})
+      || '.gif") }}' AS text
+  FROM {_tbl('documents', d, sf)}
+)
+SELECT doc_id, {f['AJOIN']}(regexp_extract_all(text, {css_rx}, 1), '|') AS urls
+FROM css"""
+
+
+@register("meta_refresh_extract")
+def _q_meta(d, sf):
+    """P6 (ScraperUtil.pm:113-118): capture after URL= in refresh metas."""
+    f = _fn(d)
+    return f"""WITH metas AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 2 = 0
+      THEN '5;URL=http://t' || CAST(doc_id AS {f['STR']}) || '.example.test/'
+      ELSE 'no-refresh-here' END AS content
+  FROM {_tbl('documents', d, sf)}
+)
+SELECT doc_id, regexp_extract(content, 'URL=(.+)', 1) AS refresh_url
+FROM metas WHERE content LIKE '%URL=%'"""
+
+
+@register("status_histogram")
+def _q_status(d, sf):
+    """S8 (example/checkbot.pl:39-48): event/status histogram + value sums."""
+    return f"""SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(value) AS DOUBLE), 3) AS total_value,
+       round(CAST(avg(value) AS DOUBLE), 4) AS avg_value
+FROM {_tbl('events', d, sf)}
+GROUP BY event_type"""
+
+
+@register("crawl_metrics_rollup")
+def _q_metrics(d, sf):
+    """S8: per-wave/host metrics table shape (fetched/enqueued/deduped)."""
+    return f"""WITH {_frontier_cte(d, sf)}
+SELECT CAST(seq % 5 AS INT) AS wave, host_id,
+       CAST(count(*) AS BIGINT) AS fetched,
+       CAST(sum(CASE WHEN status = 200 THEN 1 ELSE 0 END) AS BIGINT) AS ok,
+       CAST(max(depth) AS INT) AS max_depth
+FROM frontier GROUP BY seq % 5, host_id"""
+
+
+# ---------------------------------------------------------------------------
+# R1: the 74 resolve goldens as a VALUES oracle
+# ---------------------------------------------------------------------------
+
+
+def _resolve_oracle_sql() -> str:
+    def esc(s: str) -> str:
+        return s.replace("'", "''").replace("\n", "' || chr(10) || '")
+
+    rows = ",\n".join(
+        f"({i}, '{esc(exp)}')" for i, (_, _, exp) in enumerate(RESOLVE_CASES)
+    )
+    return f"SELECT * FROM (VALUES\n{rows}\n) AS t(case_id, resolved)"
+
+
+def _resolve_spark(spark, sf_dir):
+    from ..functions.core import resolve_href_udf
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, b, h) for i, (b, h, _) in enumerate(RESOLVE_CASES)],
+        "case_id int, base string, href string",
+    )
+    return df.select(
+        "case_id", resolve_href_udf(F.col("base"), F.col("href")).alias("resolved")
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: dedup / similarity / text analysis
+# ---------------------------------------------------------------------------
+
+
+@register("dedup_exact")
+def _q_dedup_exact(d, sf):
+    """Exact content dedup: md5-groupBy, keep min doc_id, count members."""
+    return f"""SELECT md5(text) AS content_hash,
+       CAST(min(doc_id) AS BIGINT) AS keeper_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM {_tbl('documents', d, sf)}
+GROUP BY md5(text)"""
+
+
+@register("dedup_minhash_lsh")
+def _q_minhash(d, sf):
+    """MinHash+LSH near-dup candidates: 8 md5-minhashes over the token set,
+    4 bands of 2 -> bucket ids; pairs sharing a bucket are candidates.
+    Hex-string min is engine-portable (no integer hash divergence)."""
+    f = _fn(d)
+    if d == "spark":
+        tok_rows = """tok_rows AS (
+  SELECT doc_id, tok FROM toks LATERAL VIEW explode(tokens) x AS tok
+)"""
+    else:
+        tok_rows = """tok_rows AS (
+  SELECT doc_id, unnest(tokens) AS tok FROM toks
+)"""
+    sigs = ",\n       ".join(
+        f"min(md5('s{i}' || tok)) AS mh{i}" for i in range(8)
+    )
+    bands = ",\n       ".join(
+        f"md5(mh{2*i} || mh{2*i+1}) AS band{i}" for i in range(4)
+    )
+    band_union = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {i} AS band_no, band{i} AS bucket FROM banded" for i in range(4)
+    )
+    return f"""WITH {_tokens_cte(d, sf)},
+{tok_rows},
+sigs AS (
+  SELECT doc_id,
+       {sigs}
+  FROM (SELECT DISTINCT doc_id, tok FROM tok_rows) t
+  GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id,
+       {bands}
+  FROM sigs
+),
+buckets AS ({band_union})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(DISTINCT a.band_no) AS BIGINT) AS shared_bands
+FROM buckets a JOIN buckets b
+  ON a.bucket = b.bucket AND a.band_no = b.band_no AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id"""
+
+
+@register("dedup_token_jaccard")
+def _q_jaccard(d, sf):
+    """Token-set Jaccard near-dup: |A∩B|/|A∪B| >= 0.8 over distinct tokens."""
+    if d == "spark":
+        tok_rows = "SELECT doc_id, tok FROM toks LATERAL VIEW explode(tokens) x AS tok"
+    else:
+        tok_rows = "SELECT doc_id, unnest(tokens) AS tok FROM toks"
+    return f"""WITH {_tokens_cte(d, sf)},
+tok_rows AS ({tok_rows}),
+tok_set AS (SELECT DISTINCT doc_id, tok FROM tok_rows),
+sizes AS (SELECT doc_id, count(*) AS n FROM tok_set GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS both
+  FROM tok_set a JOIN tok_set b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b,
+       round(CAST(i.both AS DOUBLE) / (sa.n + sb.n - i.both), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.both AS DOUBLE) / (sa.n + sb.n - i.both) >= 0.8"""
+
+
+@register("dedup_simhash")
+def _q_simhash(d, sf):
+    """SimHash (16-bit, md5-derived token hashes): majority vote per bit."""
+    f = _fn(d)
+    if d == "spark":
+        tok_rows = "SELECT doc_id, tok FROM toks LATERAL VIEW explode(tokens) x AS tok"
+        bit_rows = (
+            "SELECT doc_id, tok_hash, bit FROM hashed "
+            "LATERAL VIEW explode(sequence(0, 15)) x AS bit"
+        )
+        shift = "shiftright(tok_hash, bit)"
+    else:
+        tok_rows = "SELECT doc_id, unnest(tokens) AS tok FROM toks"
+        bit_rows = (
+            "SELECT doc_id, tok_hash, unnest(range(16)) AS bit FROM hashed"
+        )
+        shift = "(tok_hash >> CAST(bit AS INT))"
+    return f"""WITH {_tokens_cte(d, sf)},
+tok_rows AS ({tok_rows}),
+hashed AS (
+  SELECT doc_id, {_hex2int("substr(md5(tok), 1, 8)", d)} AS tok_hash
+  FROM (SELECT DISTINCT doc_id, tok FROM tok_rows) t
+),
+bits AS ({bit_rows}),
+votes AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN {shift} % 2 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM bits GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN vote > 0 THEN power(2, bit) ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id"""
+
+
+@register("ann_cosine_topk")
+def _q_ann(d, sf):
+    """Similarity search baseline: brute-force cosine top-5 per query vector
+    (query set = vec_id < 3), exact, engine-portable double math."""
+    if d == "spark":
+        dot = (
+            "aggregate(zip_with(q.embedding, c.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        norm_q = "sqrt(aggregate(q.embedding, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+        norm_c = "sqrt(aggregate(c.embedding, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    else:
+        dot = "list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))"
+        norm_q = "sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))"
+        norm_c = "sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))"
+    emb = _tbl("embeddings", d, sf)
+    return f"""WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         round({dot} / ({norm_q} * {norm_c}), 4) AS cosine
+  FROM {emb} q JOIN {emb} c ON q.vec_id < 3 AND c.vec_id != q.vec_id
+)
+SELECT query_id, cand_id, cosine FROM (
+  SELECT query_id, cand_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rk
+  FROM scored
+) t WHERE rk <= 5"""
+
+
+@register("embedding_neardup")
+def _q_neardup(d, sf):
+    """Embedding near-dup pairs: cosine >= 0.95 among same-label vectors."""
+    if d == "spark":
+        dot = (
+            "aggregate(zip_with(a.embedding, b.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        na = "sqrt(aggregate(a.embedding, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+        nb = "sqrt(aggregate(b.embedding, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    else:
+        dot = "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+        na = "sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+        nb = "sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))"
+    emb = _tbl("embeddings", d, sf)
+    return f"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+       round({dot} / ({na} * {nb}), 4) AS cosine
+FROM {emb} a JOIN {emb} b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {dot} / ({na} * {nb}) >= 0.95"""
+
+
+_STOPWORD_RAW = r"\b(the|a|an|and|or|of|to|in|is|it)\b"
+
+
+@register("lang_id_heuristic")
+def _q_langid(d, sf):
+    """Language-ID heuristic: stopword density + vowel-run profile (the
+    deterministic n-gram-ish scorer; both engines compute the same rule)."""
+    f = _fn(d)
+    return f"""WITH feat AS (
+  SELECT doc_id, lang,
+    CAST({f['LEN']}(regexp_extract_all(lower(text), {_rx(_STOPWORD_RAW, d)}, 1)) AS BIGINT) AS stop_hits,
+    CAST({f['LEN']}({f['LFILTER']}({f['SPLIT']}(lower(text), '[^a-z0-9]+'), x -> x != '')) AS BIGINT) AS n_tokens
+  FROM {_tbl('documents', d, sf)}
+)
+SELECT doc_id, lang,
+  stop_hits, n_tokens,
+  CASE WHEN n_tokens = 0 THEN 'und'
+       WHEN CAST(stop_hits AS DOUBLE) / n_tokens >= 0.08 THEN 'en'
+       ELSE 'other' END AS predicted_lang
+FROM feat"""
+
+
+@register("quality_score")
+def _q_quality(d, sf):
+    """Quality scoring: length/punctuation/stopword-ratio features + score."""
+    f = _fn(d)
+    return f"""WITH feat AS (
+  SELECT doc_id, n_chars,
+    CAST({f['LEN']}(regexp_extract_all(text, '([.!?,;:])', 1)) AS BIGINT) AS punct,
+    CAST({f['LEN']}({f['LFILTER']}({f['SPLIT']}(lower(text), '[^a-z0-9]+'), x -> x != '')) AS BIGINT) AS n_tokens,
+    CAST({f['LEN']}(regexp_extract_all(lower(text), {_rx(_STOPWORD_RAW, d)}, 1)) AS BIGINT) AS stop_hits
+  FROM {_tbl('documents', d, sf)}
+)
+SELECT doc_id, n_tokens, punct,
+  round(CAST(stop_hits AS DOUBLE) / CASE WHEN n_tokens = 0 THEN 1 ELSE n_tokens END, 4) AS stop_ratio,
+  round(
+    0.4 * CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 1.0 ELSE 0.0 END
+    + 0.3 * CASE WHEN CAST(stop_hits AS DOUBLE) / CASE WHEN n_tokens = 0 THEN 1 ELSE n_tokens END
+                 BETWEEN 0.01 AND 0.5 THEN 1.0 ELSE 0.0 END
+    + 0.3 * CASE WHEN n_tokens >= 10 THEN 1.0 ELSE 0.0 END, 4) AS quality
+FROM feat"""
+
+
+@register("token_count")
+def _q_tokens(d, sf):
+    """Token counting: whitespace tokens + BPE-ish subword regex count."""
+    f = _fn(d)
+    ws_rx = _rx(r"\s+", d)
+    bpe_rx = _rx(r"([a-z]{1,4}|[0-9]+|[^a-z0-9\s])", d)
+    return f"""SELECT doc_id,
+  CAST({f['LEN']}({f['LFILTER']}({f['SPLIT']}(text, {ws_rx}), x -> x != '')) AS BIGINT) AS ws_tokens,
+  CAST({f['LEN']}(regexp_extract_all(lower(text), {bpe_rx}, 1)) AS BIGINT) AS bpe_ish_tokens
+FROM {_tbl('documents', d, sf)}"""
+
+
+@register("doc_fingerprint")
+def _q_fingerprint(d, sf):
+    """Document fingerprint: md5 over whitespace-normalized lowercase text
+    + a coarse 16-bit locality bucket from the fingerprint prefix."""
+    return f"""SELECT doc_id,
+  md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ')) AS fingerprint,
+  {_hex2int("substr(md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), 1, 4)", d)} AS bucket
+FROM {_tbl('documents', d, sf)}"""
+
+
+# ---------------------------------------------------------------------------
+# engine-native queries (no SQL oracle → driver rows-only check)
+# ---------------------------------------------------------------------------
+
+
+@spark_only("crawl_bfs_e2e")
+def _q_crawl(spark, sf_dir):
+    """The crawl loop itself: BFS over the synthetic corpus, visit order out.
+    Ordering/seen parity vs the reference simulator is pinned in pytest
+    (tests/test_parity.py); SQL cannot express the iterative loop."""
+    from ..corpus import corpus_df, seed_urls
+    from ..scheduler import CrawlConfig, Crawler
+
+    corpus = corpus_df(spark, n_sites=2, pages_per_site=8).cache()
+    res = Crawler(spark, corpus, CrawlConfig(expected_urls=10_000, use_bloom=False)).run(
+        seed_urls(2)
+    )
+    return res.visits.select("pos", "url", "status", "depth").orderBy("pos")
+
+
+@spark_only("scrape_edges_e2e")
+def _q_scrape(spark, sf_dir):
+    """The scrape operator (P1-P9 + O1) over generated pages."""
+    from ..corpus import corpus_df
+    from ..operators.scrape import scrape_edges
+
+    pages = corpus_df(spark, n_sites=1, pages_per_site=6, with_images=False)
+    return scrape_edges(pages).select(
+        "page_url", "emit_idx", "literal_uri", "tag", "context_kind"
+    )
+
+
+@spark_only("image_pipeline")
+def _q_images(spark, sf_dir):
+    """S7 image+caption sink: decode, dimensions, phash, caption lineage."""
+    from ..corpus import corpus_df, seed_urls
+    from ..scheduler import CrawlConfig, Crawler
+
+    corpus = corpus_df(spark, n_sites=2, pages_per_site=8).cache()
+    res = Crawler(
+        spark, corpus, CrawlConfig(expected_urls=10_000, use_bloom=False, collect_images=True)
+    ).run(seed_urls(2))
+    return res.images.select("image_id", "w", "h", "fmt", "caption", "phash")
+
+
+# ---------------------------------------------------------------------------
+# public registry
+# ---------------------------------------------------------------------------
+
+
+def _mk_spark_fn(name: str):
+    builder = _BUILDERS[name]
+
+    def run(spark, sf_dir):
+        return spark.sql(builder("spark", sf_dir))
+
+    run.__name__ = f"q_{name}"
+    return run
+
+
+def spark_queries() -> dict[str, Callable]:
+    out = {name: _mk_spark_fn(name) for name in _BUILDERS}
+    out["resolve_href_goldens"] = _resolve_spark
+    out.update(_SPARK_ONLY)
+    return out
+
+
+def oracle_sqls() -> dict[str, str]:
+    out = {name: builder("duck", None) for name, builder in _BUILDERS.items()}
+    out["resolve_href_goldens"] = _resolve_oracle_sql()
+    return out

@@ -1,0 +1,157 @@
+"""Frontier: the queue API surface (SURVEY.md §3.3) over DataFrame state.
+
+Re-implements the reference queue contract —
+enqueue/dequeue/next/requeue/length/shuffle/cap
+(lib/WWW/Crawler/Mojo/Queue.pm, Queue/Memory.pm) — with the exact
+semantics pinned by t/queue.t:
+
+- enqueue dedups against the seen set and MARKS at enqueue time
+- requeue bypasses the seen check but still marks (Queue/Memory.pm:28-30,41)
+- cap drops the NEWCOMER once length exceeds cap, and the dropped job's
+  digest is NOT marked (Queue/Memory.pm:42-44, t/queue.t:33-54)
+- dequeue/next are FIFO by the persisted ``seq`` (no destructive shift:
+  rows flip state, so the table doubles as the durable crawl journal)
+
+The scheduler does not call this class in its hot loop (it works in whole
+waves); Frontier exists as the user-facing queue API and the property-test
+surface. State commits to a TableStore when one is supplied — that is the
+Iceberg-backed durable-queue analog of Queue::MySQL (Queue/MySQL.pm:45-118).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.core import digest_col, host_key_udf
+from .store import TableStore
+
+__all__ = ["Frontier"]
+
+_SCHEMA = (
+    "seq long, url string, method string, params string, digest string, "
+    "host_key string, depth int, state string"
+)
+
+
+class Frontier:
+    def __init__(self, spark: SparkSession, store: TableStore | None = None, cap: int | None = None):
+        self.spark = spark
+        self.cap = cap
+        self.store = store
+        self._df = spark.createDataFrame([], _SCHEMA)
+        self._seen: set[str] = set()  # driver-side mirror for the small-API path
+        self._next_seq = 0
+        if store is not None:
+            restored = store.read(spark, "frontier_api")
+            if restored is not None:
+                self._df = restored
+                self._seen = {
+                    r["digest"] for r in self._df.select("digest").distinct().collect()
+                }
+                row = self._df.agg(F.max("seq").alias("m")).collect()[0]
+                self._next_seq = (row["m"] + 1) if row["m"] is not None else 0
+
+    # -- queue API (Queue.pm contract) --------------------------------------
+
+    def enqueue(self, url: str, method: str | None = None, params: str | None = None) -> bool:
+        return self._enqueue(url, method, params, requeue=False)
+
+    def requeue(self, url: str, method: str | None = None, params: str | None = None) -> bool:
+        return self._enqueue(url, method, params, requeue=True)
+
+    def _enqueue(self, url, method, params, requeue) -> bool:
+        from .urlkit import job_digest
+
+        digest = job_digest(url, method, params)
+        if not requeue and digest in self._seen:
+            return False
+        if self.cap is not None and self.cap < self.length():
+            return False  # newcomer dropped, digest NOT marked
+        row = self.spark.createDataFrame(
+            [(self._next_seq, url, method, params, digest, None, 0, "pending")], _SCHEMA
+        ).withColumn("host_key", host_key_udf(F.col("url")))
+        self._df = self._df.unionByName(row)
+        self._seen.add(digest)
+        self._next_seq += 1
+        return True
+
+    def enqueue_frame(self, df: DataFrame, requeue: bool = False) -> int:
+        """Bulk path: dedup via anti-join (the scheduler-scale semantics)."""
+        from .operators.seq import assign_seq
+
+        df = df.withColumn(
+            "digest", digest_col(F.col("url"), F.col("method"), F.col("params"))
+        )
+        if not requeue:
+            seen_df = self._df.select("digest").distinct()
+            df = df.join(seen_df, "digest", "left_anti")
+        df = assign_seq(df, ["url"], out_col="seq", start=self._next_seq)
+        rows = df.select(
+            "seq", "url", "method", "params", "digest",
+            host_key_udf(F.col("url")).alias("host_key"),
+            F.lit(0).alias("depth"), F.lit("pending").alias("state"),
+        )
+        if self.cap is not None:
+            room = max(0, self.cap + 1 - self.length())
+            rows = rows.orderBy("seq").limit(room)
+        rows = rows.localCheckpoint(eager=True)
+        n = rows.count()
+        self._df = self._df.unionByName(rows)
+        self._seen.update(r["digest"] for r in rows.select("digest").collect())
+        self._next_seq += n
+        return n
+
+    def length(self) -> int:
+        return self._df.filter("state = 'pending'").count()
+
+    def next(self, offset: int = 0) -> dict | None:
+        rows = (
+            self._df.filter("state = 'pending'").orderBy("seq").limit(offset + 1).collect()
+        )
+        return rows[offset].asDict() if len(rows) > offset else None
+
+    def dequeue(self) -> dict | None:
+        head = self.next(0)
+        if head is None:
+            return None
+        self._df = self._df.withColumn(
+            "state",
+            F.when(F.col("seq") == head["seq"], F.lit("done")).otherwise(F.col("state")),
+        )
+        return head
+
+    def dequeue_wave(self, limit: int | None = None) -> DataFrame:
+        wave = self._df.filter("state = 'pending'").orderBy("seq")
+        if limit is not None:
+            wave = wave.limit(limit)
+        wave = wave.localCheckpoint(eager=True)
+        self._df = self._df.join(wave.select("seq").withColumnRenamed("seq", "__dq"),
+                                 F.col("seq") == F.col("__dq"), "left") \
+            .withColumn("state", F.when(F.col("__dq").isNotNull(), F.lit("done")).otherwise(F.col("state"))) \
+            .drop("__dq")
+        return wave
+
+    def shuffle(self, seed: int = 42) -> None:
+        """F5: seeded deterministic re-sequencing of pending rows (the
+        reference shuffles unseeded — any fixed permutation is conformant)."""
+        from pyspark.sql.window import Window
+
+        pend = self._df.filter("state = 'pending'")
+        done = self._df.filter("state != 'pending'")
+        reseq = pend.withColumn(
+            "seq",
+            F.row_number().over(Window.orderBy(F.md5(F.concat(F.col("url"), F.lit(str(seed)))))).cast("long")
+            + F.lit(self._next_seq),
+        )
+        self._df = done.unionByName(reseq)
+        self._next_seq += pend.count() + 1
+
+    def seen_digests(self) -> set:
+        return set(self._seen)
+
+    def commit(self) -> int | None:
+        if self.store is None:
+            return None
+        return self.store.commit("frontier_api", self._df, mode="overwrite",
+                                 meta={"next_seq": self._next_seq})
