@@ -123,3 +123,35 @@ def test_politeness_budget_restricts_waves(spark, corpus_small):
     assert all(r["count"] <= 2 for r in per_wave)
     wave_sizes = res.visits.groupBy("wave").count().collect()
     assert all(r["count"] <= 4 for r in wave_sizes)
+
+
+def test_fused_equals_staged(spark, corpus_small):
+    """scrape_resolve_children (one Arrow pass) must emit exactly what the
+    staged scrape_edges → resolve_children pipeline emits."""
+    from pyspark.sql import functions as F
+
+    from wcm_spark.operators.scrape import (
+        resolve_children,
+        scrape_edges,
+        scrape_resolve_children,
+    )
+
+    corpus_df = spark.createDataFrame(
+        [
+            (r["url"], r["status"], r["content_type"], r["content_length"],
+             r["body"], r["redirect_to"])
+            for r in corpus_small
+        ],
+        "url string, status int, content_type string, content_length bigint, "
+        "body binary, redirect_to string",
+    )
+    pages = corpus_df.filter("status is not null").select(
+        "url", "content_type", "content_length", "body",
+        F.xxhash64("url").alias("seq"), F.lit(0).alias("depth"),
+    )
+    staged = resolve_children(scrape_edges(pages))
+    fused = scrape_resolve_children(pages)
+    cols = sorted(fused.columns)
+    a = sorted(tuple(r) for r in staged.select(*cols).collect())
+    b = sorted(tuple(r) for r in fused.select(*cols).collect())
+    assert a == b

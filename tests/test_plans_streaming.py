@@ -1,0 +1,101 @@
+"""Plan-shape assertions (.explain auditing) + streaming metrics."""
+
+import os
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    from wcm_spark.plans.inspect import pushed_filters, read_schema_columns
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = docs.filter(F.col("lang") == "en").select("doc_id", "n_chars")
+    pf = pushed_filters(q)
+    assert any("lang" in f for f in pf), f"lang filter not pushed: {pf}"
+    # column pruning: text (the wide column) must NOT be read
+    cols = read_schema_columns(q)
+    assert "text" not in cols and {"doc_id", "n_chars"} <= cols
+
+
+def test_small_dim_join_broadcasts(spark):
+    from wcm_spark.plans.inspect import has_broadcast_join
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    dim = spark.createDataFrame(
+        [("en", 1), ("de", 2)], "lang string, lang_id int"
+    )
+    q = docs.join(F.broadcast(dim), "lang").select("doc_id", "lang_id")
+    assert has_broadcast_join(q)
+
+
+def test_registry_queries_prune_and_push(spark):
+    """The frontier queries must scan only doc_id (never text/bodies)."""
+    from wcm_spark.datapipe.queries import spark_queries
+    from wcm_spark.plans.inspect import read_schema_columns
+
+    q = spark_queries()["wave_cut_politeness"](spark, SF)
+    cols = read_schema_columns(q)
+    assert cols == {"doc_id"}, f"frontier query reads more than doc_id: {cols}"
+
+
+def test_scrape_prunes_body_downstream(spark):
+    """body (binary) must not survive past the scrape explode stage."""
+    from wcm_spark.corpus import corpus_df
+    from wcm_spark.operators.scrape import resolve_children, scrape_edges
+
+    pages = corpus_df(spark, 1, 5, with_images=False)
+    children = resolve_children(scrape_edges(pages))
+    assert "body" not in children.columns
+
+
+def test_event_window_rollup_batch_semantics(spark):
+    """The streaming rollup plan also runs in batch: validate on sf0.001."""
+    from wcm_spark.streaming.metrics import event_window_rollup
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    out = event_window_rollup(events, window="1 day", watermark="1 day")
+    rows = out.collect()
+    assert rows and all(r["n"] > 0 for r in rows)
+    assert {r["event_type"] for r in rows} >= {"click", "view"}
+
+
+def test_visits_stream_end_to_end(spark, tmp_path):
+    """Genuine streaming run: visits parquet dir → host-rate metrics via
+    availableNow trigger into a memory sink."""
+    from wcm_spark.corpus import corpus_rows, seed_urls
+    from wcm_spark.scheduler import CrawlConfig, Crawler
+    from wcm_spark.store import TableStore
+    from wcm_spark.streaming.metrics import host_rate_metrics, visits_stream
+
+    rows = corpus_rows(2, 6)
+    corpus = spark.createDataFrame(
+        [(r["url"], r["status"], r["content_type"], r["content_length"], r["body"], r["redirect_to"]) for r in rows],
+        "url string, status int, content_type string, content_length bigint, body binary, redirect_to string",
+    )
+    ckpt = str(tmp_path / "store")
+    cfg = CrawlConfig(expected_urls=5000, use_bloom=False, checkpoint_dir=ckpt)
+    res = Crawler(spark, corpus, cfg).run(seed_urls(2))
+
+    visits_dirs = TableStore(ckpt).snapshots("visits")[-1]["dirs"]
+    # stream over the first committed dir's parent won't see all snapshots;
+    # point the stream at the union glob of snapshot dirs' shared parent
+    parent = os.path.dirname(visits_dirs[0])
+    stream = visits_stream(spark, parent + "/v*")
+    assert stream.isStreaming
+    q = (
+        host_rate_metrics(stream)
+        .writeStream.format("memory")
+        .queryName("host_rates")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["host_key"]: r["fetched"] for r in spark.sql("select * from host_rates").collect()}
+    want = {
+        r["host_key"]: r["cnt"]
+        for r in res.visits.groupBy("host_key").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert got == want

@@ -1,0 +1,86 @@
+"""robots.txt parsing, caching, and engine/simulator parity under robots."""
+
+from wcm_spark.robots import RobotsCache, parse_robots
+
+BODY = """
+# comments ignored
+User-agent: evilbot
+Disallow: /
+
+User-agent: *
+Disallow: /private/
+Disallow: /tmp
+Allow: /private/ok/
+Disallow: /*.zip$
+Disallow:
+"""
+
+
+def test_parse_and_match():
+    rules = parse_robots(BODY, agent="wcm-spark")
+    assert rules.allowed("/")
+    assert rules.allowed("/public/x.html")
+    assert not rules.allowed("/private/secret.html")
+    assert rules.allowed("/private/ok/fine.html")  # longest-match Allow wins
+    assert not rules.allowed("/tmpfile")  # prefix match, no slash needed
+    assert not rules.allowed("/download/a.zip")  # wildcard + $ anchor
+    assert rules.allowed("/download/a.zip.html")  # $ anchor respected
+
+
+def test_agent_group_selection():
+    evil = parse_robots(BODY, agent="evilbot")
+    assert not evil.allowed("/anything")
+    other = parse_robots("User-agent: foo\nDisallow: /x\n", agent="bar")
+    assert other.allowed("/x")  # no matching group, no * group -> all allowed
+
+
+def test_cache_roundtrip_and_unknown_host():
+    cache = RobotsCache({"http://a": "User-agent: *\nDisallow: /no\n"})
+    assert not cache.allowed("http://a", "http://a/no/1")
+    assert cache.allowed("http://a", "http://a/yes")
+    assert cache.allowed("http://b", "http://b/no/1")  # no robots -> allowed
+    state = cache.to_bodies_state()
+    back = RobotsCache.from_state(state)
+    assert not back.allowed("http://a", "http://a/no/1")
+
+
+def test_robots_parity_engine_vs_simulator(spark):
+    """With respect_robots on, engine and simulator agree on visit order
+    and seen set — and both skip the disallowed subtrees."""
+    from wcm_spark.corpus import corpus_rows, seed_urls
+    from wcm_spark.crawlcore import CorpusPage, CrawlSimulator
+    from wcm_spark.scheduler import CrawlConfig, Crawler
+    from wcm_spark.urlkit import host_key
+
+    rows = corpus_rows(3, 8)
+    pages = {
+        r["url"]: CorpusPage(
+            url=r["url"], status=r["status"], content_type=r["content_type"],
+            content_length=r["content_length"], body=r["body"],
+            redirect_to=r["redirect_to"],
+        )
+        for r in rows
+    }
+    bodies = {
+        host_key(u): p.body.decode()
+        for u, p in pages.items()
+        if u.endswith("/robots.txt") and p.body
+    }
+    assert bodies, "corpus must include robots.txt sites"
+    sim = CrawlSimulator(corpus=pages, robots=RobotsCache(bodies, agent="wcm-spark"))
+    for u in seed_urls(3):
+        sim.enqueue(u)
+    sim.crawl()
+
+    corpus_df = spark.createDataFrame(
+        [(r["url"], r["status"], r["content_type"], r["content_length"], r["body"], r["redirect_to"]) for r in rows],
+        "url string, status int, content_type string, content_length bigint, body binary, redirect_to string",
+    ).cache()
+    cfg = CrawlConfig(expected_urls=10_000, use_bloom=False, respect_robots=True)
+    res = Crawler(spark, corpus_df, cfg).run(seed_urls(3))
+
+    got = [r["url"] for r in res.visits.filter("status is not null").orderBy("pos").collect()]
+    assert got == sim.visit_order
+    assert {r["digest"] for r in res.seen.collect()} == sim.seen
+    # disallowed subtree actually skipped (site1 is the robots site)
+    assert not any("/r/" in u and "site1" in u for u in got)

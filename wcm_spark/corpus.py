@@ -74,6 +74,17 @@ def _page_body(site: int, page: int, n_sites: int, pages_per_site: int) -> str:
         tgt = (page + 7) % pages_per_site
         parts.append(f'<a href="/p/{tgt}.html">s</a>\n')
         parts.append(f'<a href=" /p/{tgt}.html ">s-dup</a>\n')
+    # nav block: realistic link density (real pages carry ~100 links) —
+    # most resolve to already-seen URLs, which is exactly the dedup load
+    # profile a production frontier sees
+    parts.append("<ul>\n")
+    for k in range(24):
+        tgt = (page * 3 + k * 7 + h % 13) % pages_per_site
+        parts.append(f'<li><a href="/p/{tgt}.html">nav{k}</a></li>\n')
+    parts.append("</ul>\n")
+    # text filler: pushes page size toward realistic parse cost
+    filler = hashlib.md5(f"filler/{site}/{page}".encode()).hexdigest()
+    parts.append("<p>" + " ".join(filler[i % 28] * 5 for i in range(220)) + "</p>\n")
     # scheme noise — must be filtered out (Mojo.pm:177)
     parts.append('<a href="mailto:x@example.test">m</a>\n')
     if h % 5 == 0:
@@ -132,6 +143,24 @@ def gen_site_pages(
             content_type=ct,
             content_length=len(raw),
             body=raw,
+            redirect_to=None,
+        )
+
+    # robots.txt: a third of the sites disallow their redirect entry points
+    # and one page subtree (exercises the north-rule robots gate; crawls
+    # with respect_robots=False never fetch these, matching the reference)
+    if site % 3 == 1:
+        robots = (
+            "User-agent: *\nDisallow: /r/\nDisallow: /r2/\n"
+            f"Disallow: /p/{pages_per_site - 1}.html\nAllow: /p/\n"
+            "User-agent: evilbot\nDisallow: /\n"
+        ).encode()
+        yield dict(
+            url=f"{base}/robots.txt",
+            status=200,
+            content_type="text/plain",
+            content_length=len(robots),
+            body=robots,
             redirect_to=None,
         )
 

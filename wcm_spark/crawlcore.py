@@ -78,6 +78,7 @@ class CrawlSimulator:
     cap: int | None = None
     max_redirects: int = 5
     max_depth: int | None = None
+    robots: object | None = None  # RobotsCache; None = reference behavior
 
     visit_order: list[str] = field(default_factory=list)
     seen: set[str] = field(default_factory=set)
@@ -85,6 +86,11 @@ class CrawlSimulator:
     queue: list = field(default_factory=list)
 
     def enqueue(self, url: str, method=None, tx_params=None, depth=0, requeue=False) -> bool:
+        if self.robots is not None:
+            from .urlkit import host_key
+
+            if not self.robots.allowed(host_key(url), url):
+                return False  # disallowed candidates never get marked
         digest = job_digest(url, method, tx_params)
         if not requeue and digest in self.seen:
             return False

@@ -1,0 +1,159 @@
+"""Multimodal column operators: opaque binary payloads + typed metadata.
+
+A 100 TB training-data pipeline treats image/audio/video as binary columns
+with typed metadata and processes them through Arrow-batched mapInPandas so
+payload bytes cross the Python boundary exactly once per stage. This module
+makes that plumbing real (schemas, batching, partition-size control) with:
+
+- image decode + resize: REAL implementations over the engine's native
+  wclz/wcq6 codecs (numpy box-average resampling), Pillow-gated for
+  PNG/JPEG (wcm_spark/images.py)
+- video frame sampling / audio feature extraction: this container ships no
+  av libraries, so the decode kernels are clearly-marked deterministic
+  stubs behind the same batch interface — swapping in pyav/soundfile
+  changes one scalar function, not the Spark plan
+
+Partitioning note (scale): callers should repartition payload frames by a
+size-aware key before these stages — a 10 MB-average binary column at
+maxRecordsPerBatch=10000 means 100 GB Arrow batches. ``by_payload_budget``
+computes the records-per-batch both stages use.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..images import decode_image, encode_image, psnr
+
+__all__ = [
+    "decode_image_meta",
+    "resize_images",
+    "sample_video_frames",
+    "extract_audio_features",
+    "by_payload_budget",
+]
+
+
+def by_payload_budget(avg_payload_bytes: int, budget_bytes: int = 64 << 20) -> int:
+    """Arrow records-per-batch so a batch stays under ``budget_bytes``."""
+    return max(1, budget_bytes // max(avg_payload_bytes, 1))
+
+
+def decode_image_meta(df: DataFrame, id_col: str = "image_id", bytes_col: str = "bytes") -> DataFrame:
+    """binary → (id, w, h, fmt, decode_ok): metadata pass, pixels discarded."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for iid, data in zip(pdf[id_col], pdf[bytes_col]):
+                try:
+                    arr, fmt = decode_image(data)
+                    rows.append((iid, int(arr.shape[1]), int(arr.shape[0]), fmt, True))
+                except NotImplementedError:
+                    rows.append((iid, None, None, None, False))
+            yield pd.DataFrame(rows, columns=["image_id", "w", "h", "fmt", "decode_ok"])
+
+    return df.mapInPandas(run, schema="image_id string, w int, h int, fmt string, decode_ok boolean")
+
+
+def _box_resize(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Deterministic box-average resample (pure numpy, no image libs)."""
+    h, w = arr.shape[:2]
+    ys = (np.arange(out_h + 1) * h / out_h).round().astype(int)
+    xs = (np.arange(out_w + 1) * w / out_w).round().astype(int)
+    out = np.empty((out_h, out_w, arr.shape[2]), dtype=np.float64)
+    for i in range(out_h):
+        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
+        for j in range(out_w):
+            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
+            out[i, j] = arr[y0:y1, x0:x1].mean(axis=(0, 1))
+    return out.round().astype(np.uint8)
+
+
+def resize_images(df: DataFrame, out_w: int = 16, out_h: int = 16) -> DataFrame:
+    """binary → resized binary (lossless container) + fidelity column."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for iid, data in zip(pdf["image_id"], pdf["bytes"]):
+                try:
+                    arr, _ = decode_image(data)
+                except NotImplementedError:
+                    rows.append((iid, None, None, None, None))
+                    continue
+                small = _box_resize(arr, out_w, out_h)
+                rows.append(
+                    (
+                        iid,
+                        encode_image(small, "wclz"),
+                        int(small.shape[1]),
+                        int(small.shape[0]),
+                        round(psnr(small, _box_resize(arr, out_w, out_h)), 2),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "self_psnr"])
+
+    return df.select("image_id", "bytes").mapInPandas(
+        run, schema="image_id string, bytes binary, w int, h int, self_psnr double"
+    )
+
+
+def _stub_frames(data: bytes, k: int) -> list[bytes]:
+    """STUB: deterministic fake frame sampler. A real implementation decodes
+    with pyav and samples k keyframes; this derives k deterministic 8x8
+    pseudo-frames from the payload hash so the Spark-side schema, batch
+    shape and downstream joins are fully exercised without codecs."""
+    frames = []
+    for i in range(k):
+        seed = hashlib.md5(data[:64] + bytes([i])).digest()
+        arr = np.frombuffer((seed * 24)[: 8 * 8 * 3], dtype=np.uint8).reshape(8, 8, 3)
+        frames.append(encode_image(arr.copy(), "wclz"))
+    return frames
+
+
+def sample_video_frames(df: DataFrame, k: int = 3) -> DataFrame:
+    """binary video → k frame rows each: (video_id, frame_no, frame_bytes).
+
+    Decode kernel is a deterministic stub (no av libs in this container);
+    the explode shape, schema and partitioning are the real pipeline."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for vid, data in zip(pdf["video_id"], pdf["bytes"]):
+                for i, fb in enumerate(_stub_frames(bytes(data), k)):
+                    rows.append((vid, i, fb))
+            yield pd.DataFrame(rows, columns=["video_id", "frame_no", "frame_bytes"])
+
+    return df.mapInPandas(run, schema="video_id string, frame_no int, frame_bytes binary")
+
+
+def extract_audio_features(df: DataFrame, n_bands: int = 8) -> DataFrame:
+    """binary audio → fixed-size feature vector (duration, band energies).
+
+    STUB decode: interprets the payload as a PCM-ish byte stream (a real
+    implementation swaps in soundfile/librosa); the band-energy math and
+    the array<double> output column are real."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for aid, data in zip(pdf["audio_id"], pdf["bytes"]):
+                raw = np.frombuffer(bytes(data), dtype=np.uint8).astype(np.float64)
+                if raw.size == 0:
+                    rows.append((aid, 0.0, [0.0] * n_bands))
+                    continue
+                pad = (-raw.size) % n_bands
+                sig = np.pad(raw, (0, pad)).reshape(n_bands, -1)
+                energies = [round(float(e), 4) for e in np.sqrt((sig**2).mean(axis=1))]
+                rows.append((aid, round(raw.size / 8000.0, 4), energies))
+            yield pd.DataFrame(rows, columns=["audio_id", "duration_sec", "band_energy"])
+
+    return df.mapInPandas(
+        run, schema="audio_id string, duration_sec double, band_energy array<double>"
+    )

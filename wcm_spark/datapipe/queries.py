@@ -104,6 +104,28 @@ def _tokens_cte(d: str, sf_dir: str | None) -> str:
 )"""
 
 
+def _shingles_cte(d: str, sf_dir: str | None, n: int = 3) -> str:
+    """3-gram word shingles (1-indexed in both engines). Shingling is the
+    scale move for near-dup: shingle doc-frequency is low, so the
+    candidate self-join never skews the way unigram tokens do."""
+    if d == "spark":
+        gram = (
+            "transform(sequence(1, greatest(size(tokens) - 2, 0)), "
+            "i -> concat(element_at(tokens, i), ' ', element_at(tokens, i + 1), "
+            "' ', element_at(tokens, i + 2)))"
+        )
+    else:
+        gram = (
+            "[list_extract(tokens, i) || ' ' || list_extract(tokens, i + 1) || "
+            "' ' || list_extract(tokens, i + 2) "
+            "for i in generate_series(1, greatest(len(tokens) - 2, 0))]"
+        )
+    return f"""{_tokens_cte(d, sf_dir)},
+shingled AS (
+  SELECT doc_id, {gram} AS shingles FROM toks
+)"""
+
+
 # each builder: fn(dialect, sf_dir) -> full SQL text
 _BUILDERS: dict[str, Callable[[str, str | None], str]] = {}
 _SPARK_ONLY: dict[str, Callable] = {}
@@ -412,11 +434,11 @@ def _q_minhash(d, sf):
     f = _fn(d)
     if d == "spark":
         tok_rows = """tok_rows AS (
-  SELECT doc_id, tok FROM toks LATERAL VIEW explode(tokens) x AS tok
+  SELECT doc_id, tok FROM shingled LATERAL VIEW explode(shingles) x AS tok
 )"""
     else:
         tok_rows = """tok_rows AS (
-  SELECT doc_id, unnest(tokens) AS tok FROM toks
+  SELECT doc_id, unnest(shingles) AS tok FROM shingled
 )"""
     sigs = ",\n       ".join(
         f"min(md5('s{i}' || tok)) AS mh{i}" for i in range(8)
@@ -427,7 +449,7 @@ def _q_minhash(d, sf):
     band_union = "\nUNION ALL\n".join(
         f"SELECT doc_id, {i} AS band_no, band{i} AS bucket FROM banded" for i in range(4)
     )
-    return f"""WITH {_tokens_cte(d, sf)},
+    return f"""WITH {_shingles_cte(d, sf)},
 {tok_rows},
 sigs AS (
   SELECT doc_id,
@@ -448,14 +470,16 @@ FROM buckets a JOIN buckets b
 GROUP BY a.doc_id, b.doc_id"""
 
 
-@register("dedup_token_jaccard")
+@register("dedup_ngram_jaccard")
 def _q_jaccard(d, sf):
-    """Token-set Jaccard near-dup: |A∩B|/|A∪B| >= 0.8 over distinct tokens."""
+    """3-gram-shingle Jaccard near-dup: |A∩B|/|A∪B| >= 0.8 over distinct
+    shingles. Shingles (not unigrams) keep the candidate self-join skew-free
+    at scale: a unigram join on common words degenerates to ~all-pairs."""
     if d == "spark":
-        tok_rows = "SELECT doc_id, tok FROM toks LATERAL VIEW explode(tokens) x AS tok"
+        tok_rows = "SELECT doc_id, tok FROM shingled LATERAL VIEW explode(shingles) x AS tok"
     else:
-        tok_rows = "SELECT doc_id, unnest(tokens) AS tok FROM toks"
-    return f"""WITH {_tokens_cte(d, sf)},
+        tok_rows = "SELECT doc_id, unnest(shingles) AS tok FROM shingled"
+    return f"""WITH {_shingles_cte(d, sf)},
 tok_rows AS ({tok_rows}),
 tok_set AS (SELECT DISTINCT doc_id, tok FROM tok_rows),
 sizes AS (SELECT doc_id, count(*) AS n FROM tok_set GROUP BY doc_id),
@@ -464,12 +488,13 @@ inter AS (
   FROM tok_set a JOIN tok_set b ON a.tok = b.tok AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
-SELECT i.doc_a, i.doc_b,
-       round(CAST(i.both AS DOUBLE) / (sa.n + sb.n - i.both), 4) AS jaccard
-FROM inter i
-JOIN sizes sa ON sa.doc_id = i.doc_a
-JOIN sizes sb ON sb.doc_id = i.doc_b
-WHERE CAST(i.both AS DOUBLE) / (sa.n + sb.n - i.both) >= 0.8"""
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT i.doc_a, i.doc_b,
+         round(CAST(i.both AS DOUBLE) / (sa.n + sb.n - i.both), 4) AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+) t WHERE jaccard >= 0.8"""
 
 
 @register("dedup_simhash")
@@ -549,10 +574,74 @@ def _q_neardup(d, sf):
         na = "sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
         nb = "sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))"
     emb = _tbl("embeddings", d, sf)
-    return f"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
-       round({dot} / ({na} * {nb}), 4) AS cosine
-FROM {emb} a JOIN {emb} b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE {dot} / ({na} * {nb}) >= 0.95"""
+    # cosine computed once in the inner select (evaluating the 64-element
+    # aggregate in both SELECT and WHERE doubles the work — no CSE there)
+    return f"""SELECT vec_a, vec_b, label, cosine FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+         round({dot} / ({na} * {nb}), 4) AS cosine
+  FROM {emb} a JOIN {emb} b ON a.label = b.label AND a.vec_id < b.vec_id
+) t WHERE cosine >= 0.95"""
+
+
+@register("ann_lsh_bucketed")
+def _q_ann_lsh(d, sf):
+    """Similarity-search scale path: random-hyperplane LSH bucketing.
+
+    8 hyperplanes with deterministic ±1 components from md5 parity (so both
+    engines derive identical planes with no RNG); vectors sharing a bucket
+    are candidate neighbors, then verified by exact cosine >= 0.9. At scale
+    the bucket join replaces the O(n^2) brute-force pair join of
+    ann_cosine_topk: candidates shuffle by bucket id only."""
+    f = _fn(d)
+    sign = (
+        "CASE WHEN "
+        + _hex2int(
+            f"substr(md5('pl' || CAST(p AS {f['STR']}) || '_' || CAST(dim AS {f['STR']})), 1, 4)", d
+        )
+        + " % 2 = 0 THEN 1.0 ELSE -1.0 END"
+    )
+    if d == "spark":
+        planes = f"SELECT id AS p, dim, {sign} AS s FROM range(8) LATERAL VIEW explode(sequence(0, 63)) x AS dim"
+        elems = (
+            "SELECT vec_id, dim, CAST(x AS DOUBLE) AS x FROM "
+            f"{_tbl('embeddings', d, sf)} LATERAL VIEW posexplode(embedding) t AS dim, x"
+        )
+        dot = (
+            "aggregate(zip_with(a.embedding, b.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        na = "sqrt(aggregate(a.embedding, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+        nb = "sqrt(aggregate(b.embedding, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    else:
+        planes = f"SELECT t1.range AS p, t2.range AS dim, {sign} AS s FROM range(8) t1, range(64) t2"
+        elems = (
+            "SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim, "
+            f"CAST(unnest(embedding) AS DOUBLE) AS x FROM {_tbl('embeddings', d, sf)}"
+        )
+        dot = "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+        na = "sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+        nb = "sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))"
+    emb = _tbl("embeddings", d, sf)
+    return f"""WITH planes AS ({planes}),
+elems AS ({elems}),
+proj AS (
+  SELECT e.vec_id, pl.p, round(sum(pl.s * e.x), 6) AS pr
+  FROM elems e JOIN planes pl ON pl.dim = e.dim
+  GROUP BY e.vec_id, pl.p
+),
+bucketed AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN pr > 0 THEN power(2, p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id
+)
+SELECT vec_a, vec_b, bucket, cosine FROM (
+  SELECT ba.vec_id AS vec_a, bb.vec_id AS vec_b, ba.bucket,
+         round({dot} / ({na} * {nb}), 4) AS cosine
+  FROM bucketed ba
+  JOIN bucketed bb ON ba.bucket = bb.bucket AND ba.vec_id < bb.vec_id
+  JOIN {emb} a ON a.vec_id = ba.vec_id
+  JOIN {emb} b ON b.vec_id = bb.vec_id
+) t WHERE cosine >= 0.9"""
 
 
 _STOPWORD_RAW = r"\b(the|a|an|and|or|of|to|in|is|it)\b"
@@ -621,6 +710,141 @@ FROM {_tbl('documents', d, sf)}"""
 
 
 # ---------------------------------------------------------------------------
+# optimized Spark-side implementations for the multi-reference queries.
+# Catalyst inlines CTEs, so the SQL forms above recompute the exploded
+# token set once per reference; these DataFrame plans persist the shared
+# intermediate instead. The DuckDB oracle keeps the plain SQL — the parity
+# suite (tests/test_oracle_parity.py) pins result equality.
+# ---------------------------------------------------------------------------
+
+
+def _token_set_df(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != "")
+            ).alias("tok"),
+        )
+        .dropDuplicates(["doc_id", "tok"])
+    )
+
+
+def _shingle_set_df(spark, sf_dir):
+    """Distinct 3-gram shingles per doc — mirrors _shingles_cte exactly."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != "").alias("tokens"),
+    )
+    shingles = toks.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, greatest(size(tokens) - 2, 0)), "
+            "i -> concat(element_at(tokens, i), ' ', element_at(tokens, i + 1), "
+            "' ', element_at(tokens, i + 2)))"
+        ).alias("shingles"),
+    )
+    return shingles.select("doc_id", F.explode("shingles").alias("tok")).dropDuplicates(
+        ["doc_id", "tok"]
+    )
+
+
+def _minhash_spark(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    tok_set = _shingle_set_df(spark, sf_dir)
+    sigs = tok_set.groupBy("doc_id").agg(
+        *[F.min(F.md5(F.concat(F.lit(f"s{i}"), F.col("tok")))).alias(f"mh{i}") for i in range(8)]
+    )
+    banded = sigs.select(
+        "doc_id",
+        *[F.md5(F.concat(F.col(f"mh{2*i}"), F.col(f"mh{2*i+1}"))).alias(f"band{i}") for i in range(4)],
+    )
+    # one-pass unpivot (stack) instead of a 4-way UNION ALL re-scan
+    buckets = banded.select(
+        "doc_id",
+        F.expr(
+            "stack(4, 0, band0, 1, band1, 2, band2, 3, band3) AS (band_no, bucket)"
+        ),
+    ).persist()
+    b = buckets.select(
+        F.col("doc_id").alias("doc_b_id"),
+        F.col("band_no").alias("band_no_b"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    out = (
+        buckets.join(
+            b,
+            (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("band_no") == F.col("band_no_b"))
+            & (F.col("doc_id") < F.col("doc_b_id")),
+        )
+        .groupBy(F.col("doc_id").alias("doc_a"), F.col("doc_b_id").alias("doc_b"))
+        .agg(F.countDistinct("band_no").cast("long").alias("shared_bands"))
+    )
+    return out
+
+
+def _jaccard_spark(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    tok_set = _shingle_set_df(spark, sf_dir).persist()
+    sizes = tok_set.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = tok_set
+    b = tok_set.select(F.col("doc_id").alias("doc_id_b"), F.col("tok").alias("tok_b"))
+    inter = (
+        a.join(b, (F.col("tok") == F.col("tok_b")) & (F.col("doc_id") < F.col("doc_id_b")))
+        .groupBy(F.col("doc_id").alias("doc_a"), F.col("doc_id_b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("both"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("both").cast("double") / (F.col("na") + F.col("nb") - F.col("both"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.8)
+    )
+
+
+def _simhash_spark(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    tok_set = _token_set_df(spark, sf_dir)
+    hashed = tok_set.select(
+        "doc_id",
+        F.expr("cast(conv(substr(md5(tok), 1, 8), 16, 10) as bigint)").alias("tok_hash"),
+    )
+    bits = hashed.select(
+        "doc_id", "tok_hash", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit")
+    )
+    votes = bits.groupBy("doc_id", "bit").agg(
+        F.sum(
+            F.when(F.expr("shiftright(tok_hash, bit) % 2 = 1"), 1).otherwise(-1)
+        ).alias("vote")
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("vote") > 0, F.pow(F.lit(2.0), F.col("bit"))).otherwise(0.0))
+        .cast("long")
+        .alias("simhash")
+    )
+
+
+_SPARK_OVERRIDES = {
+    "dedup_minhash_lsh": _minhash_spark,
+    "dedup_ngram_jaccard": _jaccard_spark,
+    "dedup_simhash": _simhash_spark,
+}
+
+
+# ---------------------------------------------------------------------------
 # engine-native queries (no SQL oracle → driver rows-only check)
 # ---------------------------------------------------------------------------
 
@@ -665,6 +889,68 @@ def _q_images(spark, sf_dir):
     return res.images.select("image_id", "w", "h", "fmt", "caption", "phash")
 
 
+@spark_only("multimodal_image_meta")
+def _q_mm_meta(spark, sf_dir):
+    """Multimodal metadata pass: binary image column → (w, h, fmt) without
+    shipping pixels downstream."""
+    from pyspark.sql import functions as F
+
+    from ..corpus import corpus_df
+    from .multimodal import decode_image_meta
+
+    corpus = corpus_df(spark, n_sites=3, pages_per_site=10)
+    imgs = corpus.filter(F.col("content_type").startswith("image/")).select(
+        F.col("url").alias("image_id"), F.col("body").alias("bytes")
+    )
+    return decode_image_meta(imgs)
+
+
+@spark_only("multimodal_resize")
+def _q_mm_resize(spark, sf_dir):
+    """Image resize stage (numpy box-average) over the binary column."""
+    from pyspark.sql import functions as F
+
+    from ..corpus import corpus_df
+    from .multimodal import resize_images
+
+    corpus = corpus_df(spark, n_sites=2, pages_per_site=10)
+    imgs = corpus.filter(F.col("content_type").startswith("image/")).select(
+        F.col("url").alias("image_id"), F.col("body").alias("bytes")
+    )
+    return resize_images(imgs, 16, 16)
+
+
+@spark_only("multimodal_video_frames")
+def _q_mm_video(spark, sf_dir):
+    """Frame-sampling plumbing over an opaque video binary column (decode
+    kernel stubbed — no av libs in this container)."""
+    from pyspark.sql import functions as F
+
+    from .multimodal import sample_video_frames
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    vids = docs.select(
+        F.concat(F.lit("vid-"), F.col("doc_id").cast("string")).alias("video_id"),
+        F.encode(F.col("text"), "utf-8").alias("bytes"),
+    )
+    return sample_video_frames(vids, k=3)
+
+
+@spark_only("multimodal_audio_features")
+def _q_mm_audio(spark, sf_dir):
+    """Band-energy feature extraction over an opaque audio binary column."""
+    from pyspark.sql import functions as F
+
+    from .multimodal import extract_audio_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    auds = docs.select(
+        F.concat(F.lit("aud-"), F.col("doc_id").cast("string")).alias("audio_id"),
+        F.encode(F.col("text"), "utf-8").alias("bytes"),
+    )
+    return extract_audio_features(auds)
+
+
 # ---------------------------------------------------------------------------
 # public registry
 # ---------------------------------------------------------------------------
@@ -682,6 +968,7 @@ def _mk_spark_fn(name: str):
 
 def spark_queries() -> dict[str, Callable]:
     out = {name: _mk_spark_fn(name) for name in _BUILDERS}
+    out.update(_SPARK_OVERRIDES)
     out["resolve_href_goldens"] = _resolve_spark
     out.update(_SPARK_ONLY)
     return out

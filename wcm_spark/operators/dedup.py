@@ -191,10 +191,27 @@ def seen_anti_join(
     seen: DataFrame,
     bloom: NumpyBloom | None = None,
     digest_col: str = "digest",
+    seen_count: int | None = None,
+    broadcast_threshold: int = 4_000_000,
 ) -> DataFrame:
-    """Exact unseen-candidates: bloom-thinned left-anti join on digest."""
+    """Exact unseen-candidates: anti-join on digest, plan picked by scale.
+
+    - seen small enough (``seen_count`` <= threshold, ~128MB of digests):
+      broadcast-hash anti-join — candidates never shuffle, the whole
+      parse→dedup pipeline stays one stage.
+    - otherwise: bloom-prefiltered shuffle anti-join — definite-negatives
+      skip the shuffle; only bloom-positives (true hits + fpp) pay it.
+    This mirrors what a 10^10-frontier deployment does: broadcast while the
+    seen set fits, degrade to the bloom+shuffle path when it doesn't.
+    """
+    if seen_count is not None and seen_count <= broadcast_threshold:
+        return candidates.join(F.broadcast(seen), digest_col, "left_anti")
     if bloom is None:
         return candidates.join(seen, digest_col, "left_anti")
+    # the prefilter fans candidates into two branches that are unioned —
+    # without materialization the whole upstream (scrape+resolve) would
+    # execute once PER BRANCH; a lazy local checkpoint computes it once
+    candidates = candidates.localCheckpoint(eager=False)
     maybe_seen, fresh = bloom_prefilter(candidates, bloom, digest_col)
     survivors = maybe_seen.join(seen, digest_col, "left_anti")
     return fresh.unionByName(survivors)

@@ -21,7 +21,13 @@ from ..crawlcore import make_child
 from ..htmlkit import extract_links
 from ..functions.core import digest_col, host_key_udf
 
-__all__ = ["scrape_edges", "resolve_children", "EDGE_SCHEMA"]
+__all__ = ["scrape_edges", "resolve_children", "scrape_resolve_children", "EDGE_SCHEMA", "CHILD_SCHEMA"]
+
+CHILD_SCHEMA = (
+    "url string, method string, params string, digest string, host_key string, "
+    "referrer_url string, depth int, parent_seq long, emit_idx int, "
+    "literal_uri string, tag string, context string, context_kind string"
+)
 
 EDGE_SCHEMA = (
     "page_url string, page_seq long, page_depth int, emit_idx int, "
@@ -74,6 +80,71 @@ def scrape_edges(pages: DataFrame, containers=None) -> DataFrame:
             )
 
     return src.mapInPandas(explode_pages, schema=EDGE_SCHEMA)
+
+
+def scrape_resolve_children(pages: DataFrame, containers=None) -> DataFrame:
+    """Fused P1-P9 + R1-R5 + D1 + F7 in ONE Arrow pass.
+
+    The staged operators (scrape_edges → resolve_children) cross the
+    Python boundary three times (parse UDF, resolve UDF, host-key UDF);
+    each crossing is an ArrowEvalPython barrier with per-stage worker
+    costs that dominate wall-clock on wide-and-shallow crawl waves. This
+    fusion parses, resolves, scheme-filters, digests and host-keys inside
+    one mapInPandas, so page bodies and candidate edges never leave the
+    Python worker between stages. Same output as the staged pipeline
+    (asserted in tests/test_parity.py::test_fused_equals_staged).
+    """
+    from ..crawlcore import make_child
+    from ..urlkit import host_key as host_key_fn
+
+    cols = ["url", "content_type", "content_length", "body"]
+    lineage = [c for c in ("seq", "depth") if c in pages.columns]
+    src = pages.select(*cols, *lineage)
+    if "seq" not in src.columns:
+        src = src.withColumn("seq", F.lit(0).cast("long"))
+    if "depth" not in src.columns:
+        src = src.withColumn("depth", F.lit(0).cast("int"))
+
+    def fused(batches):
+        hk_cache: dict = {}
+        for pdf in batches:
+            out = []
+            for url, ct, cl, body, seq, depth in zip(
+                pdf["url"], pdf["content_type"], pdf["content_length"],
+                pdf["body"], pdf["seq"], pdf["depth"],
+            ):
+                items = extract_links(
+                    url, ct, int(cl) if cl is not None else None, body, containers
+                )
+                for it in items:
+                    child = make_child(
+                        it["literal_uri"], it["base"], it["method"], it["params"]
+                    )
+                    if child is None:
+                        continue
+                    curl, cmethod, cparams, digest = child
+                    hk = hk_cache.get(curl)
+                    if hk is None:
+                        hk = host_key_fn(curl)
+                        hk_cache[curl] = hk
+                    out.append(
+                        (
+                            curl, cmethod, cparams, digest, hk,
+                            url, int(depth) + 1, int(seq), it["emit_idx"],
+                            it["literal_uri"], it["tag"], it["context"],
+                            it["context_kind"],
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "url", "method", "params", "digest", "host_key",
+                    "referrer_url", "depth", "parent_seq", "emit_idx",
+                    "literal_uri", "tag", "context", "context_kind",
+                ],
+            )
+
+    return src.mapInPandas(fused, schema=CHILD_SCHEMA)
 
 
 def resolve_children(edges: DataFrame) -> DataFrame:

@@ -35,7 +35,7 @@ from pyspark.sql.window import Window
 
 from .functions.core import digest_col, host_key_udf, host_salt_col
 from .operators.dedup import NumpyBloom, build_bloom, seen_anti_join
-from .operators.scrape import resolve_children, scrape_edges
+from .operators.scrape import scrape_resolve_children
 from .operators.seq import assign_seq
 from .store import TableStore
 
@@ -66,6 +66,9 @@ class CrawlConfig:
     commit_every: int = 1                  # waves between durable commits
     collect_images: bool = False           # S7 image+caption sink
     shuffle_every: int | None = None       # F5 seeded re-sequencing
+    credentials: dict | None = None        # F8: host_key -> userinfo (UserAgent.pm:17-31)
+    respect_robots: bool = False           # north-rule robots.txt gate (off = reference parity)
+    robots_agent: str = "wcm-spark"
 
 
 @dataclass
@@ -93,6 +96,53 @@ class Crawler:
         self.corpus = corpus
         self.store = TableStore(self.config.checkpoint_dir) if self.config.checkpoint_dir else None
         self._closure = self._redirect_closure(corpus, self.config.max_redirects)
+        self._robots_bc = None
+        if self.config.respect_robots:
+            self._robots_bc = spark.sparkContext.broadcast(
+                self._build_robots_cache().to_bodies_state()
+            )
+
+    def _build_robots_cache(self):
+        """North-rule robots.txt caching: robots bodies are one small row
+        per host — collected once, parsed on the driver, broadcast as a
+        dimension to every executor. No per-URL robots fetches ever."""
+        from .functions.core import host_key_udf as _hk
+        from .robots import RobotsCache
+
+        robots_rows = (
+            self.corpus.filter(F.col("url").endswith("/robots.txt"))
+            .filter(F.col("status") == 200)
+            .select(_hk(F.col("url")).alias("hk"), "body")
+            .collect()
+        )
+        bodies = {
+            r["hk"]: bytes(r["body"]).decode("utf-8", errors="replace")
+            for r in robots_rows
+            if r["hk"] is not None and r["body"] is not None
+        }
+        return RobotsCache(bodies, agent=self.config.robots_agent)
+
+    def _robots_filter(self, children: DataFrame) -> DataFrame:
+        """Drop robots-disallowed candidates before they enter the frontier
+        (disallowed URLs never get digest-marked — like a cap drop)."""
+        if self._robots_bc is None:
+            return children
+        bc = self._robots_bc
+
+        import pandas as pd
+
+        from pyspark.sql.types import BooleanType
+
+        @F.pandas_udf(BooleanType())
+        def allowed(host_keys, urls):
+            from .robots import RobotsCache
+
+            cache = RobotsCache.from_state(bc.value)
+            return pd.Series(
+                [cache.allowed(hk, u) for hk, u in zip(host_keys, urls)]
+            )
+
+        return children.filter(allowed(F.col("host_key"), F.col("url")))
 
     # -- fetch ------------------------------------------------------------
 
@@ -127,8 +177,29 @@ class Crawler:
             )
         return closure.withColumnRenamed("cur", "final_url").localCheckpoint(eager=False)
 
+    def _with_credentials(self, wave: DataFrame) -> DataFrame:
+        """F8 (UserAgent.pm:17-31,58-63): attach stored userinfo per host_key
+        via a broadcast dimension join; the authorized URL is what a real
+        fetch would request, while dedup digests and redirect history keep
+        the credential-free URL (Mojo.pm:206 strips userinfo)."""
+        creds = self.config.credentials
+        if not creds:
+            return wave.withColumn("fetch_auth_url", F.col("url"))
+        cred_df = F.broadcast(
+            self.spark.createDataFrame(
+                [(k, v) for k, v in creds.items()], "cred_host string, userinfo string"
+            )
+        )
+        joined = wave.join(cred_df, wave.host_key == cred_df.cred_host, "left")
+        auth = F.when(
+            F.col("userinfo").isNotNull(),
+            F.regexp_replace(F.col("url"), "^([a-z]+)://", F.concat(F.lit("$1://"), F.col("userinfo"), F.lit("@"))),
+        ).otherwise(F.col("url"))
+        return joined.withColumn("fetch_auth_url", auth).drop("cred_host", "userinfo")
+
     def _fetch_wave(self, wave: DataFrame) -> DataFrame:
         """S3 test/bench-mode fetch: redirect-closure hop + one corpus join."""
+        wave = self._with_credentials(wave)
         w = wave.join(self._closure, wave.url == self._closure.src, "left").select(
             wave["*"],
             F.coalesce(F.col("final_url"), wave.url).alias("fetch_url"),
@@ -141,7 +212,7 @@ class Crawler:
         return fetched.select(
             wave["seq"], wave["wave"], wave["depth"], wave["retries"],
             wave["method"], wave["params"], wave["host_key"], wave["digest"],
-            wave["context"], wave["literal_uri"],
+            wave["context"], wave["literal_uri"], wave["fetch_auth_url"],
             F.col("url").alias("request_url"),
             F.col("fetch_url").alias("url"),  # final URL after redirects (F9)
             F.try_element_at(F.col("redirect_history"), F.lit(-1)).alias("original_url_raw"),
@@ -267,6 +338,7 @@ class Crawler:
             waves_run += 1
 
             wave = self._wave_cut(pending).localCheckpoint(eager=True)
+            wave_count = wave.count()
             fetched = self._fetch_wave(wave)
 
             # 'wave' on a visit = the fetch wave (the enqueue wave lives on
@@ -286,13 +358,16 @@ class Crawler:
 
                 image_frames.append(extract_image_rows(fetched).localCheckpoint(eager=True))
 
-            edges = scrape_edges(
+            children = scrape_resolve_children(
                 pages.select("url", "content_type", "content_length", "body", "seq", "depth"),
                 cfg.containers,
             )
-            children = resolve_children(edges)
-            children = _dedup_min(children, "digest", ["parent_seq", "emit_idx"])  # D3
-            fresh = seen_anti_join(children, seen, bloom)  # D2
+            children = self._robots_filter(children)
+            # D2 before D3: they commute on digest, and anti-joining first
+            # (broadcast while seen fits) leaves the window dedup sorting
+            # only the unseen sliver instead of every extracted edge
+            fresh = seen_anti_join(children, seen, bloom, seen_count=next_seq)  # D2
+            fresh = _dedup_min(fresh, "digest", ["parent_seq", "emit_idx"])  # D3
 
             # error channel (F10): requeue with retries+1, bypassing seen-check (S2)
             retry = None
@@ -340,7 +415,22 @@ class Crawler:
             enq_count = enqueue.count()
             next_seq += enq_count
 
-            new_pending = remaining.unionByName(enqueue).localCheckpoint(eager=True)
+            new_pending = remaining.unionByName(enqueue)
+            if cfg.shuffle_every and wave_id % cfg.shuffle_every == 0:
+                # F5 (Queue/Memory.pm:32-35): periodic re-sequencing for host
+                # diversity. Seeded-deterministic (md5 ordering) where the
+                # reference is unseeded; new seqs stay above next_seq so they
+                # remain unique. Largely subsumed by the per-host wave cut.
+                new_pending = assign_seq(
+                    new_pending.withColumn(
+                        "__shuffle_key", F.md5(F.concat(F.col("url"), F.lit(str(wave_id))))
+                    ),
+                    ["__shuffle_key"],
+                    out_col="seq",
+                    start=next_seq,
+                ).drop("__shuffle_key").select(*PENDING_COLS)
+                next_seq += pending_count - wave_count + enq_count
+            new_pending = new_pending.localCheckpoint(eager=True)
             new_seen = seen.unionByName(enqueue.select("digest")).localCheckpoint(eager=True)
             if bloom is not None and enq_count:
                 build_bloom(enqueue.select("digest"), bloom)
@@ -348,7 +438,6 @@ class Crawler:
             seen.unpersist()
             pending, seen = new_pending, new_seen
 
-            wave_count = wave.count()
             total_fetched += wave_count
             metrics.append(
                 dict(

@@ -28,7 +28,12 @@ def get_spark(
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cpus))
-        .config("spark.sql.adaptive.enabled", "true")
+        # AQE off by default: its shuffle-coalescing repeatedly collapsed
+        # the Python-UDF stages of this workload onto 1-2 cores (measured
+        # 4x wall-clock regressions at local[32]); skew is handled
+        # explicitly via host_salt partitioning and shingle-based candidate
+        # generation. Re-enable per-job for large shuffle-join-heavy plans.
+        .config("spark.sql.adaptive.enabled", os.environ.get("WCM_AQE", "false"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("WCM_DRIVER_MEM", "8g"))

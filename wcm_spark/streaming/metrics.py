@@ -1,0 +1,65 @@
+"""Structured Streaming surface: live crawl/event metrics.
+
+The reference's event loop is poll-driven batch, not event-time streaming
+(SURVEY.md §2.6) — the engine's crawl is therefore iterative batch. This
+module is the *streaming-native* metrics side-car a long crawl runs next to
+the superstep loop: the visits table directory (each wave commits new
+parquet files) doubles as a file-source stream, so per-host fetch rates and
+status histograms update continuously without touching the crawl's plan.
+
+Also exposes the generic event-stream rollup over the driver's ``events``
+table shape (event-time windows + watermark for late data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["visits_stream", "host_rate_metrics", "event_window_rollup"]
+
+VISITS_SCHEMA = (
+    "wave int, seq long, url string, request_url string, original_url string, "
+    "redirect_history array<string>, status int, depth int, host_key string"
+)
+
+
+def visits_stream(spark: SparkSession, visits_dir: str) -> DataFrame:
+    """File-source stream over the store's committed visit snapshots."""
+    return (
+        spark.readStream.schema(VISITS_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(visits_dir)
+    )
+
+
+def host_rate_metrics(visits: DataFrame) -> DataFrame:
+    """Per-host fetch/error tallies over a streaming visits frame.
+
+    Complete-mode aggregation: host cardinality is bounded by the frontier's
+    politeness state, so state stays small relative to the crawl."""
+    return visits.groupBy("host_key").agg(
+        F.count(F.lit(1)).alias("fetched"),
+        F.sum(F.when(F.col("status").isNull(), 1).otherwise(0)).alias("errors"),
+        F.max("depth").alias("max_depth"),
+    )
+
+
+def event_window_rollup(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Event-time windowed rollup with late-data watermark over the events
+    stream shape (event_id, ts, user_id, event_type, value, props)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 3).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type", "n", "total_value",
+        )
+    )
