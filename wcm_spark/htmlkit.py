@@ -72,6 +72,19 @@ class Node:
             if isinstance(c, Node):
                 yield from c.iter()
 
+    def walk(self) -> list:
+        """All element nodes in document order (iterative, no generators)."""
+        out = []
+        stack = [self]
+        while stack:
+            node = stack.pop()
+            if node.tag is not None:
+                out.append(node)
+            stack.extend(
+                c for c in reversed(node.children) if isinstance(c, Node)
+            )
+        return out
+
     def has_script_ancestor(self) -> bool:
         p = self.parent
         while p is not None:
@@ -198,7 +211,13 @@ def _parse_compound(token: str):
 
 
 def _compile_selector(selector: str):
-    compounds = [_parse_compound(tok) for tok in selector.split()]
+    """Compile to (matches_fn, last_tag) — last_tag is the rightmost
+    compound's tag requirement (None for attr-only selectors), used to
+    bucket selectors for single-pass extraction."""
+    tokens = selector.split()
+    compounds = [_parse_compound(tok) for tok in tokens]
+    m = re.match(r"[a-zA-Z][\w-]*", tokens[-1])
+    last_tag = m.group(0).lower() if m else None
 
     def matches(node: Node) -> bool:
         if not all(t(node) for t in compounds[-1]):
@@ -212,18 +231,23 @@ def _compile_selector(selector: str):
             anc = anc.parent
         return need < 0
 
-    return matches
+    return matches, last_tag
 
 
 _SELECTOR_CACHE: dict[str, object] = {}
 
 
+def _compiled(selector: str):
+    entry = _SELECTOR_CACHE.get(selector)
+    if entry is None:
+        entry = _compile_selector(selector)
+        _SELECTOR_CACHE[selector] = entry
+    return entry
+
+
 def find(root: Node, selector: str) -> list[Node]:
-    fn = _SELECTOR_CACHE.get(selector)
-    if fn is None:
-        fn = _compile_selector(selector)
-        _SELECTOR_CACHE[selector] = fn
-    return [n for n in root.iter() if n.tag is not None and fn(n)]
+    fn, _ = _compiled(selector)
+    return [n for n in root.walk() if fn(n)]
 
 
 def at(root: Node, selector: str) -> Node | None:
@@ -421,12 +445,36 @@ def extract_links(
                 key = (cont + " " + sel) if cont else sel
                 keyed[key] = (key if cont else sel, handler)
 
-        xml = getattr(dom, "xml", False)
-        for key in sorted(keyed):
+        # Single-pass extraction: one document-order walk, selectors
+        # bucketed by their rightmost tag (a per-selector tree scan is
+        # O(selectors × nodes) — the old hot spot). Emit order is
+        # unchanged: matches collect per selector key, then flush in
+        # ASCII-sorted key order (Mojo.pm:140).
+        by_tag: dict = {}
+        universal = []
+        for key in keyed:
             selector, handler = keyed[key]
-            for node in find(dom, selector):
-                if xml and node.has_script_ancestor():
-                    continue
+            fn, last_tag = _compiled(selector)
+            entry = (key, fn, handler)
+            if last_tag is None:
+                universal.append(entry)
+            else:
+                by_tag.setdefault(last_tag, []).append(entry)
+
+        matches_by_key: dict = {k: [] for k in keyed}
+        xml = getattr(dom, "xml", False)
+        for node in dom.walk():
+            if xml and node.has_script_ancestor():
+                continue
+            for key, fn, handler in by_tag.get(node.tag, ()):
+                if fn(node):
+                    matches_by_key[key].append((node, handler))
+            for key, fn, handler in universal:
+                if fn(node):
+                    matches_by_key[key].append((node, handler))
+
+        for key in sorted(matches_by_key):
+            for node, handler in matches_by_key[key]:
                 for result in handler(node):
                     if isinstance(result, tuple):
                         _, action, method, pairs = result
