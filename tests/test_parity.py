@@ -155,3 +155,30 @@ def test_fused_equals_staged(spark, corpus_small):
     a = sorted(tuple(r) for r in staged.select(*cols).collect())
     b = sorted(tuple(r) for r in fused.select(*cols).collect())
     assert a == b
+
+
+def test_min_delay_per_host(spark, corpus_small):
+    """F6 min-delay budget: a host fetched at wave w rests for
+    min_delay_waves full waves before its next fetch."""
+    corpus_df = spark.createDataFrame(
+        [
+            (r["url"], r["status"], r["content_type"], r["content_length"],
+             r["body"], r["redirect_to"])
+            for r in corpus_small
+        ],
+        "url string, status int, content_type string, content_length bigint, "
+        "body binary, redirect_to string",
+    )
+    cfg = CrawlConfig(
+        expected_urls=10_000, use_bloom=False, min_delay_waves=1,
+        max_conn_per_host=2, max_waves=8,
+    )
+    res = Crawler(spark, corpus_df, cfg).run(seed_urls(N_SITES))
+    waves_by_host = {}
+    for r in res.visits.select("host_key", "wave").collect():
+        waves_by_host.setdefault(r["host_key"], set()).add(r["wave"])
+    assert waves_by_host
+    for host, waves in waves_by_host.items():
+        ws = sorted(waves)
+        gaps = [b - a for a, b in zip(ws, ws[1:])]
+        assert all(g > 1 for g in gaps), (host, ws)

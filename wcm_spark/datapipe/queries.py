@@ -372,6 +372,70 @@ FROM {_tbl('events', d, sf)}
 GROUP BY event_type"""
 
 
+@register("set_ops_except")
+def _q_except(d, sf):
+    """Set ops (SURVEY §2.6): ours-vs-oracle seen-set diffing via EXCEPT —
+    digests marked by run A but not by run B."""
+    return f"""WITH {_frontier_cte(d, sf)},
+run_a AS (SELECT md5(url) AS digest FROM frontier WHERE seq % 2 = 0 OR seq % 3 = 0),
+run_b AS (SELECT md5(url) AS digest FROM frontier WHERE seq % 2 = 0)
+SELECT digest FROM run_a EXCEPT SELECT digest FROM run_b"""
+
+
+@register("events_daily_rollup")
+def _q_daily(d, sf):
+    """Date/time + windowed metrics: per-day, per-type event rollup with a
+    day-over-day delta window (the crawl-metrics time-series shape)."""
+    return f"""WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         round(CAST(sum(value) AS DOUBLE), 3) AS total_value
+  FROM {_tbl('events', d, sf)}
+  GROUP BY CAST(date_trunc('day', ts) AS DATE), event_type
+)
+SELECT day, event_type, n, total_value,
+       CAST(n - lag(n) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS n_delta
+FROM daily"""
+
+
+@register("props_json_extract")
+def _q_json(d, sf):
+    """JSON functions: typed extraction from the events props column."""
+    if d == "spark":
+        k = "CAST(get_json_object(props, '$.k') AS BIGINT)"
+    else:
+        k = "CAST(json_extract_string(props, '$.k') AS BIGINT)"
+    return f"""SELECT event_id, {k} AS prop_k
+FROM {_tbl('events', d, sf)} WHERE props IS NOT NULL"""
+
+
+@register("sessionization")
+def _q_sessions(d, sf):
+    """Stateful sessionization (batch form of a session window): a new
+    session starts after a > 30 min gap per user; emit per-session spans.
+    The streaming engine runs the same shape with watermarks
+    (wcm_spark/streaming/metrics.py)."""
+    if d == "spark":
+        gap = "timestampdiff(SECOND, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)"
+    else:
+        gap = "date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)"
+    return f"""WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN {gap} > 1800 OR {gap} IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM {_tbl('events', d, sf)}
+),
+tagged AS (
+  SELECT user_id, ts, event_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM gaps
+)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM tagged GROUP BY user_id, session_no"""
+
+
 @register("crawl_metrics_rollup")
 def _q_metrics(d, sf):
     """S8: per-wave/host metrics table shape (fetched/enqueued/deduped)."""

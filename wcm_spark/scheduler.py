@@ -69,6 +69,7 @@ class CrawlConfig:
     credentials: dict | None = None        # F8: host_key -> userinfo (UserAgent.pm:17-31)
     respect_robots: bool = False           # north-rule robots.txt gate (off = reference parity)
     robots_agent: str = "wcm-spark"
+    min_delay_waves: int = 0               # F6 politeness budget: waves a host rests between fetches
 
 
 @dataclass
@@ -260,9 +261,22 @@ class Crawler:
 
     # -- politeness cut (F1) ----------------------------------------------
 
-    def _wave_cut(self, pending: DataFrame) -> DataFrame:
+    def _wave_cut(self, pending: DataFrame, host_state: DataFrame | None = None, wave_id: int = 0) -> DataFrame:
         cfg = self.config
         wave = pending
+        if cfg.min_delay_waves > 0 and host_state is not None:
+            # F6 min-delay: a host fetched at wave w rests until w + delay.
+            # host_state is one small row per host — broadcast join, no
+            # frontier shuffle (the UserAgent active-host analog as data)
+            hs = F.broadcast(host_state)
+            wave = (
+                wave.join(hs, "host_key", "left")
+                .filter(
+                    F.col("last_wave").isNull()
+                    | (F.lit(wave_id) - F.col("last_wave") > cfg.min_delay_waves)
+                )
+                .drop("last_wave")
+            )
         if cfg.max_conn_per_host is not None:
             w = Window.partitionBy("host_key").orderBy("seq")
             wave = (
@@ -326,6 +340,9 @@ class Crawler:
         wave_id = start_wave
         waves_run = 0
         total_fetched = 0
+        host_state = None
+        if cfg.min_delay_waves > 0:
+            host_state = spark.createDataFrame([], "host_key string, last_wave int")
 
         while True:
             pending_count = pending.count()
@@ -337,8 +354,19 @@ class Crawler:
             wave_id += 1
             waves_run += 1
 
-            wave = self._wave_cut(pending).localCheckpoint(eager=True)
+            wave = self._wave_cut(pending, host_state, wave_id).localCheckpoint(eager=True)
             wave_count = wave.count()
+            if host_state is not None and wave_count:
+                host_state = (
+                    host_state.unionByName(
+                        wave.select("host_key").distinct().withColumn(
+                            "last_wave", F.lit(wave_id)
+                        )
+                    )
+                    .groupBy("host_key")
+                    .agg(F.max("last_wave").alias("last_wave"))
+                    .localCheckpoint(eager=True)
+                )
             fetched = self._fetch_wave(wave)
 
             # 'wave' on a visit = the fetch wave (the enqueue wave lives on
