@@ -1,0 +1,143 @@
+"""Property-based hardening (hypothesis) for the pure-Python kernels.
+
+A 100 TB crawl feeds the parse/resolve kernels adversarial bytes; these
+properties pin total-function behavior (never throw, structural
+invariants) beyond the golden cases.
+"""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from wcm_spark.htmlkit import extract_links, parse_html, serialize_node
+from wcm_spark.images import LOSSLESS_FMT, LOSSY_FMT, decode_image, encode_image, psnr
+from wcm_spark.operators.dedup import CuckooFilter, NumpyBloom
+from wcm_spark.robots import parse_robots
+from wcm_spark.urlkit import (
+    SCHEME_ALLOW,
+    collect_urls_css,
+    guess_encoding,
+    host_key,
+    job_digest,
+    resolve_href,
+    url_scheme,
+)
+
+URLISH = st.text(
+    alphabet=st.characters(codec="ascii", exclude_characters="\x00"),
+    max_size=80,
+)
+
+
+@given(base=URLISH, href=URLISH)
+@settings(max_examples=300, deadline=None)
+def test_resolve_href_total(base, href):
+    """resolve never throws, never returns a fragment."""
+    try:
+        out = resolve_href("http://example.com/" + base, href)
+    except ValueError:
+        return  # pathological ports etc. may be rejected, never crash hard
+    assert isinstance(out, str)
+    assert "#" not in out.split("?")[0].split("://")[-1] or "#" not in out
+
+
+@given(href=st.text(max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_resolve_href_absolute_base(href):
+    try:
+        out = resolve_href("http://a/b/c", href)
+    except ValueError:
+        return
+    sch = url_scheme(out)
+    assert sch is None or sch.isalnum() or all(c.isalnum() or c in "+.-" for c in sch)
+
+
+@given(url=URLISH)
+@settings(max_examples=300, deadline=None)
+def test_host_key_total(url):
+    hk = host_key(url)
+    if hk is not None:
+        assert hk.startswith(("http://", "https://"))
+        assert hk == hk.lower() or ":" in hk  # host part lowercased
+
+
+@given(u=st.text(max_size=40), m=st.none() | st.sampled_from(["GET", "POST"]), p=st.none() | st.text(max_size=20))
+@settings(max_examples=200, deadline=None)
+def test_digest_deterministic(u, m, p):
+    assert job_digest(u, m, p) == job_digest(u, m, p)
+    assert len(job_digest(u, m, p)) == 32
+
+
+@given(html=st.text(max_size=400))
+@settings(max_examples=200, deadline=None)
+def test_extract_links_total(html):
+    """Arbitrary text through the whole scrape stage: no exceptions,
+    emit_idx dense from 0, literal URIs non-empty unless a form."""
+    items = extract_links("http://x/", "text/html", len(html) or 1, html)
+    for i, it in enumerate(items):
+        assert it["emit_idx"] == i
+        assert it["method"] is not None or it["literal_uri"]
+
+
+@given(html=st.text(max_size=300))
+@settings(max_examples=100, deadline=None)
+def test_parse_serialize_stable(html):
+    """serialize(parse(x)) reaches a fixed point after one round."""
+    once = serialize_node(parse_html(html))
+    twice = serialize_node(parse_html(once))
+    assert serialize_node(parse_html(twice)) == twice
+
+
+@given(css=st.text(max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_collect_urls_css_total(css):
+    for u in collect_urls_css(css):
+        assert isinstance(u, str)
+
+
+@given(ct=st.none() | st.text(max_size=60), body=st.binary(max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_guess_encoding_total(ct, body):
+    enc = guess_encoding(ct, body)
+    assert enc is None or isinstance(enc, str)
+
+
+@given(body=st.text(max_size=500))
+@settings(max_examples=100, deadline=None)
+def test_robots_parse_total(body):
+    rules = parse_robots(body)
+    assert isinstance(rules.allowed("/any/path"), bool)
+
+
+@given(hashes=st.lists(st.integers(min_value=0, max_value=2**62 - 1), max_size=300, unique=True))
+@settings(max_examples=50, deadline=None)
+def test_cuckoo_no_false_negatives(hashes):
+    cf = CuckooFilter(1024)
+    inserted = [h for h in hashes if cf.add(h)]
+    assert all(cf.contains(h) for h in inserted)
+
+
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1), n=st.integers(min_value=1, max_value=2000))
+@settings(max_examples=20, deadline=None)
+def test_bloom_no_false_negatives(seed, n):
+    rng = np.random.default_rng(seed)
+    bloom = NumpyBloom.sized(4000, 0.01)
+    h1 = rng.integers(0, 2**63, n, dtype=np.int64)
+    h2 = rng.integers(0, 2**63, n, dtype=np.int64)
+    bloom.add(h1, h2)
+    assert bloom.contains(h1, h2).all()
+
+
+@given(
+    w=st.integers(min_value=1, max_value=48),
+    h=st.integers(min_value=1, max_value=48),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_image_codecs_roundtrip(w, h, seed):
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    out, _ = decode_image(encode_image(arr, LOSSLESS_FMT))
+    assert np.array_equal(out, arr)  # lossless is bit-exact on ANY image
+    lossy, _ = decode_image(encode_image(arr, LOSSY_FMT))
+    assert psnr(arr, lossy) >= 40.0  # lossy gate holds on noise too

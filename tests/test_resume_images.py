@@ -1,0 +1,86 @@
+"""North-rule gates as pytest: checkpoint resume + image payload fidelity.
+
+BASELINE.json:14-15 — "resumable from checkpoint with per-partition
+lineage", "decoded-pixel allclose (PSNR>=40dB for lossy) + caption
+equality ... verify with `python -m pytest -x -q`".
+"""
+
+import pytest
+
+from wcm_spark.corpus import corpus_rows, seed_urls
+from wcm_spark.images import decode_image, gen_image, psnr
+from wcm_spark.scheduler import CrawlConfig, Crawler
+from wcm_spark.store import TableStore
+
+N_SITES = 2
+PAGES = 10
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    rows = corpus_rows(N_SITES, PAGES)
+    return spark.createDataFrame(
+        [(r["url"], r["status"], r["content_type"], r["content_length"], r["body"], r["redirect_to"]) for r in rows],
+        "url string, status int, content_type string, content_length bigint, body binary, redirect_to string",
+    ).cache()
+
+
+def test_kill_resume_equivalence(spark, corpus_df, tmp_path):
+    """A crawl killed after 2 waves and resumed matches an uninterrupted
+    crawl: same total fetches, same visit set, same seen set."""
+    full = Crawler(
+        spark, corpus_df, CrawlConfig(expected_urls=5000, use_bloom=False)
+    ).run(seed_urls(N_SITES))
+    full_urls = {r["url"] for r in full.visits.collect()}
+    full_seen = {r["digest"] for r in full.seen.collect()}
+
+    ckpt = str(tmp_path / "ckpt")
+    cfg_partial = CrawlConfig(
+        expected_urls=5000, use_bloom=False, checkpoint_dir=ckpt, max_waves=2
+    )
+    partial = Crawler(spark, corpus_df, cfg_partial).run(seed_urls(N_SITES))
+    cfg_resume = CrawlConfig(expected_urls=5000, use_bloom=False, checkpoint_dir=ckpt)
+    resumed = Crawler.resume(spark, corpus_df, cfg_resume)
+
+    assert partial.fetched + resumed.fetched == full.fetched
+    got_urls = {r["url"] for r in partial.visits.collect()} | {
+        r["url"] for r in resumed.visits.collect()
+    }
+    assert got_urls == full_urls
+    got_seen = {r["digest"] for r in resumed.seen.collect()}
+    assert got_seen == full_seen
+
+    # per-wave lineage persisted: the store's visits table carries wave ids
+    store = TableStore(ckpt)
+    committed = store.read(spark, "visits")
+    assert committed is not None
+    waves = {r["wave"] for r in committed.select("wave").distinct().collect()}
+    # waves 1-2 from the partial run; the resumed run appends its own
+    assert {1, 2}.issubset(waves) and max(waves) == resumed.waves
+
+
+def test_image_payload_fidelity(spark, corpus_df):
+    """Per-row invariant (BASELINE.json:15): decoded pixels bit-exact for
+    lossless, PSNR >= 40 dB for lossy, caption equality vs the source."""
+    res = Crawler(
+        spark, corpus_df,
+        CrawlConfig(expected_urls=5000, use_bloom=False, collect_images=True),
+    ).run(seed_urls(N_SITES))
+    rows = res.images.collect()
+    assert rows, "crawl must sink image rows"
+    for r in rows:
+        arr, fmt = decode_image(r["bytes"])
+        assert (r["w"], r["h"]) == (arr.shape[1], arr.shape[0])
+        assert r["fmt"] == fmt
+        # reconstruct the source image from the deterministic generator
+        site = r["image_id"].split("//site")[1].split(".")[0]
+        tag = r["image_id"].rsplit("/", 1)[1].replace(".wci", "")
+        source = gen_image(f"{site}/img/{tag}")
+        p = psnr(source, arr)
+        if fmt == "wclz":
+            assert p == float("inf"), "lossless must be bit-exact"
+        else:
+            assert p >= 40.0, f"lossy PSNR gate: {p}"
+        if r["caption"] is not None:
+            assert r["caption"] == f"caption site {site} image {tag}"
+        assert isinstance(r["phash"], int)
