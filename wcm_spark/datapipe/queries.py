@@ -814,6 +814,10 @@ def _shingle_set_df(spark, sf_dir):
             "' ', element_at(tokens, i + 2)))"
         ).alias("shingles"),
     )
+    # barrier before explode: Catalyst collapses the projections and then
+    # re-evaluates the whole transform(...) chain once per EXPLODED row
+    # (~50x re-computation); materializing the arrays keeps it once per doc
+    shingles = shingles.localCheckpoint(eager=False)
     return shingles.select("doc_id", F.explode("shingles").alias("tok")).dropDuplicates(
         ["doc_id", "tok"]
     )
@@ -830,13 +834,15 @@ def _minhash_spark(spark, sf_dir):
         "doc_id",
         *[F.md5(F.concat(F.col(f"mh{2*i}"), F.col(f"mh{2*i+1}"))).alias(f"band{i}") for i in range(4)],
     )
-    # one-pass unpivot (stack) instead of a 4-way UNION ALL re-scan
+    # one-pass unpivot (stack) instead of a 4-way UNION ALL re-scan;
+    # EAGER checkpoint: a lazy persist races in the self-join below (both
+    # sides compute the unmaterialized cache inside one action)
     buckets = banded.select(
         "doc_id",
         F.expr(
             "stack(4, 0, band0, 1, band1, 2, band2, 3, band3) AS (band_no, bucket)"
         ),
-    ).persist()
+    ).localCheckpoint(eager=True)
     b = buckets.select(
         F.col("doc_id").alias("doc_b_id"),
         F.col("band_no").alias("band_no_b"),
@@ -858,7 +864,7 @@ def _minhash_spark(spark, sf_dir):
 def _jaccard_spark(spark, sf_dir):
     from pyspark.sql import functions as F
 
-    tok_set = _shingle_set_df(spark, sf_dir).persist()
+    tok_set = _shingle_set_df(spark, sf_dir).localCheckpoint(eager=True)
     sizes = tok_set.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = tok_set
     b = tok_set.select(F.col("doc_id").alias("doc_id_b"), F.col("tok").alias("tok_b"))
