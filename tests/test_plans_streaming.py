@@ -99,3 +99,61 @@ def test_visits_stream_end_to_end(spark, tmp_path):
         for r in res.visits.groupBy("host_key").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
     assert got == want
+
+
+def test_stateful_sessionization_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization == the batch sessionization
+    query for every CLOSED session (the open tail per user stays in
+    state when the finite stream ends)."""
+    from wcm_spark.datapipe.queries import spark_queries
+    from wcm_spark.streaming.stateful import sessionize_stream
+
+    src = f"{SF}/events.parquet"
+    # restrict the file stream to a small user subset via a fresh dir
+    d = tmp_path / "events_stream"
+    d.mkdir()
+    spark.read.parquet(src).filter("user_id < 12").coalesce(1).write.parquet(
+        str(d / "part")
+    )
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(str(d / "part"))
+
+    q = (
+        sessionize_stream(stream, flush_ms=3_000)
+        .writeStream.format("memory")
+        .queryName("sessions_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    # the ProcessingTimeTimeout keeps the availableNow query alive while
+    # tail states flush — wait for the data, then stop it explicitly
+    q.awaitTermination(40)
+    q.stop()
+    got = {
+        (r["user_id"], r["session_no"]): (r["n_events"], r["session_start"], r["session_end"])
+        for r in spark.sql("select * from sessions_stream").collect()
+    }
+
+    batch = spark_queries()["sessionization"](spark, SF).filter("user_id < 12").collect()
+    last_per_user = {}
+    for r in batch:
+        last_per_user[r["user_id"]] = max(
+            last_per_user.get(r["user_id"], 0), r["session_no"]
+        )
+    all_batch = {
+        (r["user_id"], r["session_no"]): (r["n_events"], r["session_start"], r["session_end"])
+        for r in batch
+    }
+    closed = {
+        k: v for k, v in all_batch.items() if k[1] != last_per_user[k[0]]
+    }
+    # every emitted session matches the batch result exactly; all closed
+    # sessions emitted; tail sessions MAY appear too (the processing-time
+    # timeout can flush them before the availableNow query drains)
+    for k, v in got.items():
+        assert all_batch[k] == v, k
+    assert set(closed).issubset(got)
+    assert got, "closed sessions must exist"
