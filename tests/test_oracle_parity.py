@@ -23,7 +23,11 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return round(v, 4)
+        # EXACT comparison on purpose: the driver hashes raw values, so a
+        # 1-ULP cross-engine difference is a real failure — the queries
+        # must round at the SQL level such that both engines emit
+        # identical doubles
+        return v
     if hasattr(v, "item"):  # numpy scalars from duckdb
         return _norm(v.item())
     return v

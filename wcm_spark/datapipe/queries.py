@@ -415,13 +415,16 @@ def _q_sessions(d, sf):
     session starts after a > 30 min gap per user; emit per-session spans.
     The streaming engine runs the same shape with watermarks
     (wcm_spark/streaming/metrics.py)."""
+    # exact integer microseconds in BOTH engines: second-granularity
+    # helpers disagree on truncation at boundaries (one extra session per
+    # ~10k events observed), microsecond diffs are exact integers
     if d == "spark":
-        gap = "timestampdiff(SECOND, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)"
+        gap = "timestampdiff(MICROSECOND, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)"
     else:
-        gap = "date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)"
+        gap = "date_diff('microsecond', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)"
     return f"""WITH gaps AS (
   SELECT user_id, ts, event_id,
-         CASE WHEN {gap} > 1800 OR {gap} IS NULL THEN 1 ELSE 0 END AS new_session
+         CASE WHEN {gap} > 1800000000 OR {gap} IS NULL THEN 1 ELSE 0 END AS new_session
   FROM {_tbl('events', d, sf)}
 ),
 tagged AS (
