@@ -628,7 +628,9 @@ SELECT query_id, cand_id, cosine FROM (
 
 @register("embedding_neardup")
 def _q_neardup(d, sf):
-    """Embedding near-dup pairs: cosine >= 0.95 among same-label vectors."""
+    """Embedding near-dup pairs: cosine >= 0.35 among same-label vectors
+    (near-orthogonal synthetic embeddings: 0.35 marks the distribution
+    tail; on real data this gate sits near 0.95)."""
     if d == "spark":
         dot = (
             "aggregate(zip_with(a.embedding, b.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
@@ -647,7 +649,7 @@ def _q_neardup(d, sf):
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
          round({dot} / ({na} * {nb}), 4) AS cosine
   FROM {emb} a JOIN {emb} b ON a.label = b.label AND a.vec_id < b.vec_id
-) t WHERE cosine >= 0.95"""
+) t WHERE cosine >= 0.35"""
 
 
 @register("ann_lsh_bucketed")
@@ -656,7 +658,9 @@ def _q_ann_lsh(d, sf):
 
     8 hyperplanes with deterministic ±1 components from md5 parity (so both
     engines derive identical planes with no RNG); vectors sharing a bucket
-    are candidate neighbors, then verified by exact cosine >= 0.9. At scale
+    are candidate neighbors, then verified by exact cosine >= 0.25 (gate
+    tuned to the tail of the near-orthogonal synthetic embedding
+    distribution; on real data it sits near 0.9). At scale
     the bucket join replaces the O(n^2) brute-force pair join of
     ann_cosine_topk: candidates shuffle by bucket id only."""
     f = _fn(d)
@@ -708,7 +712,7 @@ SELECT vec_a, vec_b, bucket, cosine FROM (
   JOIN bucketed bb ON ba.bucket = bb.bucket AND ba.vec_id < bb.vec_id
   JOIN {emb} a ON a.vec_id = ba.vec_id
   JOIN {emb} b ON b.vec_id = bb.vec_id
-) t WHERE cosine >= 0.9"""
+) t WHERE cosine >= 0.25"""
 
 
 _STOPWORD_RAW = r"\b(the|a|an|and|or|of|to|in|is|it)\b"
