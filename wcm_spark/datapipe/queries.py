@@ -715,6 +715,59 @@ SELECT vec_a, vec_b, bucket, cosine FROM (
 ) t WHERE cosine >= 0.25"""
 
 
+@register("ann_ivf")
+def _q_ann_ivf(d, sf):
+    """Similarity-search scale path #2: IVF (inverted-file) partitioning.
+
+    Deterministic coarse quantizer: the first 8 vectors act as centroids
+    (a k-means fit would be the production path; determinism matters more
+    here so both engines derive identical cells). Every vector is
+    assigned to its max-cosine centroid; queries (vec_id < 3) probe ONLY
+    their own cell — the candidate join shuffles on cell id, never the
+    full O(n^2) pair space."""
+    if d == "spark":
+        def dot(a, b):
+            return (
+                f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            )
+        def norm(a):
+            return f"sqrt(aggregate({a}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    else:
+        def dot(a, b):
+            return f"list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+        def norm(a):
+            return f"sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+    emb = _tbl("embeddings", d, sf)
+    cos_vc = f"{dot('v.embedding', 'c.embedding')} / ({norm('v.embedding')} * {norm('c.embedding')})"
+    cos_qx = f"{dot('q.embedding', 'x.embedding')} / ({norm('q.embedding')} * {norm('x.embedding')})"
+    return f"""WITH centroids AS (
+  SELECT vec_id AS cell, embedding FROM {emb} WHERE vec_id < 8
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.cell,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY round({cos_vc}, 6) DESC, c.cell
+           ) AS rk
+    FROM {emb} v CROSS JOIN centroids c
+  ) t WHERE rk = 1
+)
+SELECT query_id, cand_id, cosine FROM (
+  SELECT q.vec_id AS query_id, x.vec_id AS cand_id,
+         round({cos_qx}, 4) AS cosine,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round({cos_qx}, 6) DESC, x.vec_id
+         ) AS rk
+  FROM assigned aq
+  JOIN {emb} q ON q.vec_id = aq.vec_id AND q.vec_id < 3
+  JOIN assigned ax ON ax.cell = aq.cell AND ax.vec_id != q.vec_id
+  JOIN {emb} x ON x.vec_id = ax.vec_id
+) t WHERE rk <= 3"""
+
+
 _STOPWORD_RAW = r"\b(the|a|an|and|or|of|to|in|is|it)\b"
 
 
