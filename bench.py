@@ -106,18 +106,53 @@ def _pipeline_run(cores: int, corpus_path: str) -> dict:
     )
 
 
+def _crawl_run(cores: int, corpus_path: str) -> dict:
+    """Child-process body: the FULL iterative crawl (politeness waves,
+    redirect closure, seen-set growth, seq assignment) to frontier drain."""
+    from wcm_spark.scheduler import CrawlConfig, Crawler
+    from wcm_spark.session import get_spark
+
+    spark = get_spark(f"wcm-crawl-{cores}", cpus=cores, shuffle_partitions=cores)
+    # every wave's fetch joins against the corpus — keep it in memory
+    corpus = spark.read.parquet(corpus_path).persist()
+    corpus.count()
+    seeds = [
+        r["url"]
+        for r in corpus.filter("url like '%/p/0.html'").select("url").collect()
+    ]
+    cfg = CrawlConfig(expected_urls=2_000_000, use_bloom=False)
+    t0 = time.monotonic()
+    res = Crawler(spark, corpus, cfg).run(seeds)
+    elapsed = time.monotonic() - t0
+    fetched = res.fetched
+    spark.stop()
+    return dict(
+        cores=cores,
+        waves=res.waves,
+        fetched=fetched,
+        sec=round(elapsed, 3),
+        urls_per_sec=round(fetched / elapsed, 1),
+    )
+
+
 def _child_main():
     cores = int(os.environ["WCM_BENCH_CORES"])
     corpus_path = os.environ["WCM_BENCH_CORPUS"]
-    print(json.dumps(_pipeline_run(cores, corpus_path)))
+    if os.environ.get("WCM_BENCH_MODE") == "crawl":
+        print(json.dumps(_crawl_run(cores, corpus_path)))
+    else:
+        print(json.dumps(_pipeline_run(cores, corpus_path)))
 
 
-def _spawn(cores: int, corpus_path: str, repeats: int = 2) -> dict:
+def _spawn(cores: int, corpus_path: str, repeats: int = 2, mode: str = "pipeline") -> dict:
     """Run the pipeline child ``repeats`` times, keep the fastest — this
     box shows ±30% run-to-run variance; best-of-N recovers the signal."""
     best = None
     for _ in range(repeats):
-        env = dict(os.environ, WCM_BENCH_CORES=str(cores), WCM_BENCH_CORPUS=corpus_path)
+        env = dict(
+            os.environ, WCM_BENCH_CORES=str(cores), WCM_BENCH_CORPUS=corpus_path,
+            WCM_BENCH_MODE=mode,
+        )
         out = subprocess.run(
             [sys.executable, __file__, "--child"], env=env, capture_output=True, text=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
@@ -162,6 +197,7 @@ def main():
     lo = _spawn(lo_cores, corpus_path)
     hi = _spawn(hi_cores, corpus_path)
     peak = _spawn(CPUS, corpus_path, repeats=1) if CPUS > hi_cores else hi
+    crawl = _spawn(CPUS, corpus_path, repeats=1, mode="crawl")
     ratio = hi["urls_per_sec"] / lo["urls_per_sec"] if lo["urls_per_sec"] else 0.0
     efficiency = round(ratio / (hi_cores / lo_cores), 3)
 
@@ -178,6 +214,7 @@ def main():
                     f"local{lo_cores}": lo,
                     f"local{hi_cores}": hi,
                     f"local{CPUS}_peak": peak,
+                    "iterative_crawl": crawl,
                     "urls_per_sec": peak["urls_per_sec"],
                     "scaling_ratio": round(ratio, 3),
                     "scaling_efficiency": efficiency,

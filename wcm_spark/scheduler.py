@@ -354,7 +354,10 @@ class Crawler:
             wave_id += 1
             waves_run += 1
 
-            wave = self._wave_cut(pending, host_state, wave_id).localCheckpoint(eager=True)
+            wave = self._wave_cut(pending, host_state, wave_id)
+            if wave is not pending:
+                wave = wave.localCheckpoint(eager=True)
+            # else: no politeness gate — pending is already materialized
             wave_count = wave.count()
             if host_state is not None and wave_count:
                 host_state = (
@@ -443,7 +446,21 @@ class Crawler:
             enq_count = enqueue.count()
             next_seq += enq_count
 
-            new_pending = remaining.unionByName(enqueue)
+            no_caps = (
+                cfg.max_conn is None
+                and cfg.max_conn_per_host is None
+                and cfg.min_delay_waves == 0
+            )
+            if no_caps:
+                # BFS fast path: the wave was the whole pending set, so the
+                # next frontier is exactly the fresh enqueue (already
+                # materialized) — skip re-materializing remaining ∪ fresh
+                # and the seen re-checkpoint: O(frontier) per wave instead
+                # of O(total crawled) per wave
+                new_pending = enqueue
+                new_seen = seen.unionByName(enqueue.select("digest"))
+            else:
+                new_pending = remaining.unionByName(enqueue)
             if cfg.shuffle_every and wave_id % cfg.shuffle_every == 0:
                 # F5 (Queue/Memory.pm:32-35): periodic re-sequencing for host
                 # diversity. Seeded-deterministic (md5 ordering) where the
@@ -458,12 +475,18 @@ class Crawler:
                     start=next_seq,
                 ).drop("__shuffle_key").select(*PENDING_COLS)
                 next_seq += pending_count - wave_count + enq_count
-            new_pending = new_pending.localCheckpoint(eager=True)
-            new_seen = seen.unionByName(enqueue.select("digest")).localCheckpoint(eager=True)
+                new_pending = new_pending.localCheckpoint(eager=True)
+                new_seen = seen.unionByName(enqueue.select("digest")).localCheckpoint(eager=True)
+            elif not no_caps:
+                new_pending = new_pending.localCheckpoint(eager=True)
+                new_seen = seen.unionByName(enqueue.select("digest")).localCheckpoint(eager=True)
+            # (no_caps path: new_pending is the already-checkpointed enqueue
+            # and new_seen is a lazy union of materialized per-wave pieces)
             if bloom is not None and enq_count:
                 build_bloom(enqueue.select("digest"), bloom)
-            pending.unpersist()
-            seen.unpersist()
+            if not no_caps:
+                pending.unpersist()
+                seen.unpersist()
             pending, seen = new_pending, new_seen
 
             total_fetched += wave_count
