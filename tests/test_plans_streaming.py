@@ -157,3 +157,25 @@ def test_stateful_sessionization_matches_batch(spark, tmp_path):
         assert all_batch[k] == v, k
     assert set(closed).issubset(got)
     assert got, "closed sessions must exist"
+
+
+def test_seen_antijoin_broadcasts_when_small(spark):
+    """seen_anti_join must pick a broadcast-hash anti-join (no candidate
+    shuffle) while the seen set fits the broadcast threshold."""
+    from pyspark.sql import functions as F
+
+    from wcm_spark.operators.dedup import seen_anti_join
+    from wcm_spark.plans.inspect import formatted_plan
+
+    cand = spark.range(10000).select(F.md5(F.col("id").cast("string")).alias("digest"), "id")
+    seen = spark.range(3000).select(F.md5(F.col("id").cast("string")).alias("digest"))
+    plan = formatted_plan(seen_anti_join(cand, seen, bloom=None, seen_count=3000))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # above the threshold our code must NOT force a broadcast (Spark's own
+    # auto-broadcast is disabled here to expose the shuffle path)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan2 = formatted_plan(seen_anti_join(cand, seen, bloom=None, seen_count=10_000_000))
+        assert "SortMergeJoin" in plan2 or "ShuffledHashJoin" in plan2
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")

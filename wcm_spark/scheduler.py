@@ -344,8 +344,8 @@ class Crawler:
         if cfg.min_delay_waves > 0:
             host_state = spark.createDataFrame([], "host_key string, last_wave int")
 
+        pending_count = pending.count()
         while True:
-            pending_count = pending.count()
             if pending_count == 0:
                 break  # the 'empty' event (Mojo.pm:38-39,58-60)
             if cfg.max_waves is not None and waves_run >= cfg.max_waves:
@@ -357,8 +357,11 @@ class Crawler:
             wave = self._wave_cut(pending, host_state, wave_id)
             if wave is not pending:
                 wave = wave.localCheckpoint(eager=True)
-            # else: no politeness gate — pending is already materialized
-            wave_count = wave.count()
+                wave_count = wave.count()
+            else:
+                # no politeness gate — pending is already materialized and
+                # its cardinality is already known (one job saved per wave)
+                wave_count = pending_count
             if host_state is not None and wave_count:
                 host_state = (
                     host_state.unionByName(
@@ -488,6 +491,9 @@ class Crawler:
                 pending.unpersist()
                 seen.unpersist()
             pending, seen = new_pending, new_seen
+            # exact carry in both paths: remaining = pending - wave, plus
+            # the fresh enqueue — no per-wave recount job needed
+            pending_count = pending_count - wave_count + enq_count
 
             total_fetched += wave_count
             metrics.append(
@@ -495,7 +501,7 @@ class Crawler:
                     wave=wave_id,
                     fetched=wave_count,
                     enqueued=enq_count,
-                    pending=pending_count - wave_count + enq_count,
+                    pending=pending_count,
                     sec=round(time.monotonic() - t0, 3),
                 )
             )
