@@ -144,13 +144,128 @@ class _XmlDomBuilder(_DomBuilder):
     CDATA_CONTENT_ELEMENTS = ()
 
 
+# ---------------------------------------------------------------------------
+# Fast scanner: a regex tokenizer replacing stdlib HTMLParser on the hot
+# path (~45% of parse CPU). Produces the same tree for crawler-relevant
+# markup; stdlib remains available via WCM_STDLIB_PARSER=1 and is the A/B
+# oracle in tests/test_fastparser.py.
+# ---------------------------------------------------------------------------
+
+_FAST_TAG_RE = re.compile(
+    r"""<(?:
+        !--.*?(?:-->|$)                     # comment
+      | !\[CDATA\[.*?(?:\]\]>|$)            # CDATA section (dropped)
+      | [!?][^>]*>?                         # doctype / processing instr
+      | (?P<close>/)\s*(?P<ctag>[a-zA-Z][a-zA-Z0-9:._-]*)[^>]*>
+      | (?P<tag>[a-zA-Z][a-zA-Z0-9:._-]*)(?P<attrs>(?:"[^"]*"|'[^']*'|[^>"'])*)>
+    )""",
+    re.DOTALL | re.VERBOSE,
+)
+
+_FAST_ATTR_RE = re.compile(
+    r"""([^\s/>=]+)(?:\s*=\s*("([^"]*)"|'([^']*)'|[^\s>]*))?""",
+    re.DOTALL,
+)
+
+_HAS_ENTITY = re.compile(r"&")
+
+
+def _unescape(s: str) -> str:
+    if _HAS_ENTITY.search(s):
+        import html as _html
+
+        return _html.unescape(s)
+    return s
+
+
+def _fast_parse(text: str, xml: bool) -> Node:
+    root = Node(tag=None)
+    stack = [root]
+    counter = 0
+    pos = 0
+    n = len(text)
+    lower = None  # lazily lowered copy for CDATA end scans
+
+    while pos < n:
+        lt = text.find("<", pos)
+        if lt < 0:
+            if pos < n:
+                stack[-1].children.append(_unescape(text[pos:]))
+            break
+        if lt > pos:
+            stack[-1].children.append(_unescape(text[pos:lt]))
+        m = _FAST_TAG_RE.match(text, lt)
+        if not m:
+            # bare '<' that opens no markup: literal text (HTMLParser-alike)
+            stack[-1].children.append("<")
+            pos = lt + 1
+            continue
+        pos = m.end()
+        if m.group("close"):
+            tag = m.group("ctag").lower()
+            for i in range(len(stack) - 1, 0, -1):
+                if stack[i].tag == tag:
+                    del stack[i:]
+                    break
+            continue
+        tag_name = m.group("tag")
+        if not tag_name:
+            continue  # comment / doctype / PI
+        tag = tag_name.lower()
+        rule = _AUTOCLOSE.get(tag)
+        if rule and stack[-1].tag in rule:
+            stack.pop()
+        counter += 1
+        raw_attrs = m.group("attrs") or ""
+        self_closing = raw_attrs.rstrip().endswith("/")
+        attr_map: dict = {}
+        if raw_attrs and raw_attrs.strip("/ \t\r\n"):
+            for am in _FAST_ATTR_RE.finditer(raw_attrs):
+                name = am.group(1).lower().rstrip("/")
+                if not name or name in attr_map:
+                    continue
+                if am.group(2) is None:
+                    attr_map[name] = None
+                else:
+                    val = am.group(3)
+                    if val is None:
+                        val = am.group(4)
+                    if val is None:
+                        val = am.group(2)
+                    attr_map[name] = _unescape(val)
+        node = Node(tag=tag, attrs=attr_map, parent=stack[-1], pos=counter)
+        stack[-1].children.append(node)
+        if not self_closing and tag not in VOID_ELEMENTS:
+            if not xml and tag in ("script", "style"):
+                # CDATA content: raw text until the matching end tag
+                if lower is None:
+                    lower = text.lower()
+                end = lower.find("</" + tag, pos)
+                if end < 0:
+                    node.children.append(text[pos:])
+                    pos = n
+                else:
+                    if end > pos:
+                        node.children.append(text[pos:end])
+                    gt = text.find(">", end)
+                    pos = (gt + 1) if gt >= 0 else n
+            else:
+                stack.append(node)
+    return root
+
+
 def parse_html(text: str, xml: bool | None = None) -> Node:
     if xml is None:
         xml = text.lstrip()[:5].lower() == "<?xml"
-    builder = _XmlDomBuilder() if xml else _DomBuilder()
-    builder.feed(text)
-    builder.close()
-    root = builder.root
+    import os
+
+    if os.environ.get("WCM_STDLIB_PARSER"):
+        builder = _XmlDomBuilder() if xml else _DomBuilder()
+        builder.feed(text)
+        builder.close()
+        root = builder.root
+    else:
+        root = _fast_parse(text, xml)
     root.xml = xml  # type: ignore[attr-defined]
     return root
 
