@@ -180,3 +180,14 @@ def test_phash_properties():
 def test_decode_unknown_format_raises():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG\r\n\x1a\nxxxx")
+
+
+def test_approx_count_distinct_error_bound(spark):
+    """hash/approx coverage (SURVEY §2.6): HLL++ cardinality of the seen
+    set stays within its advertised relative error vs the exact count."""
+    from pyspark.sql import functions as F
+
+    seen = spark.range(50_000).select(F.md5(F.col("id").cast("string")).alias("digest"))
+    exact = seen.distinct().count()
+    approx = seen.agg(F.approx_count_distinct("digest", rsd=0.02).alias("a")).collect()[0]["a"]
+    assert abs(approx - exact) / exact < 0.06

@@ -439,6 +439,22 @@ SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
 FROM tagged GROUP BY user_id, session_no"""
 
 
+@register("crawl_metrics_grouping_sets")
+def _q_grouping_sets(d, sf):
+    """Grouping sets (SURVEY §2.6): per-(host, status), per-host and grand
+    totals of the crawl metrics in one pass."""
+    return f"""WITH {_frontier_cte(d, sf)}
+SELECT
+  coalesce(CAST(host_id AS VARCHAR), 'ALL') AS host,
+  coalesce(CAST(status AS VARCHAR), 'ALL') AS status_code,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(max(depth) AS INT) AS max_depth
+FROM frontier
+GROUP BY GROUPING SETS ((host_id, status), (host_id), ())""".replace(
+        "VARCHAR", _fn(d)["STR"]
+    )
+
+
 @register("crawl_metrics_rollup")
 def _q_metrics(d, sf):
     """S8: per-wave/host metrics table shape (fetched/enqueued/deduped)."""
