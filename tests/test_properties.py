@@ -141,3 +141,28 @@ def test_image_codecs_roundtrip(w, h, seed):
     assert np.array_equal(out, arr)  # lossless is bit-exact on ANY image
     lossy, _ = decode_image(encode_image(arr, LOSSY_FMT))
     assert psnr(arr, lossy) >= 40.0  # lossy gate holds on noise too
+
+
+@given(
+    base=st.sampled_from(
+        ["http://a/b/c/d?q", "http://example.com", "https://h.example.com:8080/x/",
+         "http://site0.example.test/p/3.html"]
+    ),
+    href=st.one_of(
+        st.from_regex(r"/[A-Za-z0-9/._~%!$&'()*+,;=:@-]{0,30}", fullmatch=True),
+        st.from_regex(r"https?://[a-z0-9.-]{1,20}(/[A-Za-z0-9/._-]{0,20})?(\?[a-z=&]{0,10})?", fullmatch=True),
+        st.text(max_size=40),
+    ),
+)
+@settings(max_examples=500, deadline=None)
+def test_resolve_fast_path_matches_full(base, href):
+    """The fast-path shortcuts in resolve_href must agree with the full
+    urljoin-based resolution on every input."""
+    from wcm_spark.urlkit import _resolve_full, _strip_fragment, _trim_href
+
+    try:
+        got = resolve_href(base, href)
+        want = _resolve_full(_strip_fragment(str(base)), _strip_fragment(_trim_href(href)))
+    except ValueError:
+        return
+    assert got == want, (base, href)

@@ -75,6 +75,13 @@ def _strip_fragment(url: str) -> str:
     return url if i < 0 else url[:i]
 
 
+# characters that force the full resolution path (quoting, dot segments,
+# scheme-relative forms, queries that need merge logic)
+_SIMPLE_PATH_RE = re.compile(r"^/(?!/)[A-Za-z0-9/._~%!$&'()*+,;=:@-]*$")
+_SIMPLE_ABS_RE = re.compile(r"^https?://[A-Za-z0-9.-]+(?::\d+)?(/[A-Za-z0-9/._~%!$&'()*+,;=:@-]*)?(\?[^#\s]+)?$")
+_DOTSEG_RE = re.compile(r"(?:^|/)\.\.?(?:/|$)")
+
+
 def resolve_href(base: str, href: str) -> str:
     """Resolve ``href`` against ``base`` with the reference's quirks.
 
@@ -83,10 +90,30 @@ def resolve_href(base: str, href: str) -> str:
     segment is a bare ``.``/``..`` (Mojo::Path keeps no trailing slash
     there), leading ``..`` segments that escape the root removed, and spaces
     percent-encoded in the final path.
+
+    Fast paths (the two dominant link shapes in real pages) skip urljoin:
+    site-absolute paths with no dot segments concatenate onto the base
+    origin; clean absolute http(s) URLs pass through. Both are pinned
+    equivalent to the full path by tests/test_properties.py A/B fuzzing.
     """
     href = _strip_fragment(_trim_href(href))
     base = _strip_fragment(str(base))
 
+    if _SIMPLE_PATH_RE.match(href) and not _DOTSEG_RE.search(href):
+        i = base.find("://")
+        if i > 0:
+            j = base.find("/", i + 3)
+            origin = base if j < 0 else base[:j]
+            if "?" not in origin:
+                return origin + href
+    elif _SIMPLE_ABS_RE.match(href) and not _DOTSEG_RE.search(href.split("?")[0]):
+        return href
+
+    return _resolve_full(base, href)
+
+
+def _resolve_full(base: str, href: str) -> str:
+    """The complete resolution path (fragments already stripped)."""
     joined = urljoin(base, href)
     joined = _strip_fragment(joined)
 
