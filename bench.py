@@ -62,17 +62,28 @@ def _pipeline_run(cores: int, corpus_path: str) -> dict:
     from wcm_spark.session import get_spark
 
     spark = get_spark(f"wcm-bench-{cores}", cpus=cores, shuffle_partitions=cores)
+    # size input splits to the core count so the scan itself carries the
+    # parallelism — no repartition exchange in front of the parse stage
+    # (a default 128MB split packs this corpus onto 1-2 cores)
+    total_bytes = sum(
+        os.path.getsize(os.path.join(corpus_path, f))
+        for f in os.listdir(corpus_path)
+        if f.endswith(".parquet")
+    )
+    spark.conf.set(
+        "spark.sql.files.maxPartitionBytes", str(max(total_bytes // (cores * 3), 1 << 20))
+    )
+    spark.conf.set(
+        "spark.sql.files.openCostInBytes", str(max(total_bytes // (cores * 6), 1 << 18))
+    )
     corpus = spark.read.parquet(corpus_path)
     n_pages = corpus.count()
 
     def pipeline(src):
-        # a small local parquet arrives as 1-2 input splits; spread the
-        # Python-parse stage across every core (at cluster scale the input
-        # already has enough splits and this is a cheap round-robin)
         pages = src.filter(F.col("status").isNotNull()).select(
             "url", "content_type", "content_length", "body",
             F.xxhash64("url").alias("seq"), F.lit(0).alias("depth"),
-        ).repartition(cores * 3)
+        )
         return scrape_resolve_children(pages)
 
     # state prep, untimed: the seen-bloom is INCREMENTAL in a real crawl
