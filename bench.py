@@ -26,7 +26,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 # corpus sizing by scale factor (pages ~= sites * pages_per_site) — sized
 # so parse/dedup compute dominates fixed job overhead at 32 cores
-_SF_SIZES = {"sf0.001": (16, 40), "sf0.01": (96, 128), "sf0.1": (384, 320)}
+_SF_SIZES = {"sf0.001": (16, 40), "sf0.01": (96, 128), "sf0.1": (480, 320)}
 
 HEADLINE_QUERIES = [
     "wave_cut_politeness",
@@ -155,10 +155,12 @@ def _child_main():
         print(json.dumps(_pipeline_run(cores, corpus_path)))
 
 
-def _spawn(cores: int, corpus_path: str, repeats: int = 2, mode: str = "pipeline") -> dict:
-    """Run the pipeline child ``repeats`` times, keep the fastest — this
-    box shows ±30% run-to-run variance; best-of-N recovers the signal."""
-    best = None
+def _spawn(cores: int, corpus_path: str, repeats: int = 3, mode: str = "pipeline") -> dict:
+    """Run the pipeline child ``repeats`` times, report the MEDIAN run —
+    this box shows ±30% run-to-run variance (turbo/host noise); medians
+    keep the scaling-efficiency ratio stable where best-of-N would pair a
+    lucky run at one level against an unlucky one at the other."""
+    runs = []
     for _ in range(repeats):
         env = dict(
             os.environ, WCM_BENCH_CORES=str(cores), WCM_BENCH_CORPUS=corpus_path,
@@ -170,10 +172,11 @@ def _spawn(cores: int, corpus_path: str, repeats: int = 2, mode: str = "pipeline
         )
         if out.returncode != 0:
             raise RuntimeError(f"bench child failed: {out.stderr[-2000:]}")
-        run = json.loads(out.stdout.strip().splitlines()[-1])
-        if best is None or run["urls_per_sec"] > best["urls_per_sec"]:
-            best = run
-    return best
+        runs.append(json.loads(out.stdout.strip().splitlines()[-1]))
+    runs.sort(key=lambda r: r["urls_per_sec"])
+    med = runs[len(runs) // 2]
+    med["all_urls_per_sec"] = [r["urls_per_sec"] for r in runs]
+    return med
 
 
 def main():
@@ -205,11 +208,19 @@ def main():
     # measure the box's thread ceiling. Peak throughput still runs at
     # the full $SPARK_GRAFT_CPUS.
     lo_cores, hi_cores = 4, 16
-    lo = _spawn(lo_cores, corpus_path)
-    hi = _spawn(hi_cores, corpus_path)
+    # paired sampling: each (lo, hi) pair runs back-to-back so the ratio
+    # is taken under shared host conditions; the median ratio is robust to
+    # the ±30% turbo/noise swings that independent best-of-N pairing
+    # amplifies into the efficiency number
+    pairs = []
+    for _ in range(3):
+        lo_i = _spawn(lo_cores, corpus_path, repeats=1)
+        hi_i = _spawn(hi_cores, corpus_path, repeats=1)
+        pairs.append((lo_i, hi_i, hi_i["urls_per_sec"] / max(lo_i["urls_per_sec"], 1e-9)))
+    pairs.sort(key=lambda p: p[2])
+    lo, hi, ratio = pairs[1]  # median pair
     peak = _spawn(CPUS, corpus_path, repeats=1) if CPUS > hi_cores else hi
     crawl = _spawn(CPUS, corpus_path, repeats=1, mode="crawl")
-    ratio = hi["urls_per_sec"] / lo["urls_per_sec"] if lo["urls_per_sec"] else 0.0
     efficiency = round(ratio / (hi_cores / lo_cores), 3)
 
     total = round(sum(query_secs.values()) + lo["sec"] + hi["sec"] + peak["sec"], 3)
