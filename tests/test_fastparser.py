@@ -70,6 +70,13 @@ TRICKY = [
     "unterminated <a href=",
     "<a ><b></a></b>",
     "<td>a<td>b</td>",
+    # unquoted attribute values ending in '/' must NOT self-close the tag
+    "<a href=http://example.com/>text</a>",
+    "<div id=x/><span>inside?</span></div>",
+    "<a href=x />startend</a>",
+    # CDATA end scan must not terminate at a prefix match of '</script'
+    "<script>var s = 1;</scripty><b>still script</b></script><i>out</i>",
+    "<script>x</script ><p>after</p>",
 ]
 
 

@@ -21,7 +21,8 @@ from wcm_spark.urlkit import (
 
 from wcm_spark.goldens import HOST_KEY_CASES, RESOLVE_CASES
 
-assert len(RESOLVE_CASES) == 74
+# 74 t/resolve_href.t goldens + 5 repo-pinned ';' path-param cases
+assert len(RESOLVE_CASES) == 79
 
 
 @pytest.mark.parametrize("base,href,expected", RESOLVE_CASES)

@@ -819,11 +819,11 @@ def _q_quality(d, sf):
 )
 SELECT doc_id, n_tokens, punct,
   round(CAST(stop_hits AS DOUBLE) / CASE WHEN n_tokens = 0 THEN 1 ELSE n_tokens END, 4) AS stop_ratio,
-  round(
+  round(CAST(
     0.4 * CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 1.0 ELSE 0.0 END
     + 0.3 * CASE WHEN CAST(stop_hits AS DOUBLE) / CASE WHEN n_tokens = 0 THEN 1 ELSE n_tokens END
                  BETWEEN 0.01 AND 0.5 THEN 1.0 ELSE 0.0 END
-    + 0.3 * CASE WHEN n_tokens >= 10 THEN 1.0 ELSE 0.0 END, 4) AS quality
+    + 0.3 * CASE WHEN n_tokens >= 10 THEN 1.0 ELSE 0.0 END AS DOUBLE), 4) AS quality
 FROM feat"""
 
 
@@ -1094,7 +1094,14 @@ def _q_mm_audio(spark, sf_dir):
         F.concat(F.lit("aud-"), F.col("doc_id").cast("string")).alias("audio_id"),
         F.encode(F.col("text"), "utf-8").alias("bytes"),
     )
-    return extract_audio_features(auds)
+    feats = extract_audio_features(auds)
+    # Explode the array<double> to scalar rows: the driver canonicalizes
+    # results with a pandas sort, which can't hash list cells.
+    return feats.select(
+        "audio_id",
+        "duration_sec",
+        F.posexplode("band_energy").alias("band_no", "energy"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -217,7 +217,14 @@ def _fast_parse(text: str, xml: bool) -> Node:
             stack.pop()
         counter += 1
         raw_attrs = m.group("attrs") or ""
-        self_closing = raw_attrs.rstrip().endswith("/")
+        # Self-closing only when the trailing '/' is a standalone token
+        # (preceded by whitespace, a closing quote, or nothing) — an
+        # unquoted attribute value may itself end in '/'
+        # (<a href=http://x/>), which html.parser keeps open.
+        _ra = raw_attrs.rstrip()
+        self_closing = _ra.endswith("/") and (
+            len(_ra) == 1 or _ra[-2] in " \t\r\n\"'"
+        )
         attr_map: dict = {}
         if raw_attrs and raw_attrs.strip("/ \t\r\n"):
             for am in _FAST_ATTR_RE.finditer(raw_attrs):
@@ -240,7 +247,15 @@ def _fast_parse(text: str, xml: bool) -> Node:
                 # CDATA content: raw text until the matching end tag
                 if lower is None:
                     lower = text.lower()
-                end = lower.find("</" + tag, pos)
+                # html.parser terminates CDATA only at '</script' followed
+                # by [\t\n\r\f />] — '</scripty>' is still script content.
+                closer = "</" + tag
+                end = lower.find(closer, pos)
+                while end >= 0 and (
+                    lower[end + len(closer) : end + len(closer) + 1]
+                    not in ("\t", "\n", "\r", "\f", " ", "/", ">")
+                ):
+                    end = lower.find(closer, end + 1)
                 if end < 0:
                     node.children.append(text[pos:])
                     pos = n
@@ -606,7 +621,8 @@ def extract_links(
                             )
                         )
                         emit_idx += 1
-                    elif result:  # Perl-truthy URL strings only
+                    elif _perl_truthy(result):  # Perl-truthy: '0' is dropped
+                        # (Mojo.pm emits `push ... if $_` — Perl falsy '0')
                         items.append(
                             dict(
                                 emit_idx=emit_idx,

@@ -42,6 +42,12 @@ def assign_seq(
     else:
         ranged = df.repartitionByRange(*cols)
     ranged = ranged.withColumn("__pid", F.spark_partition_id())
+    # Pin the range exchange before it is observed twice (the count below
+    # and the final window/join): repartitionByRange re-samples boundaries
+    # per evaluation, so without this barrier a task retry or shuffle-order
+    # change could shift rows between __pids between the two passes and
+    # silently duplicate/skip seq values.
+    ranged = ranged.localCheckpoint(eager=True)
 
     counts = {
         r["__pid"]: r["cnt"]

@@ -337,6 +337,8 @@ class Crawler:
         visit_frames: list[DataFrame] = []
         image_frames: list[DataFrame] = []
         metrics: list[dict] = []
+        uncommitted_visits: list[DataFrame] = []
+        uncommitted_metrics: list[dict] = []
         wave_id = start_wave
         waves_run = 0
         total_fetched = 0
@@ -424,20 +426,24 @@ class Crawler:
 
             remaining = pending.join(wave.select("seq"), "seq", "left_anti")
 
-            if cfg.cap is not None:
-                # F4: newcomers dropped once length exceeds cap; dropped rows
-                # are NOT marked seen (Queue/Memory.pm:42-44 quirk)
-                remaining_count = remaining.count()
-                room = max(0, cfg.cap + 1 - remaining_count)
-                fresh = fresh.orderBy("parent_seq", "emit_idx").limit(room)
-
             enqueue = fresh.select(
                 "url", "host_key", "method", "params", "digest", "depth",
                 "referrer_url", "literal_uri", "context", "context_kind",
                 F.lit(0).alias("retries"), "parent_seq", "emit_idx",
             )
             if retry is not None:
+                # Requeued jobs bypass the seen-check but NOT the cap —
+                # Queue/Memory.pm applies the length check after the
+                # requeue-bypassed redundancy check, so retries count
+                # against capacity like any enqueue.
                 enqueue = enqueue.unionByName(retry)
+
+            if cfg.cap is not None:
+                # F4: newcomers dropped once length exceeds cap; dropped rows
+                # are NOT marked seen (Queue/Memory.pm:42-44 quirk)
+                remaining_count = remaining.count()
+                room = max(0, cfg.cap + 1 - remaining_count)
+                enqueue = enqueue.orderBy("parent_seq", "emit_idx").limit(room)
 
             enqueue = assign_seq(enqueue, ["parent_seq", "emit_idx"], out_col="seq", start=next_seq)
             enqueue = (
@@ -506,27 +512,29 @@ class Crawler:
                 )
             )
 
+            uncommitted_visits.append(visits)
+            uncommitted_metrics.append(metrics[-1])
             if self.store and wave_id % cfg.commit_every == 0:
-                self.store.commit("visits", visits, mode="append", meta={"wave": wave_id})
-                self.store.commit(
-                    "frontier", pending, mode="overwrite",
-                    meta={"wave": wave_id, "next_seq": next_seq},
+                self._commit_batch(
+                    uncommitted_visits, uncommitted_metrics, pending, seen,
+                    wave_id, next_seq,
                 )
-                self.store.commit("seen", seen, mode="overwrite", meta={"wave": wave_id})
-                self.store.commit(
-                    "metrics",
-                    spark.createDataFrame([metrics[-1]]),
-                    mode="append",
-                    meta={"wave": wave_id},
-                )
+                uncommitted_visits, uncommitted_metrics = [], []
+
+        if self.store and uncommitted_visits:
+            # flush waves since the last commit_every boundary so the
+            # durable visits table covers every wave on clean exit
+            self._commit_batch(
+                uncommitted_visits, uncommitted_metrics, pending, seen,
+                wave_id, next_seq,
+            )
 
         visits_all = visit_frames[0] if visit_frames else self._empty_visits()
         for vf in visit_frames[1:]:
             visits_all = visits_all.unionByName(vf)
-        visits_all = visits_all.withColumn(
-            "pos",
-            F.row_number().over(Window.orderBy("wave", "seq")).cast("long") - 1,
-        )
+        # Distributed dense position — a global Window.orderBy would funnel
+        # the whole crawl history through one partition.
+        visits_all = assign_seq(visits_all, ["wave", "seq"], out_col="pos")
         images = None
         if image_frames:
             images = image_frames[0]
@@ -537,6 +545,47 @@ class Crawler:
             visits=visits_all, seen=seen, metrics=metrics, images=images,
             waves=wave_id, fetched=total_fetched,
         )
+
+    def _commit_batch(
+        self, visit_frames, metric_rows, pending, seen, wave_id, next_seq
+    ) -> None:
+        """Commit every wave since the last boundary in one batch.
+
+        Visits are appended BEFORE the frontier overwrite: a crash between
+        the two leaves duplicate visit rows (harmless — ``read_visits``
+        dedups by (wave, seq), and the re-run is deterministic) rather than
+        permanently losing waves. With commit_every > 1 the batch carries
+        the union of all uncommitted per-wave frames, not just the last.
+        """
+        visits = visit_frames[0]
+        for vf in visit_frames[1:]:
+            visits = visits.unionByName(vf)
+        self.store.commit("visits", visits, mode="append", meta={"wave": wave_id})
+        self.store.commit(
+            "frontier", pending, mode="overwrite",
+            meta={"wave": wave_id, "next_seq": next_seq},
+        )
+        self.store.commit("seen", seen, mode="overwrite", meta={"wave": wave_id})
+        self.store.commit(
+            "metrics",
+            self.spark.createDataFrame(metric_rows),
+            mode="append",
+            meta={"wave": wave_id},
+        )
+
+    @classmethod
+    def read_visits(cls, spark: SparkSession, config: "CrawlConfig") -> DataFrame | None:
+        """Durable visits with crash-duplicate rows removed.
+
+        A crash after the visits append but before the frontier overwrite
+        makes the resumed run re-append deterministic duplicates; (wave,
+        seq) is a crawl-unique key, so dropDuplicates restores exactness.
+        """
+        from .store import TableStore
+
+        store = TableStore(config.checkpoint_dir)
+        committed = store.read(spark, "visits")
+        return None if committed is None else committed.dropDuplicates(["wave", "seq"])
 
     def _empty_visits(self) -> DataFrame:
         return self.spark.createDataFrame(

@@ -77,6 +77,10 @@ def _strip_fragment(url: str) -> str:
 
 # characters that force the full resolution path (quoting, dot segments,
 # scheme-relative forms, queries that need merge logic)
+# ';' is admitted here because _resolve_full shields it from urljoin's
+# RFC-1808 params drop (see the sentinel there), so origin + href and the
+# full path agree on ';'-bearing hrefs — pinned by the hypothesis A/B test
+# (historical counterexample: base 'http://a/b/c/d?q', href '/;').
 _SIMPLE_PATH_RE = re.compile(r"^/(?!/)[A-Za-z0-9/._~%!$&'()*+,;=:@-]*$")
 _SIMPLE_ABS_RE = re.compile(r"^https?://[A-Za-z0-9.-]+(?::\d+)?(/[A-Za-z0-9/._~%!$&'()*+,;=:@-]*)?(\?[^#\s]+)?$")
 _DOTSEG_RE = re.compile(r"(?:^|/)\.\.?(?:/|$)")
@@ -114,7 +118,18 @@ def resolve_href(base: str, href: str) -> str:
 
 def _resolve_full(base: str, href: str) -> str:
     """The complete resolution path (fragments already stripped)."""
-    joined = urljoin(base, href)
+    # urljoin routes through urlparse, whose RFC-1808 params split drops an
+    # empty trailing ';' param ('/;' -> '/'). Mojo::URL treats ';' as an
+    # ordinary path character and keeps it (ScraperUtil.pm resolve via
+    # Mojo::URL->to_abs), so shield ';' behind a sentinel across the join.
+    if ";" in base or ";" in href:
+        sent = "\ue000"
+        while sent in base or sent in href:
+            sent += "\ue000"
+        joined = urljoin(base.replace(";", sent), href.replace(";", sent))
+        joined = joined.replace(sent, ";")
+    else:
+        joined = urljoin(base, href)
     joined = _strip_fragment(joined)
 
     scheme, netloc, path, query, _ = urlsplit(joined)
