@@ -220,7 +220,7 @@ def main():
     pairs.sort(key=lambda p: p[2])
     lo, hi, ratio = pairs[1]  # median pair
     peak = _spawn(CPUS, corpus_path, repeats=1) if CPUS > hi_cores else hi
-    crawl = _spawn(CPUS, corpus_path, repeats=1, mode="crawl")
+    crawl = _spawn(CPUS, corpus_path, repeats=3, mode="crawl")
     efficiency = round(ratio / (hi_cores / lo_cores), 3)
 
     total = round(sum(query_secs.values()) + lo["sec"] + hi["sec"] + peak["sec"], 3)

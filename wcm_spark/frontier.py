@@ -40,15 +40,13 @@ class Frontier:
         self.cap = cap
         self.store = store
         self._df = spark.createDataFrame([], _SCHEMA)
-        self._seen: set[str] = set()  # driver-side mirror for the small-API path
         self._next_seq = 0
         if store is not None:
             restored = store.read(spark, "frontier_api")
             if restored is not None:
                 self._df = restored
-                self._seen = {
-                    r["digest"] for r in self._df.select("digest").distinct().collect()
-                }
+                # restore collects ONE scalar (max seq), never the digests:
+                # the seen set stays distributed in self._df
                 row = self._df.agg(F.max("seq").alias("m")).collect()[0]
                 self._next_seq = (row["m"] + 1) if row["m"] is not None else 0
 
@@ -64,15 +62,14 @@ class Frontier:
         from .urlkit import job_digest
 
         digest = job_digest(url, method, params)
-        if not requeue and digest in self._seen:
-            return False
+        if not requeue and bool(self._df.filter(F.col("digest") == digest).take(1)):
+            return False  # scalar probe: one narrow lookup, no driver mirror
         if self.cap is not None and self.cap < self.length():
             return False  # newcomer dropped, digest NOT marked
         row = self.spark.createDataFrame(
             [(self._next_seq, url, method, params, digest, None, 0, "pending")], _SCHEMA
         ).withColumn("host_key", host_key_udf(F.col("url")))
         self._df = self._df.unionByName(row)
-        self._seen.add(digest)
         self._next_seq += 1
         return True
 
@@ -98,7 +95,6 @@ class Frontier:
         rows = rows.localCheckpoint(eager=True)
         n = rows.count()
         self._df = self._df.unionByName(rows)
-        self._seen.update(r["digest"] for r in rows.select("digest").collect())
         self._next_seq += n
         return n
 
@@ -148,7 +144,9 @@ class Frontier:
         self._next_seq += pend.count() + 1
 
     def seen_digests(self) -> set:
-        return set(self._seen)
+        """Materialize the seen set to the driver — an explicitly small-N
+        debugging surface; the queue itself never calls this."""
+        return {r["digest"] for r in self._df.select("digest").distinct().collect()}
 
     def commit(self) -> int | None:
         if self.store is None:

