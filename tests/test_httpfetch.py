@@ -1,0 +1,144 @@
+"""Live-crawl e2e: real HTTP fetch against a local server.
+
+Mirrors the reference's t/practical.t:17-35 (Mojo daemon serving a static
+tree, crawl from /index.html, assert the visited URL set and depths) with
+an original fixture tree exercising the same behaviors: css link, script
+src, img src, CSS url() (depth-2 discovery), whitespace-wrapped href,
+GET/POST form emulation, a 404 link, and a 302 redirect recorded per
+Job::redirect layout (Job.pm:84-90).
+"""
+
+from __future__ import annotations
+
+import threading
+from http.server import SimpleHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+INDEX_HTML = """<html>
+<head>
+    <link href="./css/main.css" rel="stylesheet" type="text/css">
+    <script src="./js/app.js" type="text/javascript"></script>
+</head>
+<body>
+    <a href="./missing.html">gone</a>
+    <img src="./img/one.png" alt="one">
+    <div style="background-image:url(./img/three.png)"></div>
+    <a href=" ./space.txt ">spaced</a>
+    <a href="/redir">hop</a>
+    <form action="/form_receptor1" method="post">
+        <input type="text" name="query1" value="default">
+    </form>
+    <form action="/form_receptor2?a=b" method="get">
+        <input type="text" name="query2" value="default">
+    </form>
+</body>
+</html>
+"""
+
+FILES = {
+    "index.html": INDEX_HTML.encode(),
+    "css/main.css": b"body { background: url(../img/two.png); }\n",
+    "js/app.js": b"var x = 1;\n",
+    "img/one.png": b"\x89PNG-one",
+    "img/two.png": b"\x89PNG-two",
+    "img/three.png": b"\x89PNG-three",
+    "space.txt": b"space\n",
+    "final.html": b"<html><body>landed</body></html>",
+}
+
+
+class _Handler(SimpleHTTPRequestHandler):
+    def log_message(self, *args):  # quiet
+        pass
+
+    def do_GET(self):
+        if self.path == "/redir":
+            self.send_response(302)
+            self.send_header("Location", "/final.html")
+            self.end_headers()
+            return
+        if self.path.startswith("/form_receptor"):
+            body = b"received"
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return
+        super().do_GET()
+
+    def do_POST(self):
+        self.do_GET()
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    root = tmp_path_factory.mktemp("site")
+    for rel, data in FILES.items():
+        p = root / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_bytes(data)
+
+    def handler(*args, **kwargs):
+        return _Handler(*args, directory=str(root), **kwargs)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_live_crawl_visit_set_and_depths(spark, server):
+    from wcm_spark.scheduler import Crawler, CrawlConfig
+
+    cfg = CrawlConfig(
+        fetch_mode="http", use_bloom=False, expected_urls=1000,
+        http_concurrency=4, http_timeout=5.0,
+    )
+    res = Crawler(spark, None, cfg).run([f"{server}/index.html"])
+    rows = {r["request_url"]: r for r in res.visits.collect()}
+
+    expected = {
+        f"{server}/index.html": 0,
+        f"{server}/css/main.css": 1,
+        f"{server}/js/app.js": 1,
+        f"{server}/missing.html": 1,
+        f"{server}/img/one.png": 1,
+        f"{server}/img/three.png": 1,
+        f"{server}/space.txt": 1,
+        f"{server}/redir": 1,
+        f"{server}/form_receptor1": 1,
+        f"{server}/form_receptor2?a=b&query2=default": 1,
+        f"{server}/img/two.png": 2,  # discovered inside css url()
+    }
+    assert {u: r["depth"] for u, r in rows.items()} == expected
+
+    # statuses: everything 200 except the dead link
+    assert rows[f"{server}/missing.html"]["status"] == 404
+    ok = {u for u, r in rows.items() if r["status"] == 200}
+    assert f"{server}/css/main.css" in ok and f"{server}/img/two.png" in ok
+
+    # F9: redirect recorded, final url fetched, history = [original]
+    hop = rows[f"{server}/redir"]
+    assert hop["url"] == f"{server}/final.html"
+    assert list(hop["redirect_history"]) == [f"{server}/redir"]
+    assert hop["original_url"] == f"{server}/redir"
+    assert hop["status"] == 200
+
+
+def test_live_crawl_error_channel(spark):
+    """Unreachable host -> status NULL -> retry channel requeues it."""
+    from wcm_spark.scheduler import Crawler, CrawlConfig
+
+    cfg = CrawlConfig(
+        fetch_mode="http", use_bloom=False, expected_urls=100,
+        http_timeout=0.5, retry_errors=1, max_waves=3,
+    )
+    # RFC 5737 TEST-NET address: connection fails fast
+    res = Crawler(spark, None, cfg).run(["http://192.0.2.1:9/x"])
+    vis = res.visits.collect()
+    # fetched twice (original + one retry), both with NULL status
+    assert len(vis) == 2
+    assert all(v["status"] is None for v in vis)

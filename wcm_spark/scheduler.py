@@ -71,6 +71,9 @@ class CrawlConfig:
     robots_agent: str = "wcm-spark"
     min_delay_waves: int = 0               # F6 politeness budget: waves a host rests between fetches
     broadcast_seen_max: int = 4_000_000    # D2 in-UDF probe while the exact digest set fits a broadcast
+    fetch_mode: str = "corpus"             # "corpus" (test/bench join) | "http" (live network fetch)
+    http_timeout: float = 10.0             # per-request timeout in http mode
+    http_concurrency: int = 16             # sockets per partition in http mode
 
 
 @dataclass
@@ -92,15 +95,32 @@ def _dedup_min(df: DataFrame, key: str, order_cols: list[str]) -> DataFrame:
 
 
 class Crawler:
-    def __init__(self, spark: SparkSession, corpus: DataFrame, config: CrawlConfig | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        corpus: DataFrame | None,
+        config: CrawlConfig | None = None,
+    ):
         self.spark = spark
         self.config = config or CrawlConfig()
         self.corpus = corpus
+        if corpus is None and self.config.fetch_mode != "http":
+            raise ValueError("corpus-mode crawl needs a corpus DataFrame")
         self.store = TableStore(self.config.checkpoint_dir) if self.config.checkpoint_dir else None
-        self._closure = self._redirect_closure(corpus, self.config.max_redirects)
+        self._closure = (
+            self._redirect_closure(corpus, self.config.max_redirects)
+            if corpus is not None
+            else None
+        )
         self._fetch_df: DataFrame | None = None
         self._robots_bc = None
         if self.config.respect_robots:
+            if corpus is None:
+                raise ValueError(
+                    "respect_robots currently sources robots.txt bodies from "
+                    "the corpus; supply one (live robots fetch: fetch the "
+                    "/robots.txt URLs through http mode into a corpus frame)"
+                )
             self._robots_bc = spark.sparkContext.broadcast(
                 self._build_robots_cache().to_bodies_state()
             )
@@ -223,7 +243,23 @@ class Crawler:
         return self._fetch_df
 
     def _fetch_wave(self, wave: DataFrame) -> DataFrame:
-        """S3 test/bench-mode fetch: redirect-closure hop + one corpus join."""
+        """S3 fetch: live HTTP (fetch_mode='http') or corpus join (test/bench).
+
+        Both modes return the same shape, so the rest of the loop is
+        fetch-agnostic. Real-fetch reference: Mojo.pm:83-111 non-blocking
+        UA; redirects recorded per Job.pm:84-90 in both modes.
+        """
+        if self.config.fetch_mode == "http":
+            from .sources.httpfetch import http_fetch_wave
+
+            wave = self._with_credentials(wave)
+            return http_fetch_wave(
+                wave,
+                max_redirects=self.config.max_redirects,
+                timeout=self.config.http_timeout,
+                concurrency=self.config.http_concurrency,
+                user_agent=self.config.robots_agent,
+            )
         wave = self._with_credentials(wave)
         w = wave.join(self._closure, wave.url == self._closure.src, "left").select(
             wave["*"],

@@ -1,0 +1,193 @@
+"""Real HTTP fetch source (S3): batched network fetch inside mapInPandas.
+
+The reference crawls live URLs with a non-blocking UserAgent
+(lib/WWW/Crawler/Mojo.pm:83-111, UserAgent.pm); the Spark analog is a
+partition-parallel, thread-concurrent fetch: every frontier partition is
+one Arrow batch stream, and inside each batch a thread pool drives up to
+``concurrency`` sockets. Cluster-level fetch parallelism is therefore
+(executors x partitions x concurrency), while per-host politeness stays
+upstream in the wave cut (F1/F6) exactly as in corpus mode.
+
+Redirect recording matches F9 / Job::redirect (Job.pm:84-90): redirects
+are followed hop-by-hop (NOT delegated to urllib) so the history can be
+recorded newest-intermediate-first with the original last and the final
+URL excluded; at most ``max_redirects`` hops (Mojo.pm:50), after which the
+last response (typically the 3xx itself) is the result. Network errors
+yield status NULL so the error/retry channel (F10/S2) sees them.
+
+stdlib-only on purpose — the sandbox has no aiohttp; urllib in a thread
+pool saturates a link just as well for crawl-sized payloads.
+"""
+
+from __future__ import annotations
+
+import urllib.error
+import urllib.parse
+import urllib.request
+from concurrent.futures import ThreadPoolExecutor
+
+import pandas as pd
+
+__all__ = ["http_fetch_wave", "FETCHED_SCHEMA"]
+
+FETCHED_SCHEMA = (
+    "seq long, wave int, depth int, retries int, method string, params string, "
+    "host_key string, digest string, context string, literal_uri string, "
+    "fetch_auth_url string, request_url string, url string, "
+    "original_url string, redirect_history array<string>, status int, "
+    "content_type string, content_length long, body binary"
+)
+
+
+class _NoRedirect(urllib.request.HTTPRedirectHandler):
+    """Surface 3xx responses instead of following them — the crawler
+    records every hop itself (F9 history layout)."""
+
+    def redirect_request(self, req, fp, code, msg, headers, newurl):
+        return None
+
+
+def _fetch_one(
+    url: str,
+    method: str | None,
+    params: str | None,
+    max_redirects: int,
+    timeout: float,
+    user_agent: str,
+    max_body: int,
+):
+    """Fetch one job, following redirects manually.
+
+    Returns (final_url, history, status, content_type, content_length,
+    body) with history per Job::redirect: [newest intermediate, ...,
+    original], final excluded, empty when no redirect happened.
+    """
+    opener = urllib.request.build_opener(_NoRedirect)
+    history: list[str] = []
+    cur = url
+    data = None
+    req_method = (method or "GET").upper()
+    if req_method == "POST" and params:
+        data = params.encode("utf-8")
+    for _hop in range(max_redirects + 1):
+        req = urllib.request.Request(
+            cur, data=data, method=req_method,
+            headers={"User-Agent": user_agent},
+        )
+        try:
+            resp = opener.open(req, timeout=timeout)
+        except urllib.error.HTTPError as e:
+            resp = e  # HTTPError doubles as a response object
+        except (urllib.error.URLError, OSError, ValueError):
+            return cur, _layout(history), None, None, None, None
+        status = resp.getcode()
+        if status in (301, 302, 303, 307, 308) and _hop < max_redirects:
+            loc = resp.headers.get("Location")
+            if loc:
+                history.append(cur)  # visit order; _layout reshapes at end
+                nxt = urllib.parse.urljoin(cur, loc)
+                if status == 303 or (status in (301, 302) and req_method == "POST"):
+                    req_method, data = "GET", None  # RFC 9110 semantics
+                try:
+                    resp.close()
+                except Exception:
+                    pass
+                cur = nxt
+                continue
+        try:
+            raw = resp.read(max_body)
+        except (OSError, ValueError):
+            return cur, _layout(history), None, None, None, None
+        ct = resp.headers.get("Content-Type")
+        cl = resp.headers.get("Content-Length")
+        try:
+            resp.close()
+        except Exception:
+            pass
+        return (
+            cur, _layout(history), int(status), ct,
+            int(cl) if cl is not None else len(raw), raw,
+        )
+    return cur, _layout(history), None, None, None, None
+
+
+def _strip_userinfo(url: str) -> str:
+    """Credentials never appear in recorded URLs (Mojo.pm:206): the
+    authorized URL is what the socket sees, the journal stays clean."""
+    if "@" not in url:
+        return url
+    parts = urllib.parse.urlsplit(url)
+    if "@" not in parts.netloc:
+        return url
+    host = parts.netloc.rsplit("@", 1)[1]
+    return urllib.parse.urlunsplit(
+        (parts.scheme, host, parts.path, parts.query, parts.fragment)
+    )
+
+
+def _layout(hops: list[str]) -> list[str]:
+    """[first, second, ...] visit order -> Job::redirect layout:
+    newest intermediate first, original LAST, final excluded."""
+    if not hops:
+        return []
+    hops = [_strip_userinfo(h) for h in hops]
+    return list(reversed(hops[1:])) + [hops[0]]
+
+
+def http_fetch_wave(
+    wave,
+    max_redirects: int = 5,
+    timeout: float = 10.0,
+    concurrency: int = 16,
+    user_agent: str = "wcm-spark",
+    max_body: int = 16 * 1024 * 1024,
+):
+    """Frontier wave -> fetched frame, same shape as the corpus-join fetch.
+
+    ``wave`` must carry PENDING_COLS + fetch_auth_url (the credential-
+    attached request URL, F8). The output matches Crawler._fetch_wave so
+    the scheduler is fetch-mode agnostic.
+    """
+
+    def run(batches):
+        with ThreadPoolExecutor(max_workers=concurrency) as pool:
+            for pdf in batches:
+                n = len(pdf)
+                if n == 0:
+                    continue
+                results = list(
+                    pool.map(
+                        lambda t: _fetch_one(
+                            t[0], t[1], t[2], max_redirects, timeout,
+                            user_agent, max_body,
+                        ),
+                        zip(pdf["fetch_auth_url"], pdf["method"], pdf["params"]),
+                    )
+                )
+                out = {
+                    "seq": pdf["seq"].tolist(),
+                    "wave": pdf["wave"].tolist(),
+                    "depth": pdf["depth"].tolist(),
+                    "retries": pdf["retries"].tolist(),
+                    "method": pdf["method"].tolist(),
+                    "params": pdf["params"].tolist(),
+                    "host_key": pdf["host_key"].tolist(),
+                    "digest": pdf["digest"].tolist(),
+                    "context": pdf["context"].tolist(),
+                    "literal_uri": pdf["literal_uri"].tolist(),
+                    "fetch_auth_url": pdf["fetch_auth_url"].tolist(),
+                    "request_url": pdf["url"].tolist(),
+                    "url": [_strip_userinfo(r[0]) for r in results],
+                    "original_url": [
+                        (r[1][-1] if r[1] else _strip_userinfo(r[0]))
+                        for r in results
+                    ],
+                    "redirect_history": [r[1] for r in results],
+                    "status": [r[2] for r in results],
+                    "content_type": [r[3] for r in results],
+                    "content_length": [r[4] for r in results],
+                    "body": [r[5] for r in results],
+                }
+                yield pd.DataFrame(out)
+
+    return wave.mapInPandas(run, schema=FETCHED_SCHEMA)
