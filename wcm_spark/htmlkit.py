@@ -538,6 +538,7 @@ def extract_links(
     content_length: int | None,
     body: bytes | str | None,
     containers=None,
+    handlers=None,
 ):
     """One fetched page → ordered candidate link dicts (the scrape stage).
 
@@ -569,8 +570,14 @@ def extract_links(
         elif isinstance(containers, str):
             containers = [containers]
 
+        # User handlers REPLACE the presets wholesale, like the reference's
+        # html_handlers attribute (Mojo.pm:14,253-261; exercised by
+        # t/collect_urls.t custom handlers). A handler maps a selector to
+        # a callable(node) returning a URL string, a list of strings, or a
+        # ('form', action, method, pairs) tuple.
+        active = HANDLER_PRESETS if handlers is None else handlers
         keyed = {}
-        for sel, handler in HANDLER_PRESETS.items():
+        for sel, handler in active.items():
             for cont in containers:
                 key = (cont + " " + sel) if cont else sel
                 keyed[key] = (key if cont else sel, handler)
@@ -605,7 +612,12 @@ def extract_links(
 
         for key in sorted(matches_by_key):
             for node, handler in matches_by_key[key]:
-                for result in handler(node):
+                out = handler(node)
+                if out is None:
+                    out = []
+                elif isinstance(out, (str, tuple)):
+                    out = [out]  # user handlers may return a bare value
+                for result in out:
                     if isinstance(result, tuple):
                         _, action, method, pairs = result
                         items.append(

@@ -83,7 +83,11 @@ def scrape_edges(pages: DataFrame, containers=None) -> DataFrame:
 
 
 def scrape_resolve_children(
-    pages: DataFrame, containers=None, seen_bc=None, local_first_wins: bool = False
+    pages: DataFrame,
+    containers=None,
+    seen_bc=None,
+    local_first_wins: bool = False,
+    handlers=None,
 ) -> DataFrame:
     """Fused P1-P9 + R1-R5 + D1 + F7 in ONE Arrow pass.
 
@@ -136,7 +140,8 @@ def scrape_resolve_children(
                 pdf["body"], pdf["seq"], pdf["depth"],
             ):
                 items = extract_links(
-                    url, ct, int(cl) if cl is not None else None, body, containers
+                    url, ct, int(cl) if cl is not None else None, body,
+                    containers, handlers,
                 )
                 child_depth = int(depth) + 1
                 pseq = int(seq)

@@ -72,6 +72,10 @@ class CrawlConfig:
     min_delay_waves: int = 0               # F6 politeness budget: waves a host rests between fetches
     broadcast_seen_max: int = 4_000_000    # D2 in-UDF probe while the exact digest set fits a broadcast
     fetch_mode: str = "corpus"             # "corpus" (test/bench join) | "http" (live network fetch)
+    html_handlers: dict | None = None      # selector->extractor override (Mojo.pm:14,253-261); None = presets
+    on_wave: object = None                 # callable(wave_id, pages_df) -> pages_df|None ('res' event analog)
+    on_error: object = None                # callable(wave_id, errors_df) ('error' event, Mojo.pm:306-393)
+    on_empty: object = None                # callable() when the frontier drains ('empty' event)
     http_timeout: float = 10.0             # per-request timeout in http mode
     http_concurrency: int = 16             # sockets per partition in http mode
 
@@ -113,6 +117,12 @@ class Crawler:
             else None
         )
         self._fetch_df: DataFrame | None = None
+        # F8 credential store: static entries (URL or host_key keys) plus
+        # per-wave learn-on-first-sight harvest (UserAgent.pm:17-31,58-63)
+        self._creds: dict[str, str] = {
+            self._normalize_cred_key(k): v
+            for k, v in (self.config.credentials or {}).items()
+        }
         self._robots_bc = None
         if self.config.respect_robots:
             if corpus is None:
@@ -200,12 +210,39 @@ class Crawler:
             )
         return closure.withColumnRenamed("cur", "final_url").localCheckpoint(eager=False)
 
+    @staticmethod
+    def _normalize_cred_key(key: str) -> str:
+        """credentials() accepts URLs or host keys (UserAgent.pm:58-63)."""
+        from .urlkit import host_key as hk
+
+        return (hk(key) or key) if "://" in key else key
+
+    def _harvest_credentials(self, wave: DataFrame) -> None:
+        """F8 learn-on-first-sight (UserAgent.pm:17-31): any wave URL that
+        carries userinfo teaches this host's credentials; later same-host
+        requests get them re-attached. Userinfo-bearing URLs are rare, so
+        the harvest is a driver collect of a tiny filtered slice."""
+        from .urlkit import host_key as hk
+
+        carriers = wave.filter(
+            F.col("url").rlike("^[a-z][a-z0-9+.-]*://[^/?#]*@")
+        )
+        for r in carriers.select("url", "seq").orderBy("seq").collect():
+            url = r["url"]
+            key = hk(url)
+            if key is None:
+                continue
+            rest = url.split("://", 1)[1]
+            userinfo = rest.split("@", 1)[0]
+            if userinfo:
+                self._creds[key] = userinfo
+
     def _with_credentials(self, wave: DataFrame) -> DataFrame:
         """F8 (UserAgent.pm:17-31,58-63): attach stored userinfo per host_key
         via a broadcast dimension join; the authorized URL is what a real
         fetch would request, while dedup digests and redirect history keep
         the credential-free URL (Mojo.pm:206 strips userinfo)."""
-        creds = self.config.credentials
+        creds = self._creds
         if not creds:
             return wave.withColumn("fetch_auth_url", F.col("url"))
         cred_df = F.broadcast(
@@ -214,8 +251,9 @@ class Crawler:
             )
         )
         joined = wave.join(cred_df, wave.host_key == cred_df.cred_host, "left")
+        has_userinfo = F.col("url").rlike("^[a-z][a-z0-9+.-]*://[^/?#]*@")
         auth = F.when(
-            F.col("userinfo").isNotNull(),
+            F.col("userinfo").isNotNull() & ~has_userinfo,
             F.regexp_replace(F.col("url"), "^([a-z]+)://", F.concat(F.lit("$1://"), F.col("userinfo"), F.lit("@"))),
         ).otherwise(F.col("url"))
         return joined.withColumn("fetch_auth_url", auth).drop("cred_host", "userinfo")
@@ -259,6 +297,7 @@ class Crawler:
                 timeout=self.config.http_timeout,
                 concurrency=self.config.http_concurrency,
                 user_agent=self.config.robots_agent,
+                creds=dict(self._creds),
             )
         wave = self._with_credentials(wave)
         w = wave.join(self._closure, wave.url == self._closure.src, "left").select(
@@ -427,7 +466,9 @@ class Crawler:
             seen_set = {r["digest"] for r in seen.select("digest").collect()}
         while True:
             if pending_count == 0:
-                break  # the 'empty' event (Mojo.pm:38-39,58-60)
+                if cfg.on_empty is not None:
+                    cfg.on_empty()  # the 'empty' event (Mojo.pm:38-39,58-60)
+                break
             if cfg.max_waves is not None and waves_run >= cfg.max_waves:
                 break
             t0 = time.monotonic()
@@ -460,14 +501,22 @@ class Crawler:
             # The visits checkpoint below prunes body out of its join, and
             # the one heavy pass (fetch -> parse -> dedup) happens exactly
             # once, inside assign_seq's range checkpoint.
+            self._harvest_credentials(wave)
             fetched = self._fetch_wave(wave)
 
             # 'wave' on a visit = the fetch wave (the enqueue wave lives on
             # the frontier row); pos ordering below needs the fetch wave
+            _noui = lambda c: F.regexp_replace(  # noqa: E731
+                c, "^([a-z][a-z0-9+.-]*://)[^/?#]*?@", "$1"
+            )
             visits = fetched.select(
-                F.lit(wave_id).alias("wave"), "seq", "url", "request_url",
-                "original_url", "redirect_history", "status", "depth", "host_key",
-).localCheckpoint(eager=True)
+                F.lit(wave_id).alias("wave"), "seq",
+                _noui(F.col("url")).alias("url"),
+                _noui(F.col("request_url")).alias("request_url"),
+                _noui(F.col("original_url")).alias("original_url"),
+                F.transform("redirect_history", _noui).alias("redirect_history"),
+                "status", "depth", "host_key",
+            ).localCheckpoint(eager=True)
             _tr("visits_ckpt")
             visit_frames.append(visits)
 
@@ -491,11 +540,18 @@ class Crawler:
                     seen_bc.unpersist()
                 seen_bc = spark.sparkContext.broadcast(seen_set)
             _tr("seen_broadcast")
+            if cfg.on_wave is not None:
+                replaced = cfg.on_wave(wave_id, pages)
+                if replaced is not None:
+                    pages = replaced
+            if cfg.on_error is not None:
+                cfg.on_error(wave_id, fetched.filter(F.col("status").isNull()))
             children = scrape_resolve_children(
                 pages.select("url", "content_type", "content_length", "body", "seq", "depth"),
                 cfg.containers,
                 seen_bc=seen_bc,
                 local_first_wins=seen_bc is not None,
+                handlers=cfg.html_handlers,
             )
             children = self._robots_filter(children)
             # D2 before D3: they commute on digest, and anti-joining first

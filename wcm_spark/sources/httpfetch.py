@@ -21,12 +21,15 @@ pool saturates a link just as well for crawl-sized payloads.
 
 from __future__ import annotations
 
+import base64
 import urllib.error
 import urllib.parse
 import urllib.request
 from concurrent.futures import ThreadPoolExecutor
 
 import pandas as pd
+
+from ..urlkit import host_key as _host_key
 
 __all__ = ["http_fetch_wave", "FETCHED_SCHEMA"]
 
@@ -55,6 +58,7 @@ def _fetch_one(
     timeout: float,
     user_agent: str,
     max_body: int,
+    creds: dict | None = None,
 ):
     """Fetch one job, following redirects manually.
 
@@ -70,9 +74,30 @@ def _fetch_one(
     if req_method == "POST" and params:
         data = params.encode("utf-8")
     for _hop in range(max_redirects + 1):
+        # F8 per-hop credentials (UserAgent.pm:17-31): a hop URL carrying
+        # userinfo teaches this host (for later hops in this chain); a
+        # bare hop to a known host gets the stored userinfo. urllib does
+        # not honor URL userinfo, so it becomes a Basic auth header and
+        # the socket request URL stays credential-free.
+        headers = {"User-Agent": user_agent}
+        req_url = cur
+        if "@" in cur.split("://", 1)[-1].split("/", 1)[0]:
+            rest = cur.split("://", 1)[1]
+            userinfo = rest.split("@", 1)[0]
+            req_url = _strip_userinfo(cur)
+            if creds is not None:
+                hk = _host_key(req_url)
+                if hk:
+                    creds[hk] = userinfo
+        else:
+            hk = _host_key(cur)
+            userinfo = creds.get(hk) if (creds and hk) else None
+        if userinfo:
+            headers["Authorization"] = "Basic " + base64.b64encode(
+                userinfo.encode("utf-8")
+            ).decode("ascii")
         req = urllib.request.Request(
-            cur, data=data, method=req_method,
-            headers={"User-Agent": user_agent},
+            req_url, data=data, method=req_method, headers=headers,
         )
         try:
             resp = opener.open(req, timeout=timeout)
@@ -141,6 +166,7 @@ def http_fetch_wave(
     concurrency: int = 16,
     user_agent: str = "wcm-spark",
     max_body: int = 16 * 1024 * 1024,
+    creds: dict | None = None,
 ):
     """Frontier wave -> fetched frame, same shape as the corpus-join fetch.
 
@@ -150,6 +176,7 @@ def http_fetch_wave(
     """
 
     def run(batches):
+        local_creds = dict(creds) if creds else {}
         with ThreadPoolExecutor(max_workers=concurrency) as pool:
             for pdf in batches:
                 n = len(pdf)
@@ -159,7 +186,7 @@ def http_fetch_wave(
                     pool.map(
                         lambda t: _fetch_one(
                             t[0], t[1], t[2], max_redirects, timeout,
-                            user_agent, max_body,
+                            user_agent, max_body, local_creds,
                         ),
                         zip(pdf["fetch_auth_url"], pdf["method"], pdf["params"]),
                     )
