@@ -179,3 +179,18 @@ def test_seen_antijoin_broadcasts_when_small(spark):
         assert "SortMergeJoin" in plan2 or "ShuffledHashJoin" in plan2
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_neardup_and_jaccard_have_no_pair_explosion(spark):
+    """The two near-dup verifiers must route through bucketed candidates:
+    no cartesian product / nested-loop join anywhere in the plan, and the
+    exact-verify join keys on candidate pairs, not an unbounded self-join
+    (VERDICT r1: both were quadratic within their blocking key)."""
+    from wcm_spark.datapipe.queries import spark_queries
+    from wcm_spark.plans.inspect import formatted_plan
+
+    qs = spark_queries()
+    for name in ("embedding_neardup", "dedup_ngram_jaccard"):
+        plan = formatted_plan(qs[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name

@@ -555,21 +555,50 @@ GROUP BY a.doc_id, b.doc_id"""
 
 @register("dedup_ngram_jaccard")
 def _q_jaccard(d, sf):
-    """3-gram-shingle Jaccard near-dup: |A∩B|/|A∪B| >= 0.8 over distinct
-    shingles. Shingles (not unigrams) keep the candidate self-join skew-free
-    at scale: a unigram join on common words degenerates to ~all-pairs."""
+    """3-gram-shingle Jaccard near-dup, VERIFIED ONLY on MinHash-LSH
+    candidate pairs: |A∩B|/|A∪B| >= 0.8 over distinct shingles among pairs
+    that share at least one minhash band (same 4-bands-of-2 scheme as
+    dedup_minhash_lsh). This is the 100 TB shape: the exact intersection
+    join is bounded by the candidate set instead of the full shingle
+    self-join (which degenerates toward all-pairs on any
+    high-doc-frequency shingle). Miss probability for a true J>=0.8 pair:
+    (1 - 0.8^2)^4 ≈ 1.7%. Both dialects express the identical candidate
+    restriction, so the oracle compare stays exact."""
     if d == "spark":
         tok_rows = "SELECT doc_id, tok FROM shingled LATERAL VIEW explode(shingles) x AS tok"
     else:
         tok_rows = "SELECT doc_id, unnest(shingles) AS tok FROM shingled"
+    sigs = ",\n       ".join(f"min(md5('s{i}' || tok)) AS mh{i}" for i in range(8))
+    bands = ",\n       ".join(f"md5(mh{2*i} || mh{2*i+1}) AS band{i}" for i in range(4))
+    band_union = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {i} AS band_no, band{i} AS bucket FROM banded" for i in range(4)
+    )
     return f"""WITH {_shingles_cte(d, sf)},
 tok_rows AS ({tok_rows}),
 tok_set AS (SELECT DISTINCT doc_id, tok FROM tok_rows),
 sizes AS (SELECT doc_id, count(*) AS n FROM tok_set GROUP BY doc_id),
+sigs AS (
+  SELECT doc_id,
+       {sigs}
+  FROM tok_set GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id,
+       {bands}
+  FROM sigs
+),
+buckets AS ({band_union}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b
+    ON a.bucket = b.bucket AND a.band_no = b.band_no AND a.doc_id < b.doc_id
+),
 inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS both
-  FROM tok_set a JOIN tok_set b ON a.tok = b.tok AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
+  SELECT c.doc_a, c.doc_b, count(*) AS both
+  FROM cand c
+  JOIN tok_set a ON a.doc_id = c.doc_a
+  JOIN tok_set b ON b.doc_id = c.doc_b AND b.tok = a.tok
+  GROUP BY c.doc_a, c.doc_b
 )
 SELECT doc_a, doc_b, jaccard FROM (
   SELECT i.doc_a, i.doc_b,
@@ -644,10 +673,29 @@ SELECT query_id, cand_id, cosine FROM (
 
 @register("embedding_neardup")
 def _q_neardup(d, sf):
-    """Embedding near-dup pairs: cosine >= 0.35 among same-label vectors
-    (near-orthogonal synthetic embeddings: 0.35 marks the distribution
-    tail; on real data this gate sits near 0.95)."""
+    """Embedding near-dup pairs via banded hyperplane LSH candidates:
+    cosine >= 0.35 among same-label vectors that share at least one LSH
+    band (4 bands x 4 deterministic md5-sign hyperplanes, OR-amplified).
+
+    This is the 100 TB shape: the exact cosine verification is bounded by
+    the (label, band, signature) bucket join instead of an O(n^2)
+    within-label pair join. Candidate recall at the gate: a cos=0.9 pair
+    shares >=1 band with ~97% probability; both dialects express the
+    identical restriction so the oracle compare stays exact."""
+    f = _fn(d)
+    sign = (
+        "CASE WHEN "
+        + _hex2int(
+            f"substr(md5('nd' || CAST(p AS {f['STR']}) || '_' || CAST(dim AS {f['STR']})), 1, 4)", d
+        )
+        + " % 2 = 0 THEN 1.0 ELSE -1.0 END"
+    )
     if d == "spark":
+        planes = f"SELECT id AS p, dim, {sign} AS s FROM range(16) LATERAL VIEW explode(sequence(0, 63)) x AS dim"
+        elems = (
+            "SELECT vec_id, label, dim, CAST(x AS DOUBLE) AS x FROM "
+            f"{_tbl('embeddings', d, sf)} LATERAL VIEW posexplode(embedding) t AS dim, x"
+        )
         dot = (
             "aggregate(zip_with(a.embedding, b.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
             "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
@@ -655,16 +703,41 @@ def _q_neardup(d, sf):
         na = "sqrt(aggregate(a.embedding, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
         nb = "sqrt(aggregate(b.embedding, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
     else:
+        planes = f"SELECT t1.range AS p, t2.range AS dim, {sign} AS s FROM range(16) t1, range(64) t2"
+        elems = (
+            "SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS dim, "
+            f"CAST(unnest(embedding) AS DOUBLE) AS x FROM {_tbl('embeddings', d, sf)}"
+        )
         dot = "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
         na = "sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
         nb = "sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))"
     emb = _tbl("embeddings", d, sf)
     # cosine computed once in the inner select (evaluating the 64-element
     # aggregate in both SELECT and WHERE doubles the work — no CSE there)
-    return f"""SELECT vec_a, vec_b, label, cosine FROM (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+    return f"""WITH planes AS ({planes}),
+elems AS ({elems}),
+proj AS (
+  SELECT e.vec_id, e.label, pl.p, round(sum(pl.s * e.x), 6) AS pr
+  FROM elems e JOIN planes pl ON pl.dim = e.dim
+  GROUP BY e.vec_id, e.label, pl.p
+),
+bandsig AS (
+  SELECT vec_id, label, CAST(floor(p / 4) AS INT) AS band_no,
+         CAST(sum(CASE WHEN pr > 0 THEN power(2, p % 4) ELSE 0 END) AS BIGINT) AS sig
+  FROM proj GROUP BY vec_id, label, CAST(floor(p / 4) AS INT)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bandsig a JOIN bandsig b
+    ON a.label = b.label AND a.band_no = b.band_no AND a.sig = b.sig
+   AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, label, cosine FROM (
+  SELECT c.vec_a, c.vec_b, a.label,
          round({dot} / ({na} * {nb}), 4) AS cosine
-  FROM {emb} a JOIN {emb} b ON a.label = b.label AND a.vec_id < b.vec_id
+  FROM cand c
+  JOIN {emb} a ON a.vec_id = c.vec_a
+  JOIN {emb} b ON b.vec_id = c.vec_b
 ) t WHERE cosine >= 0.35"""
 
 
