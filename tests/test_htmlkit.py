@@ -524,3 +524,39 @@ def test_scrape_guard_no_body():
     assert extract_links("http://x/", "text/html", 0, "") == []
     assert extract_links("http://x/", "text/html", None, None) == []
     assert extract_links("http://x/", None, 10, "<a href='y'>z</a>") == []
+
+
+def test_selector_class_child_not_and_attr_ops():
+    from wcm_spark.htmlkit import parse_html, find
+
+    html = """
+    <div class="nav main"><ul><li><a href="/n1" class="x">n1</a></li></ul></div>
+    <div id="body"><p><a href="/c1">c1</a></p>
+      <a href="/c2" rel="nofollow external">c2</a>
+      <span data-role="widget-big"><a href="/w">w</a></span>
+    </div>
+    <div><a href="/plain">plain</a></div>
+    """
+    dom = parse_html(html)
+
+    def hrefs(sel):
+        return [n.attrs.get("href") for n in find(dom, sel)]
+
+    assert hrefs(".nav a") == ["/n1"]
+    assert hrefs("div.nav a") == ["/n1"]
+    assert hrefs("#body > a") == ["/c2"]           # child, not descendant
+    assert hrefs("#body a") == ["/c1", "/c2", "/w"]
+    assert hrefs("a:not(.x)") == ["/c1", "/c2", "/w", "/plain"]
+    assert hrefs("a:not([rel])") == ["/n1", "/c1", "/w", "/plain"]
+    assert hrefs("[rel~=nofollow]") == ["/c2"]
+    assert hrefs("[data-role^=widget] a") == ["/w"]
+    assert hrefs("[data-role$=big] a") == ["/w"]
+    assert hrefs("[data-role*=et-b] a") == ["/w"]
+    assert hrefs("div > ul li > a") == ["/n1"]
+    # container scoping through extract_links still works with new syntax
+    from wcm_spark.htmlkit import extract_links
+
+    page = html.encode()
+    items = extract_links("http://x/", "text/html", len(page), page,
+                          containers=[".nav"])
+    assert [it["literal_uri"] for it in items] == ["/n1"]

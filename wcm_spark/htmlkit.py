@@ -286,18 +286,21 @@ def parse_html(text: str, xml: bool | None = None) -> Node:
 
 
 # ---------------------------------------------------------------------------
-# Selector engine: tag, #id, [attr], [attr=v], [attr^=v], :nth-child(n),
-# descendant combinator. Covers every selector the presets + tests use.
+# Selector engine: tag, #id, .class, [attr], [attr{=,^=,$=,*=,~=}v],
+# :nth-child(n), :not(compound), descendant and child (>) combinators.
+# Covers the presets plus the container selectors users actually write.
 # ---------------------------------------------------------------------------
 
 _SIMPLE_RE = re.compile(
     r"""
     (?P<tag>[a-zA-Z][\w-]*)
   | \#(?P<id>[\w-]+)
+  | \.(?P<cls>[\w-]+)
   | \[(?P<attr>[\w:-]+)
-      (?:(?P<op>[\^]?=)(?P<quote>['"]?)(?P<val>[^\]'"]*)(?P=quote))?
+      (?:(?P<op>[\^\$\*~]?=)(?P<quote>['"]?)(?P<val>[^\]'"]*)(?P=quote))?
     \]
   | :nth-child\((?P<nth>\d+)\)
+  | :not\((?P<notsel>[^)]+)\)
 """,
     re.VERBOSE,
 )
@@ -317,6 +320,14 @@ def _parse_compound(token: str):
         elif m.group("id"):
             ident = m.group("id")
             tests.append(lambda n, ident=ident: n.attrs.get("id") == ident)
+        elif m.group("cls"):
+            cls = m.group("cls")
+            tests.append(
+                lambda n, cls=cls: cls in (n.attrs.get("class") or "").split()
+            )
+        elif m.group("notsel"):
+            inner = _parse_compound(m.group("notsel").strip())
+            tests.append(lambda n, inner=inner: not all(t(n) for t in inner))
         elif m.group("attr"):
             attr = m.group("attr").lower()
             op, val = m.group("op"), m.group("val")
@@ -324,10 +335,25 @@ def _parse_compound(token: str):
                 tests.append(lambda n, attr=attr: attr in n.attrs)
             elif op == "=":
                 tests.append(lambda n, attr=attr, val=val: n.attrs.get(attr) == val)
-            else:  # ^=
+            elif op == "^=":
                 tests.append(
                     lambda n, attr=attr, val=val: (n.attrs.get(attr) or "").startswith(val)
                     and attr in n.attrs
+                )
+            elif op == "$=":
+                tests.append(
+                    lambda n, attr=attr, val=val: attr in n.attrs
+                    and (n.attrs.get(attr) or "").endswith(val)
+                )
+            elif op == "*=":
+                tests.append(
+                    lambda n, attr=attr, val=val: attr in n.attrs
+                    and val in (n.attrs.get(attr) or "")
+                )
+            else:  # ~= whitespace-separated word match
+                tests.append(
+                    lambda n, attr=attr, val=val: val
+                    in (n.attrs.get(attr) or "").split()
                 )
         elif m.group("nth"):
             k = int(m.group("nth"))
@@ -343,23 +369,52 @@ def _parse_compound(token: str):
 def _compile_selector(selector: str):
     """Compile to (matches_fn, last_tag) — last_tag is the rightmost
     compound's tag requirement (None for attr-only selectors), used to
-    bucket selectors for single-pass extraction."""
-    tokens = selector.split()
-    compounds = [_parse_compound(tok) for tok in tokens]
-    m = re.match(r"[a-zA-Z][\w-]*", tokens[-1])
+    bucket selectors for single-pass extraction.
+
+    Combinators: descendant (whitespace) and child (>). Matching walks
+    right-to-left with backtracking on descendant hops, so mixed chains
+    like ``div > ul li > a`` resolve correctly."""
+    tokens = re.sub(r"\s*>\s*", " > ", selector.strip()).split()
+    compounds: list = []
+    rels: list[str] = []  # rels[i]: relation between compounds[i] and [i+1]
+    pending = " "
+    for tok in tokens:
+        if tok == ">":
+            pending = ">"
+            continue
+        if compounds:
+            rels.append(pending)
+        compounds.append(_parse_compound(tok))
+        pending = " "
+    if not compounds:
+        raise ValueError(f"empty selector: {selector!r}")
+    last_tok = [t for t in tokens if t != ">"][-1]
+    m = re.match(r"[a-zA-Z][\w-]*", last_tok)
     last_tag = m.group(0).lower() if m else None
+
+    def _match_up(node: Node, idx: int) -> bool:
+        if idx < 0:
+            return True
+        rel = rels[idx]
+        anc = node.parent
+        if rel == ">":
+            return (
+                anc is not None
+                and anc.tag is not None
+                and all(t(anc) for t in compounds[idx])
+                and _match_up(anc, idx - 1)
+            )
+        while anc is not None:
+            if anc.tag is not None and all(t(anc) for t in compounds[idx]):
+                if _match_up(anc, idx - 1):
+                    return True
+            anc = anc.parent
+        return False
 
     def matches(node: Node) -> bool:
         if not all(t(node) for t in compounds[-1]):
             return False
-        # ancestors must satisfy remaining compounds right-to-left
-        need = len(compounds) - 2
-        anc = node.parent
-        while need >= 0 and anc is not None:
-            if anc.tag is not None and all(t(anc) for t in compounds[need]):
-                need -= 1
-            anc = anc.parent
-        return need < 0
+        return _match_up(node, len(compounds) - 2)
 
     return matches, last_tag
 
