@@ -142,3 +142,49 @@ def test_live_crawl_error_channel(spark):
     # fetched twice (original + one retry), both with NULL status
     assert len(vis) == 2
     assert all(v["status"] is None for v in vis)
+
+
+def test_http_mode_fetches_each_url_exactly_once(spark):
+    """The live fetch is pinned per wave: deriving visits, children and
+    retry frames from it must NOT re-hit the network (each URL requested
+    exactly once for a clean crawl)."""
+    import threading
+    from collections import Counter
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from wcm_spark.scheduler import Crawler, CrawlConfig
+
+    hits: Counter = Counter()
+    lock = threading.Lock()
+
+    class H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            with lock:
+                hits[self.path] += 1
+            body = (
+                b'<a href="/leaf1.html">1</a><a href="/leaf2.html">2</a>'
+                if self.path == "/root.html"
+                else b"leaf"
+            )
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        cfg = CrawlConfig(
+            fetch_mode="http", use_bloom=False, expected_urls=100,
+            http_timeout=5.0,
+        )
+        res = Crawler(spark, None, cfg).run([f"{base}/root.html"])
+        assert res.fetched == 3
+        assert dict(hits) == {"/root.html": 1, "/leaf1.html": 1, "/leaf2.html": 1}
+    finally:
+        srv.shutdown()

@@ -496,13 +496,18 @@ class Crawler:
                     .agg(F.max("last_wave").alias("last_wave"))
                     .localCheckpoint(eager=True)
                 )
-            # Deliberately NOT persisted: caching would materialize the
-            # body column (measured slower than the consumers' re-joins).
-            # The visits checkpoint below prunes body out of its join, and
-            # the one heavy pass (fetch -> parse -> dedup) happens exactly
-            # once, inside assign_seq's range checkpoint.
+            # Corpus mode: deliberately NOT persisted — caching would
+            # materialize the body column (measured slower than the
+            # consumers' re-joins); the visits checkpoint below prunes
+            # body out of its join and the one heavy pass (fetch -> parse
+            # -> dedup) happens exactly once. HTTP mode: the fetch has
+            # real-world side effects and cost, so it is pinned eagerly —
+            # every URL is requested exactly ONCE per wave no matter how
+            # many frames derive from it.
             self._harvest_credentials(wave)
             fetched = self._fetch_wave(wave)
+            if cfg.fetch_mode == "http":
+                fetched = fetched.localCheckpoint(eager=True)
 
             # 'wave' on a visit = the fetch wave (the enqueue wave lives on
             # the frontier row); pos ordering below needs the fetch wave
