@@ -560,3 +560,36 @@ def test_selector_class_child_not_and_attr_ops():
     items = extract_links("http://x/", "text/html", len(page), page,
                           containers=[".nav"])
     assert [it["literal_uri"] for it in items] == ["/n1"]
+
+
+def test_fast_preset_collection_equals_generic():
+    """The tag-switch preset path must emit EXACTLY what the compiled
+    selector path emits — same items, same order (forcing the generic
+    path by passing handlers=HANDLER_PRESETS explicitly)."""
+    import glob
+
+    from wcm_spark.htmlkit import HANDLER_PRESETS, extract_links
+
+    pages = [
+        """<html><head><base href="/b/"><link href="c.css" rel="x">
+        <script src="j.js"></script><style>a{background:url(s.png)}</style>
+        </head><body><a href="1.html">1</a><area href="ar" ping="pg">
+        <img src="i.png"><iframe src="f.html"></iframe>
+        <div style="background:url(d.png)"><a href="2.html">2</a></div>
+        <form action="/go" method="post"><input name="q" value="v">
+        <input type="submit"></form>
+        <meta http-equiv="refresh" content="3;URL=/next">
+        <object data="o.swf"></object><embed src="e.mov">
+        <input src="btn.png" type="image"></body></html>""",
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc>http://s/1</loc></url><url><loc>http://s/2</loc></url></urlset>",
+        "<p>no links at all</p>",
+        '<style>@import url("x.css");</style><frame src="fr.html">',
+    ]
+    for body in pages:
+        b = body.encode()
+        fast = extract_links("http://x/p", "text/html", len(b), b)
+        slow = extract_links(
+            "http://x/p", "text/html", len(b), b, handlers=dict(HANDLER_PRESETS)
+        )
+        assert fast == slow

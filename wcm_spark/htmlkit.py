@@ -587,6 +587,57 @@ _HTMLISH_CT = re.compile(r"^(text|application)/(html|xml|xhtml)")
 _CSS_CT = re.compile(r"text/css")
 
 
+# preset keys in the ASCII-sorted emit order the generic path produces
+_PRESET_KEYS_SORTED = sorted(HANDLER_PRESETS)
+_SITEMAP_KEY = "urlset[xmlns^=http://www.sitemaps.org/schemas/sitemap/]"
+# tag -> (key, handler, required attr or None) for the single-attr presets
+_FAST_TAG_PRESETS = {
+    tag: (key, HANDLER_PRESETS[key], need)
+    for tag, (key, need) in {
+        "script": ("script[src]", "src"),
+        "link": ("link[href]", "href"),
+        "a": ("a[href]", "href"),
+        "img": ("img[src]", "src"),
+        "area": ("area", None),
+        "embed": ("embed[src]", "src"),
+        "frame": ("frame[src]", "src"),
+        "iframe": ("iframe[src]", "src"),
+        "input": ("input[src]", "src"),
+        "object": ("object[data]", "data"),
+        "form": ("form", None),
+        "meta": ("meta[content]", "content"),
+        "style": ("style", None),
+    }.items()
+}
+
+
+def _collect_presets_fast(dom: Node) -> dict:
+    """One walk, direct tag switch — semantically identical to compiling
+    the 15 preset selectors, minus the matcher machinery (the hot ~45% of
+    extraction CPU on real pages). Containers / custom handlers take the
+    generic compiled path instead."""
+    out: dict = {k: [] for k in _PRESET_KEYS_SORTED}
+    style_hits = out["[style]"]
+    style_handler = HANDLER_PRESETS["[style]"]
+    xml = getattr(dom, "xml", False)
+    for node in dom.walk():
+        if xml and node.has_script_ancestor():
+            continue
+        attrs = node.attrs
+        hit = _FAST_TAG_PRESETS.get(node.tag)
+        if hit is not None:
+            key, handler, need = hit
+            if need is None or need in attrs:
+                out[key].append((node, handler))
+        elif node.tag == "urlset" and (attrs.get("xmlns") or "").startswith(
+            "http://www.sitemaps.org/schemas/sitemap/"
+        ):
+            out[_SITEMAP_KEY].append((node, HANDLER_PRESETS[_SITEMAP_KEY]))
+        if "style" in attrs:
+            style_hits.append((node, style_handler))
+    return out
+
+
 def extract_links(
     url: str,
     content_type: str | None,
@@ -620,50 +671,60 @@ def extract_links(
         if base_tag is not None:
             base = resolve_href(url, base_tag.attrs.get("href") or "")
 
+        if containers is None and handlers is None:
+            # Hot path: the preset selectors have fixed shapes (tag +
+            # optional single attr), so a direct tag switch replaces the
+            # compiled-matcher machinery. Output is identical to the
+            # generic path (A/B-pinned in tests/test_htmlkit.py).
+            matches_by_key = _collect_presets_fast(dom)
+        else:
+            matches_by_key = None
         if containers is None:
             containers = [None]
         elif isinstance(containers, str):
             containers = [containers]
 
-        # User handlers REPLACE the presets wholesale, like the reference's
-        # html_handlers attribute (Mojo.pm:14,253-261; exercised by
-        # t/collect_urls.t custom handlers). A handler maps a selector to
-        # a callable(node) returning a URL string, a list of strings, or a
-        # ('form', action, method, pairs) tuple.
-        active = HANDLER_PRESETS if handlers is None else handlers
-        keyed = {}
-        for sel, handler in active.items():
-            for cont in containers:
-                key = (cont + " " + sel) if cont else sel
-                keyed[key] = (key if cont else sel, handler)
+        if matches_by_key is None:
+            # User handlers REPLACE the presets wholesale, like the
+            # reference's html_handlers attribute (Mojo.pm:14,253-261;
+            # exercised by t/collect_urls.t custom handlers). A handler
+            # maps a selector to a callable(node) returning a URL string,
+            # a list of strings, or a ('form', action, method, pairs)
+            # tuple.
+            active = HANDLER_PRESETS if handlers is None else handlers
+            keyed = {}
+            for sel, handler in active.items():
+                for cont in containers:
+                    key = (cont + " " + sel) if cont else sel
+                    keyed[key] = (key if cont else sel, handler)
 
-        # Single-pass extraction: one document-order walk, selectors
-        # bucketed by their rightmost tag (a per-selector tree scan is
-        # O(selectors × nodes) — the old hot spot). Emit order is
-        # unchanged: matches collect per selector key, then flush in
-        # ASCII-sorted key order (Mojo.pm:140).
-        by_tag: dict = {}
-        universal = []
-        for key in keyed:
-            selector, handler = keyed[key]
-            fn, last_tag = _compiled(selector)
-            entry = (key, fn, handler)
-            if last_tag is None:
-                universal.append(entry)
-            else:
-                by_tag.setdefault(last_tag, []).append(entry)
+            # Single-pass extraction: one document-order walk, selectors
+            # bucketed by their rightmost tag (a per-selector tree scan is
+            # O(selectors × nodes) — the old hot spot). Emit order is
+            # unchanged: matches collect per selector key, then flush in
+            # ASCII-sorted key order (Mojo.pm:140).
+            by_tag: dict = {}
+            universal = []
+            for key in keyed:
+                selector, handler = keyed[key]
+                fn, last_tag = _compiled(selector)
+                entry = (key, fn, handler)
+                if last_tag is None:
+                    universal.append(entry)
+                else:
+                    by_tag.setdefault(last_tag, []).append(entry)
 
-        matches_by_key: dict = {k: [] for k in keyed}
-        xml = getattr(dom, "xml", False)
-        for node in dom.walk():
-            if xml and node.has_script_ancestor():
-                continue
-            for key, fn, handler in by_tag.get(node.tag, ()):
-                if fn(node):
-                    matches_by_key[key].append((node, handler))
-            for key, fn, handler in universal:
-                if fn(node):
-                    matches_by_key[key].append((node, handler))
+            matches_by_key = {k: [] for k in keyed}
+            xml = getattr(dom, "xml", False)
+            for node in dom.walk():
+                if xml and node.has_script_ancestor():
+                    continue
+                for key, fn, handler in by_tag.get(node.tag, ()):
+                    if fn(node):
+                        matches_by_key[key].append((node, handler))
+                for key, fn, handler in universal:
+                    if fn(node):
+                        matches_by_key[key].append((node, handler))
 
         for key in sorted(matches_by_key):
             for node, handler in matches_by_key[key]:
