@@ -804,6 +804,81 @@ SELECT vec_a, vec_b, bucket, cosine FROM (
 ) t WHERE cosine >= 0.25"""
 
 
+@register("ann_ivf_kmeans")
+def _q_ann_ivf_kmeans(d, sf):
+    """IVF coarse quantizer FIT: 2 unrolled Lloyd iterations of k-means
+    (k=8, deterministic init = first 8 vectors), entirely in row form
+    (vec_id, dim, x) so the same SQL shape runs on both engines — no
+    array ops, no RNG. Iterative-algorithm pattern: at cluster scale each
+    iteration is one hash-aggregate over the exploded elements (shuffle by
+    (cell, dim)); centroids round to 6 decimals per iteration so
+    double-summation order differences between engines cannot flip an
+    assignment. Output: final cell sizes (the quantizer's balance
+    profile). ann_ivf consumes such a quantizer for probing."""
+    if d == "spark":
+        elems = (
+            "SELECT vec_id, dim, CAST(x AS DOUBLE) AS x FROM "
+            f"{_tbl('embeddings', d, sf)} LATERAL VIEW posexplode(embedding) t AS dim, x"
+        )
+    else:
+        elems = (
+            "SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim, "
+            f"CAST(unnest(embedding) AS DOUBLE) AS x FROM {_tbl('embeddings', d, sf)}"
+        )
+    iters = []
+    prev_cent = "cent0"
+    for i in range(2):
+        iters.append(f"""dot{i} AS (
+  SELECT e.vec_id, c.cell, sum(e.x * c.cx) AS dp
+  FROM elems e JOIN {prev_cent} c ON c.dim = e.dim
+  GROUP BY e.vec_id, c.cell
+),
+cnorm{i} AS (SELECT cell, sqrt(sum(cx * cx)) AS nc FROM {prev_cent} GROUP BY cell),
+asg{i} AS (
+  SELECT vec_id, cell FROM (
+    SELECT dt.vec_id, dt.cell,
+           row_number() OVER (
+             PARTITION BY dt.vec_id
+             ORDER BY round(dt.dp / (v.nv * n.nc), 6) DESC, dt.cell
+           ) AS rk
+    FROM dot{i} dt
+    JOIN vnorm v ON v.vec_id = dt.vec_id
+    JOIN cnorm{i} n ON n.cell = dt.cell
+  ) t WHERE rk = 1
+),
+cent{i + 1} AS (
+  SELECT a.cell, e.dim, round(avg(e.x), 6) AS cx
+  FROM asg{i} a JOIN elems e ON e.vec_id = a.vec_id
+  GROUP BY a.cell, e.dim
+)""")
+        prev_cent = f"cent{i + 1}"
+    chain = ",\n".join(iters)
+    return f"""WITH elems AS ({elems}),
+vnorm AS (SELECT vec_id, sqrt(sum(x * x)) AS nv FROM elems GROUP BY vec_id),
+cent0 AS (SELECT vec_id AS cell, dim, x AS cx FROM elems WHERE vec_id < 8),
+{chain},
+final_dot AS (
+  SELECT e.vec_id, c.cell, sum(e.x * c.cx) AS dp
+  FROM elems e JOIN cent2 c ON c.dim = e.dim
+  GROUP BY e.vec_id, c.cell
+),
+final_cnorm AS (SELECT cell, sqrt(sum(cx * cx)) AS nc FROM cent2 GROUP BY cell),
+final_asg AS (
+  SELECT vec_id, cell FROM (
+    SELECT dt.vec_id, dt.cell,
+           row_number() OVER (
+             PARTITION BY dt.vec_id
+             ORDER BY round(dt.dp / (v.nv * n.nc), 6) DESC, dt.cell
+           ) AS rk
+    FROM final_dot dt
+    JOIN vnorm v ON v.vec_id = dt.vec_id
+    JOIN final_cnorm n ON n.cell = dt.cell
+  ) t WHERE rk = 1
+)
+SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs
+FROM final_asg GROUP BY cell"""
+
+
 @register("ann_ivf")
 def _q_ann_ivf(d, sf):
     """Similarity-search scale path #2: IVF (inverted-file) partitioning.
