@@ -84,3 +84,58 @@ def test_robots_parity_engine_vs_simulator(spark):
     assert {r["digest"] for r in res.seen.collect()} == sim.seen
     # disallowed subtree actually skipped (site1 is the robots site)
     assert not any("/r/" in u and "site1" in u for u in got)
+
+
+def test_live_robots_fetch_and_gate(spark):
+    """http mode with no corpus: robots.txt is fetched live once per new
+    host, disallowed URLs are never requested, and allowed crawling
+    proceeds normally."""
+    import threading
+    from collections import Counter
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from wcm_spark.scheduler import Crawler, CrawlConfig
+
+    hits: Counter = Counter()
+    lock = threading.Lock()
+
+    class H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            with lock:
+                hits[self.path] += 1
+            if self.path == "/robots.txt":
+                body = b"User-agent: *\nDisallow: /private/\n"
+                ct = "text/plain"
+            elif self.path == "/index.html":
+                body = (
+                    b'<a href="/private/x.html">no</a>'
+                    b'<a href="/pub/y.html">yes</a>'
+                )
+                ct = "text/html"
+            else:
+                body, ct = b"leaf", "text/html"
+            self.send_response(200)
+            self.send_header("Content-Type", ct)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        cfg = CrawlConfig(
+            fetch_mode="http", use_bloom=False, expected_urls=100,
+            http_timeout=5.0, respect_robots=True,
+        )
+        res = Crawler(spark, None, cfg).run([f"{base}/index.html"])
+        urls = {r["request_url"] for r in res.visits.collect()}
+        assert urls == {f"{base}/index.html", f"{base}/pub/y.html"}
+        assert hits["/robots.txt"] == 1      # fetched once, cached
+        assert hits.get("/private/x.html", 0) == 0  # never requested
+        assert hits["/pub/y.html"] == 1
+    finally:
+        srv.shutdown()

@@ -124,16 +124,17 @@ class Crawler:
             for k, v in (self.config.credentials or {}).items()
         }
         self._robots_bc = None
+        self._robots_bodies: dict[str, str] = {}
+        self._robots_hosts: set[str] = set()
         if self.config.respect_robots:
-            if corpus is None:
-                raise ValueError(
-                    "respect_robots currently sources robots.txt bodies from "
-                    "the corpus; supply one (live robots fetch: fetch the "
-                    "/robots.txt URLs through http mode into a corpus frame)"
+            if corpus is not None:
+                self._robots_bc = spark.sparkContext.broadcast(
+                    self._build_robots_cache().to_bodies_state()
                 )
-            self._robots_bc = spark.sparkContext.broadcast(
-                self._build_robots_cache().to_bodies_state()
-            )
+            elif self.config.fetch_mode != "http":
+                raise ValueError("respect_robots without a corpus needs http mode")
+            # http mode without a corpus: robots.txt is fetched live, per
+            # wave, for hosts newly entering the frontier (_refresh_robots)
 
     def _build_robots_cache(self):
         """North-rule robots.txt caching: robots bodies are one small row
@@ -154,6 +155,75 @@ class Crawler:
             if r["hk"] is not None and r["body"] is not None
         }
         return RobotsCache(bodies, agent=self.config.robots_agent)
+
+    def _refresh_robots_and_gate(self, wave: DataFrame) -> DataFrame:
+        """Live robots (http mode, no corpus): fetch /robots.txt once per
+        NEW host entering the frontier, fold into the broadcast cache, and
+        gate the wave at FETCH time (a disallowed frontier row is dropped
+        before any socket opens — standard live-crawler behavior; corpus
+        mode gates at enqueue instead, where rules are known up front).
+
+        Scale shape: hosts ≪ URLs and only first-seen hosts fetch, so this
+        is a tiny distinct-collect + a handful of driver-side requests per
+        wave; the rule evaluation itself stays a broadcast dimension."""
+        cfg = self.config
+        if not cfg.respect_robots or cfg.fetch_mode != "http":
+            return wave
+        from concurrent.futures import ThreadPoolExecutor
+
+        from .robots import RobotsCache
+
+        hosts = {
+            r["host_key"]
+            for r in wave.select("host_key").distinct().collect()
+            if r["host_key"]
+        } - self._robots_hosts
+        if hosts:
+            import urllib.request
+
+            def grab(hk: str):
+                try:
+                    with urllib.request.urlopen(
+                        hk + "/robots.txt", timeout=cfg.http_timeout
+                    ) as resp:
+                        if resp.getcode() == 200:
+                            return hk, resp.read(1 << 20).decode(
+                                "utf-8", errors="replace"
+                            )
+                except Exception:
+                    pass
+                return hk, ""  # unreachable/missing robots ⇒ allow-all
+
+            with ThreadPoolExecutor(max_workers=8) as pool:
+                for hk, body in pool.map(grab, sorted(hosts)):
+                    self._robots_hosts.add(hk)
+                    if body:
+                        self._robots_bodies[hk] = body
+            if self._robots_bc is not None:
+                self._robots_bc.unpersist()
+            self._robots_bc = self.spark.sparkContext.broadcast(
+                RobotsCache(
+                    dict(self._robots_bodies), agent=cfg.robots_agent
+                ).to_bodies_state()
+            )
+        bc = self._robots_bc
+        if bc is None:
+            return wave
+
+        import pandas as pd
+
+        from pyspark.sql.types import BooleanType
+
+        @F.pandas_udf(BooleanType())
+        def allowed(host_keys, urls):
+            from .robots import RobotsCache
+
+            cache = RobotsCache.from_state(bc.value)
+            return pd.Series(
+                [cache.allowed(hk, u) for hk, u in zip(host_keys, urls)]
+            )
+
+        return wave.filter(allowed(F.col("host_key"), F.col("url")))
 
     def _robots_filter(self, children: DataFrame) -> DataFrame:
         """Drop robots-disallowed candidates before they enter the frontier
@@ -505,6 +575,14 @@ class Crawler:
             # every URL is requested exactly ONCE per wave no matter how
             # many frames derive from it.
             self._harvest_credentials(wave)
+            # wave_taken: the slice leaving the frontier this wave (incl.
+            # robots-disallowed rows, which are skipped, not retried);
+            # wave: the slice actually fetched.
+            wave_taken = wave
+            wave = self._refresh_robots_and_gate(wave)
+            if wave is not wave_taken:
+                wave = wave.localCheckpoint(eager=True)
+                wave_count = wave.count()
             fetched = self._fetch_wave(wave)
             if cfg.fetch_mode == "http":
                 fetched = fetched.localCheckpoint(eager=True)
@@ -587,7 +665,7 @@ class Crawler:
                     )
                 )
 
-            remaining = pending.join(wave.select("seq"), "seq", "left_anti")
+            remaining = pending.join(wave_taken.select("seq"), "seq", "left_anti")
 
             enqueue = fresh.select(
                 "url", "host_key", "method", "params", "digest", "depth",
