@@ -188,3 +188,53 @@ def test_http_mode_fetches_each_url_exactly_once(spark):
         assert dict(hits) == {"/root.html": 1, "/leaf1.html": 1, "/leaf2.html": 1}
     finally:
         srv.shutdown()
+
+
+def test_min_delay_sec_spaces_same_host_requests(spark):
+    """Wall-clock politeness: same-host requests are spaced by
+    min_delay_sec while the crawl still completes; request timestamps on
+    the server prove the spacing."""
+    import threading
+    import time as _time
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from wcm_spark.scheduler import Crawler, CrawlConfig
+
+    stamps: dict = {}
+    lock = threading.Lock()
+
+    class H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            with lock:
+                stamps[self.path] = _time.monotonic()
+            body = (
+                b'<a href="/a.html">a</a><a href="/b.html">b</a>'
+                b'<a href="/c.html">c</a>'
+                if self.path == "/root.html"
+                else b"leaf"
+            )
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        cfg = CrawlConfig(
+            fetch_mode="http", use_bloom=False, expected_urls=100,
+            http_timeout=5.0, min_delay_sec=0.4,
+        )
+        res = Crawler(spark, None, cfg).run([f"{base}/root.html"])
+        assert res.fetched == 4
+        # wave 2 fetches a,b,c on one host: consecutive stamps >= 0.4s apart
+        ts = sorted(stamps[p] for p in ("/a.html", "/b.html", "/c.html"))
+        gaps = [ts[1] - ts[0], ts[2] - ts[1]]
+        assert all(g >= 0.35 for g in gaps), gaps
+    finally:
+        srv.shutdown()

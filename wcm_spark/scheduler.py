@@ -78,6 +78,7 @@ class CrawlConfig:
     on_empty: object = None                # callable() when the frontier drains ('empty' event)
     http_timeout: float = 10.0             # per-request timeout in http mode
     http_concurrency: int = 16             # sockets per partition in http mode
+    min_delay_sec: float = 0.0             # F6 in wall-clock form (http mode): spacing between same-host requests
 
 
 @dataclass
@@ -361,6 +362,12 @@ class Crawler:
             from .sources.httpfetch import http_fetch_wave
 
             wave = self._with_credentials(wave)
+            if self.config.min_delay_sec > 0:
+                # a host must not span partitions, or in-partition request
+                # spacing would not be globally polite for the wave
+                wave = wave.repartition(
+                    self.spark.sparkContext.defaultParallelism, F.col("host_key")
+                )
             return http_fetch_wave(
                 wave,
                 max_redirects=self.config.max_redirects,
@@ -368,6 +375,7 @@ class Crawler:
                 concurrency=self.config.http_concurrency,
                 user_agent=self.config.robots_agent,
                 creds=dict(self._creds),
+                min_delay_sec=self.config.min_delay_sec,
             )
         wave = self._with_credentials(wave)
         w = wave.join(self._closure, wave.url == self._closure.src, "left").select(

@@ -167,30 +167,61 @@ def http_fetch_wave(
     user_agent: str = "wcm-spark",
     max_body: int = 16 * 1024 * 1024,
     creds: dict | None = None,
+    min_delay_sec: float = 0.0,
 ):
     """Frontier wave -> fetched frame, same shape as the corpus-join fetch.
 
     ``wave`` must carry PENDING_COLS + fetch_auth_url (the credential-
     attached request URL, F8). The output matches Crawler._fetch_wave so
     the scheduler is fetch-mode agnostic.
+
+    ``min_delay_sec`` is the UserAgent-throttling analog in wall-clock
+    time: requests to the SAME host are serialized with that spacing
+    while different hosts still fetch in parallel. The caller must
+    repartition the wave by host_key first so a host never spans two
+    partitions (the scheduler does this automatically) — then the
+    in-partition serialization is globally correct for the wave.
     """
 
     def run(batches):
+        import time as _t
+
         local_creds = dict(creds) if creds else {}
+
+        def fetch_t(t):
+            return _fetch_one(
+                t[0], t[1], t[2], max_redirects, timeout,
+                user_agent, max_body, local_creds,
+            )
+
+        def fetch_host_group(rows):
+            # rows: [(idx, (url, method, params)), ...] — one host,
+            # sequential, spaced by min_delay_sec (F6 in wall-clock form)
+            out = []
+            for j, (idx, t) in enumerate(rows):
+                if j:
+                    _t.sleep(min_delay_sec)
+                out.append((idx, fetch_t(t)))
+            return out
+
         with ThreadPoolExecutor(max_workers=concurrency) as pool:
             for pdf in batches:
                 n = len(pdf)
                 if n == 0:
                     continue
-                results = list(
-                    pool.map(
-                        lambda t: _fetch_one(
-                            t[0], t[1], t[2], max_redirects, timeout,
-                            user_agent, max_body, local_creds,
-                        ),
-                        zip(pdf["fetch_auth_url"], pdf["method"], pdf["params"]),
-                    )
+                triples = list(
+                    zip(pdf["fetch_auth_url"], pdf["method"], pdf["params"])
                 )
+                if min_delay_sec > 0:
+                    groups: dict = {}
+                    for idx, (t, hk) in enumerate(zip(triples, pdf["host_key"])):
+                        groups.setdefault(hk, []).append((idx, t))
+                    results = [None] * n
+                    for chunk in pool.map(fetch_host_group, groups.values()):
+                        for idx, r in chunk:
+                            results[idx] = r
+                else:
+                    results = list(pool.map(fetch_t, triples))
                 out = {
                     "seq": pdf["seq"].tolist(),
                     "wave": pdf["wave"].tolist(),
