@@ -804,6 +804,49 @@ SELECT vec_a, vec_b, bucket, cosine FROM (
 ) t WHERE cosine >= 0.25"""
 
 
+@register("image_phash_neardup")
+def _q_phash_neardup(d, sf):
+    """Perceptual-hash near-dup for the image table shape: 64-bit
+    signature -> 4 bands of 16 bits (LSH: pairs identical in >=1 band are
+    candidates) -> exact Hamming distance <= 8 verified on candidates
+    only. On crawled images the signature is images.phash64 (the sink
+    column pinned by the PSNR pytest gates); here it is derived
+    deterministically as the sign bits of the 64-dim embedding so both
+    engines compute identical hashes with no image codec. Hamming is
+    computed in row form (count of differing sign bits over the candidate
+    join) — no 2^63 bigint overflow, no engine-specific popcount."""
+    if d == "spark":
+        elems = (
+            "SELECT vec_id, dim, CAST(x AS DOUBLE) AS x FROM "
+            f"{_tbl('embeddings', d, sf)} LATERAL VIEW posexplode(embedding) t AS dim, x"
+        )
+    else:
+        elems = (
+            "SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim, "
+            f"CAST(unnest(embedding) AS DOUBLE) AS x FROM {_tbl('embeddings', d, sf)}"
+        )
+    return f"""WITH elems AS ({elems}),
+bandsig AS (
+  SELECT vec_id, CAST(floor(dim / 16) AS INT) AS band_no,
+         CAST(sum(CASE WHEN x > 0 THEN power(2, dim % 16) ELSE 0 END) AS BIGINT) AS sig
+  FROM elems GROUP BY vec_id, CAST(floor(dim / 16) AS INT)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bandsig a JOIN bandsig b
+    ON a.band_no = b.band_no AND a.sig = b.sig AND a.vec_id < b.vec_id
+),
+ham AS (
+  SELECT c.vec_a, c.vec_b,
+         CAST(sum(CASE WHEN (ea.x > 0) != (eb.x > 0) THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+  FROM cand c
+  JOIN elems ea ON ea.vec_id = c.vec_a
+  JOIN elems eb ON eb.vec_id = c.vec_b AND eb.dim = ea.dim
+  GROUP BY c.vec_a, c.vec_b
+)
+SELECT vec_a, vec_b, hamming FROM ham WHERE hamming <= 8"""
+
+
 @register("ann_ivf_kmeans")
 def _q_ann_ivf_kmeans(d, sf):
     """IVF coarse quantizer FIT: 2 unrolled Lloyd iterations of k-means
