@@ -844,7 +844,7 @@ ham AS (
   JOIN elems eb ON eb.vec_id = c.vec_b AND eb.dim = ea.dim
   GROUP BY c.vec_a, c.vec_b
 )
-SELECT vec_a, vec_b, hamming FROM ham WHERE hamming <= 8"""
+SELECT vec_a, vec_b, hamming FROM ham WHERE hamming <= 24"""
 
 
 @register("ann_ivf_kmeans")
