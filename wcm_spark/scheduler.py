@@ -535,6 +535,22 @@ class Crawler:
             host_state = spark.createDataFrame([], "host_key string, last_wave int")
 
         pending_count = pending.count()
+        drain_level = (
+            cfg.max_conn is None
+            and cfg.max_conn_per_host is None
+            and cfg.min_delay_waves == 0
+        )
+        # Drain-level corpus crawls with no durable store can defer the
+        # per-wave visits materialization: every wave's visits frame is a
+        # narrow 2-join plan over already-checkpointed inputs, so the
+        # final pos-assignment evaluates ALL of them in one job instead of
+        # paying one checkpoint job per wave. http mode keeps the eager
+        # narrow checkpoint (lazy frames would pin body blocks all crawl),
+        # and the politeness path must stay eager because it unpersists
+        # old frontiers that lazy visits would still reference.
+        lazy_visits = (
+            cfg.fetch_mode != "http" and drain_level and self.store is None
+        )
         # Exact driver-side seen set for the in-UDF D2 probe — maintained
         # only while it fits cfg.broadcast_seen_max (the same scale cutoff
         # as the broadcast anti-join; ~128MB of md5 digests at the default)
@@ -607,7 +623,9 @@ class Crawler:
                 _noui(F.col("original_url")).alias("original_url"),
                 F.transform("redirect_history", _noui).alias("redirect_history"),
                 "status", "depth", "host_key",
-            ).localCheckpoint(eager=True)
+            )
+            if not lazy_visits:
+                visits = visits.localCheckpoint(eager=True)
             _tr("visits_ckpt")
             visit_frames.append(visits)
 
@@ -725,11 +743,7 @@ class Crawler:
                     )
             _tr("digest_collect")
 
-            no_caps = (
-                cfg.max_conn is None
-                and cfg.max_conn_per_host is None
-                and cfg.min_delay_waves == 0
-            )
+            no_caps = drain_level
             if no_caps:
                 # BFS fast path: the wave was the whole pending set, so the
                 # next frontier is exactly the fresh enqueue (already
