@@ -34,6 +34,10 @@ def get_spark(
         # explicitly via host_salt partitioning and shingle-based candidate
         # generation. Re-enable per-job for large shuffle-join-heavy plans.
         .config("spark.sql.adaptive.enabled", os.environ.get("WCM_AQE", "false"))
+        # (A/B: uncompressed columnar cache is NOT faster here — the 8g
+        # heap prefers compact cached bodies; keep Spark's default true)
+        .config("spark.sql.inMemoryColumnarStorage.compressed",
+                os.environ.get("WCM_CACHE_COMPRESS", "true"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # local mode: the "driver" JVM hosts every executor thread and the
