@@ -37,7 +37,8 @@ from .functions.core import digest_col, host_key_udf, host_salt_col
 from .operators.dedup import NumpyBloom, build_bloom, seen_anti_join
 from .operators.scrape import scrape_resolve_children
 from .operators.seq import assign_seq
-from .store import TableStore
+from .store import TableStore  # noqa: F401 (re-exported)
+from .store import for_session as store_for_session
 
 __all__ = ["CrawlConfig", "CrawlResult", "Crawler"]
 
@@ -111,7 +112,14 @@ class Crawler:
         self.corpus = corpus
         if corpus is None and self.config.fetch_mode != "http":
             raise ValueError("corpus-mode crawl needs a corpus DataFrame")
-        self.store = TableStore(self.config.checkpoint_dir) if self.config.checkpoint_dir else None
+        # checkpoint_dir accepts a filesystem root (parquet+manifest store)
+        # or an iceberg://catalog[/namespace] URI (real Iceberg tables when
+        # the runtime jars + catalog conf are present)
+        self.store = (
+            store_for_session(spark, self.config.checkpoint_dir)
+            if self.config.checkpoint_dir
+            else None
+        )
         self._closure = (
             self._redirect_closure(corpus, self.config.max_redirects)
             if corpus is not None
@@ -867,9 +875,9 @@ class Crawler:
         makes the resumed run re-append deterministic duplicates; (wave,
         seq) is a crawl-unique key, so dropDuplicates restores exactness.
         """
-        from .store import TableStore
+        from .store import for_session as _store_for_session
 
-        store = TableStore(config.checkpoint_dir)
+        store = _store_for_session(spark, config.checkpoint_dir)
         committed = store.read(spark, "visits")
         return None if committed is None else committed.dropDuplicates(["wave", "seq"])
 

@@ -21,7 +21,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["TableStore"]
+__all__ = ["TableStore", "IcebergTableStore", "for_session"]
 
 
 class TableStore:
@@ -95,3 +95,101 @@ class TableStore:
     def latest_meta(self, name: str) -> dict | None:
         snaps = self.snapshots(name)
         return snaps[-1]["meta"] if snaps else None
+
+
+class IcebergTableStore(TableStore):
+    """The same store contract over real Iceberg tables.
+
+    Instantiated when a Spark Iceberg catalog is configured (e.g.
+    spark-submit with the iceberg-spark-runtime jar and
+    ``spark.sql.catalog.<name>=org.apache.iceberg.spark.SparkCatalog``).
+    Versions are Iceberg snapshot ids; ``meta`` rides as snapshot summary
+    properties via commit-time table properties. This sandbox has no
+    Iceberg jars, so the class is exercised only by the catalog-gated test
+    (tests/test_components.py::test_iceberg_store_when_catalog_present) —
+    on a real cluster the Crawler picks it via ``for_session``.
+    """
+
+    def __init__(self, spark: SparkSession, catalog: str, namespace: str = "crawl"):
+        self.spark = spark
+        self.catalog = catalog
+        self.namespace = namespace
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{namespace}")
+
+    def _ident(self, name: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{name}"
+
+    def _exists(self, name: str) -> bool:
+        return self.spark.catalog.tableExists(self._ident(name))
+
+    def commit(self, name: str, df: DataFrame, mode: str = "append", meta: dict | None = None) -> int:
+        assert mode in ("append", "overwrite")
+        ident = self._ident(name)
+        writer = df.writeTo(ident)
+        if not self._exists(name):
+            writer.create()
+        elif mode == "append":
+            writer.append()
+        else:
+            writer.replace()
+        if meta:
+            props = ", ".join(
+                f"'wcm.{k}'='{v}'" for k, v in meta.items()
+            )
+            self.spark.sql(f"ALTER TABLE {ident} SET TBLPROPERTIES ({props})")
+        row = self.spark.sql(
+            f"SELECT snapshot_id FROM {ident}.snapshots ORDER BY committed_at DESC LIMIT 1"
+        ).collect()
+        return int(row[0][0]) if row else 0
+
+    def read(self, spark: SparkSession, name: str, version: int | None = None) -> DataFrame | None:
+        if not self._exists(name):
+            return None
+        ident = self._ident(name)
+        if version is None:
+            return spark.table(ident)
+        return spark.sql(f"SELECT * FROM {ident} VERSION AS OF {version}")
+
+    def snapshots(self, name: str) -> list[dict]:
+        if not self._exists(name):
+            return []
+        rows = self.spark.sql(
+            f"SELECT snapshot_id, committed_at FROM {self._ident(name)}.snapshots ORDER BY committed_at"
+        ).collect()
+        return [
+            {"version": int(r["snapshot_id"]), "ts": str(r["committed_at"]), "meta": self.latest_meta(name) or {}}
+            for r in rows
+        ]
+
+    def current_version(self, name: str) -> int:
+        snaps = self.snapshots(name)
+        return snaps[-1]["version"] if snaps else 0
+
+    def latest_meta(self, name: str) -> dict | None:
+        if not self._exists(name):
+            return None
+        props = {
+            r["key"]: r["value"]
+            for r in self.spark.sql(
+                f"SHOW TBLPROPERTIES {self._ident(name)}"
+            ).collect()
+        }
+        out = {
+            k[len("wcm."):]: v for k, v in props.items() if k.startswith("wcm.")
+        }
+        # numeric meta round-trips as strings through TBLPROPERTIES
+        for k, v in list(out.items()):
+            if isinstance(v, str) and v.lstrip("-").isdigit():
+                out[k] = int(v)
+        return out or None
+
+
+def for_session(spark: SparkSession, root_or_catalog: str) -> TableStore:
+    """Pick the store backend: an ``iceberg://catalog[/namespace]`` URI
+    selects IcebergTableStore (requires the runtime jars + catalog conf);
+    anything else is a filesystem root for the parquet+manifest store."""
+    if root_or_catalog.startswith("iceberg://"):
+        rest = root_or_catalog[len("iceberg://"):]
+        catalog, _, ns = rest.partition("/")
+        return IcebergTableStore(spark, catalog, ns or "crawl")
+    return TableStore(root_or_catalog)
