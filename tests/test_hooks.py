@@ -93,3 +93,34 @@ def test_on_wave_can_replace_pages(spark):
         CrawlConfig(expected_urls=5_000, use_bloom=False, on_wave=drop_all),
     ).run(seed_urls(2))
     assert res.waves == 1 and res.fetched == 2
+
+
+def test_redundancy_replacement(spark):
+    """$bot->queue->redundancy(sub {...}) analog (reference
+    README.md:158-160): a user key function replaces the md5 digest —
+    here, ignoring query strings, so /page?a and /page?b dedup to one
+    visit."""
+    from wcm_spark.corpus import corpus_df
+    from wcm_spark.scheduler import Crawler, CrawlConfig
+
+    corpus = corpus_df(spark, n_sites=1, pages_per_site=4).cache()
+
+    def ignore_query(url, method, params):
+        return f"{url.split('?')[0]}|{method}"
+
+    base = {r["url"] for r in corpus.select("url").collect()}
+    page0 = sorted(u for u in base if u.endswith("/p/0.html"))[0]
+
+    cfg = CrawlConfig(use_bloom=False, expected_urls=100, redundancy=ignore_query)
+    res = Crawler(spark, corpus, cfg).run(
+        [page0, page0 + "?utm=x", page0 + "?utm=y"]
+    )
+    # the three query-variant seeds collapse to ONE visit of page0
+    first_wave = [r for r in res.visits.collect() if r["wave"] == 1]
+    assert len(first_wave) == 1 and first_wave[0]["request_url"] == page0
+
+    # default digest keeps them distinct
+    res2 = Crawler(spark, corpus, CrawlConfig(use_bloom=False, expected_urls=100)).run(
+        [page0, page0 + "?utm=x", page0 + "?utm=y"]
+    )
+    assert len([r for r in res2.visits.collect() if r["wave"] == 1]) == 3

@@ -27,6 +27,7 @@ def make_child(
     base: str,
     method: str | None = None,
     params: str | None = None,
+    redundancy=None,
 ):
     """Resolve one extracted link into a child-job tuple or None.
 
@@ -46,7 +47,14 @@ def make_child(
         resolved = append_query(resolved, params)
     elif method == "POST" and params:
         tx_params = params
-    digest = job_digest(resolved, method, tx_params)
+    # D1 default: md5(url + method + tx_params) (Job.pm:77-82). A user
+    # ``redundancy`` callable replaces the key function wholesale, like
+    # $bot->queue->redundancy(sub {...}) (reference README.md:158-160) —
+    # e.g. ignore query strings, or canonicalize tracking params away.
+    if redundancy is not None:
+        digest = str(redundancy(resolved, method, tx_params))
+    else:
+        digest = job_digest(resolved, method, tx_params)
     return resolved, method, tx_params, digest
 
 

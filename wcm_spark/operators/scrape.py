@@ -88,6 +88,7 @@ def scrape_resolve_children(
     seen_bc=None,
     local_first_wins: bool = False,
     handlers=None,
+    redundancy=None,
 ) -> DataFrame:
     """Fused P1-P9 + R1-R5 + D1 + F7 in ONE Arrow pass.
 
@@ -147,7 +148,8 @@ def scrape_resolve_children(
                 pseq = int(seq)
                 for it in items:
                     child = make_child(
-                        it["literal_uri"], it["base"], it["method"], it["params"]
+                        it["literal_uri"], it["base"], it["method"],
+                        it["params"], redundancy,
                     )
                     if child is None:
                         continue

@@ -77,6 +77,8 @@ class CrawlConfig:
     on_wave: object = None                 # callable(wave_id, pages_df) -> pages_df|None ('res' event analog)
     on_error: object = None                # callable(wave_id, errors_df) ('error' event, Mojo.pm:306-393)
     on_empty: object = None                # callable() when the frontier drains ('empty' event)
+    redundancy: object = None              # callable(url, method, params) -> key replacing the md5 digest
+                                           # (queue->redundancy, reference README.md:158-160)
     http_timeout: float = 10.0             # per-request timeout in http mode
     http_concurrency: int = 16             # sockets per partition in http mode
     min_delay_sec: float = 0.0             # F6 in wall-clock form (http mode): spacing between same-host requests
@@ -426,8 +428,25 @@ class Crawler:
             df = df.withColumn("method", F.lit(None).cast("string"))
         if "params" not in df.columns:
             df = df.withColumn("params", F.lit(None).cast("string"))
+        if self.config.redundancy is not None:
+            # user key function replaces the md5 digest for seeds too
+            import pandas as pd
+
+            from pyspark.sql.types import StringType
+
+            red = self.config.redundancy
+
+            @F.pandas_udf(StringType())
+            def _red(urls, methods, params):
+                return pd.Series(
+                    [str(red(u, m, p)) for u, m, p in zip(urls, methods, params)]
+                )
+
+            dig = _red(F.col("url"), F.col("method"), F.col("params"))
+        else:
+            dig = digest_col(F.col("url"), F.col("method"), F.col("params"))
         df = (
-            df.withColumn("digest", digest_col(F.col("url"), F.col("method"), F.col("params")))
+            df.withColumn("digest", dig)
             .withColumn("host_key", host_key_udf(F.col("url")))
             .withColumn("host_salt", host_salt_col(F.col("host_key"), self.config.salts))
         )
@@ -669,6 +688,7 @@ class Crawler:
                 seen_bc=seen_bc,
                 local_first_wins=seen_bc is not None,
                 handlers=cfg.html_handlers,
+                redundancy=cfg.redundancy,
             )
             children = self._robots_filter(children)
             # D2 before D3: they commute on digest, and anti-joining first
