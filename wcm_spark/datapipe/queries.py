@@ -1030,6 +1030,71 @@ def _q_tokens(d, sf):
 FROM {_tbl('documents', d, sf)}"""
 
 
+@register("stratified_sample")
+def _q_stratified(d, sf):
+    """Training-data curation: deterministic per-stratum sampling. Strata
+    come from the predicted language; rates differ per stratum (downsample
+    the majority class). The inclusion decision hashes the doc_id (md5 ->
+    16-bit bucket < rate * 65536), so the sample is reproducible, stable
+    under repartitioning/retries, and needs NO shuffle at all — the filter
+    runs scan-side on every engine. At 100 TB this is the only sampling
+    shape that composes with resumable pipelines (rand() does not)."""
+    f = _fn(d)
+    bucket = _hex2int(f"substr(md5('smp' || CAST(doc_id AS {f['STR']})), 1, 4)", d)
+    return f"""WITH feat AS (
+  SELECT doc_id, lang, text, n_chars,
+    CAST({f['LEN']}(regexp_extract_all(lower(text), {_rx(_STOPWORD_RAW, d)}, 1)) AS BIGINT) AS stop_hits,
+    CAST({f['LEN']}({f['LFILTER']}({f['SPLIT']}(lower(text), '[^a-z0-9]+'), x -> x != '')) AS BIGINT) AS n_tokens
+  FROM {_tbl('documents', d, sf)}
+),
+labeled AS (
+  SELECT doc_id, n_chars,
+    CASE WHEN n_tokens = 0 THEN 'und'
+         WHEN CAST(stop_hits AS DOUBLE) / n_tokens >= 0.08 THEN 'en'
+         ELSE 'other' END AS stratum,
+    {bucket} AS h
+  FROM feat
+)
+SELECT doc_id, stratum, n_chars FROM labeled
+WHERE (stratum = 'en' AND h < CAST(0.25 * 65536 AS BIGINT))
+   OR (stratum = 'other' AND h < CAST(0.75 * 65536 AS BIGINT))
+   OR (stratum = 'und' AND h < 65536)"""
+
+
+@register("topk_per_group_quality")
+def _q_topk_quality(d, sf):
+    """Training-data curation: keep the k best documents per stratum by
+    the quality score. Window rank inside each language stratum — the
+    shuffle keys on the stratum, each group sorts locally, no global
+    sort; k caps the output so downstream stages see a bounded set."""
+    f = _fn(d)
+    return f"""WITH feat AS (
+  SELECT doc_id, n_chars,
+    CAST({f['LEN']}({f['LFILTER']}({f['SPLIT']}(lower(text), '[^a-z0-9]+'), x -> x != '')) AS BIGINT) AS n_tokens,
+    CAST({f['LEN']}(regexp_extract_all(lower(text), {_rx(_STOPWORD_RAW, d)}, 1)) AS BIGINT) AS stop_hits
+  FROM {_tbl('documents', d, sf)}
+),
+scored AS (
+  SELECT doc_id, n_tokens,
+    CASE WHEN n_tokens = 0 THEN 'und'
+         WHEN CAST(stop_hits AS DOUBLE) / n_tokens >= 0.08 THEN 'en'
+         ELSE 'other' END AS stratum,
+    round(CAST(
+      0.4 * CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 1.0 ELSE 0.0 END
+      + 0.3 * CASE WHEN CAST(stop_hits AS DOUBLE) / CASE WHEN n_tokens = 0 THEN 1 ELSE n_tokens END
+                   BETWEEN 0.01 AND 0.5 THEN 1.0 ELSE 0.0 END
+      + 0.3 * CASE WHEN n_tokens >= 10 THEN 1.0 ELSE 0.0 END AS DOUBLE), 4) AS quality
+  FROM feat
+)
+SELECT stratum, doc_id, quality FROM (
+  SELECT stratum, doc_id, quality,
+         row_number() OVER (
+           PARTITION BY stratum ORDER BY quality DESC, n_tokens DESC, doc_id
+         ) AS rk
+  FROM scored
+) t WHERE rk <= 20"""
+
+
 @register("doc_fingerprint")
 def _q_fingerprint(d, sf):
     """Document fingerprint: md5 over whitespace-normalized lowercase text
