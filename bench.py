@@ -38,7 +38,13 @@ HEADLINE_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "ann_cosine_topk",
+    "ann_lsh_bucketed",
+    "ann_ivf",
+    "ann_ivf_kmeans",
     "embedding_neardup",
+    "image_phash_neardup",
+    "stratified_sample",
+    "topk_per_group_quality",
     "lang_id_heuristic",
     "quality_score",
     "token_count",
