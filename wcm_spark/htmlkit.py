@@ -171,7 +171,7 @@ _HAS_ENTITY = re.compile(r"&")
 
 
 def _unescape(s: str) -> str:
-    if _HAS_ENTITY.search(s):
+    if "&" in s:
         import html as _html
 
         return _html.unescape(s)
@@ -201,14 +201,14 @@ def _fast_parse(text: str, xml: bool) -> Node:
             pos = lt + 1
             continue
         pos = m.end()
-        if m.group("close"):
-            tag = m.group("ctag").lower()
+        close, ctag, tag_name, raw_attrs = m.group("close", "ctag", "tag", "attrs")
+        if close:
+            tag = ctag.lower()
             for i in range(len(stack) - 1, 0, -1):
                 if stack[i].tag == tag:
                     del stack[i:]
                     break
             continue
-        tag_name = m.group("tag")
         if not tag_name:
             continue  # comment / doctype / PI
         tag = tag_name.lower()
@@ -216,7 +216,7 @@ def _fast_parse(text: str, xml: bool) -> Node:
         if rule and stack[-1].tag in rule:
             stack.pop()
         counter += 1
-        raw_attrs = m.group("attrs") or ""
+        raw_attrs = raw_attrs or ""
         # Self-closing only when the trailing '/' is a standalone token
         # (preceded by whitespace, a closing quote, or nothing) — an
         # unquoted attribute value may itself end in '/'
@@ -228,17 +228,14 @@ def _fast_parse(text: str, xml: bool) -> Node:
         attr_map: dict = {}
         if raw_attrs and raw_attrs.strip("/ \t\r\n"):
             for am in _FAST_ATTR_RE.finditer(raw_attrs):
-                name = am.group(1).lower().rstrip("/")
+                g1, g2, g3, g4 = am.group(1, 2, 3, 4)
+                name = g1.lower().rstrip("/")
                 if not name or name in attr_map:
                     continue
-                if am.group(2) is None:
+                if g2 is None:
                     attr_map[name] = None
                 else:
-                    val = am.group(3)
-                    if val is None:
-                        val = am.group(4)
-                    if val is None:
-                        val = am.group(2)
+                    val = g3 if g3 is not None else (g4 if g4 is not None else g2)
                     attr_map[name] = _unescape(val)
         node = Node(tag=tag, attrs=attr_map, parent=stack[-1], pos=counter)
         stack[-1].children.append(node)
