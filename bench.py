@@ -228,12 +228,18 @@ def main():
     # the ±30% turbo/noise swings that independent best-of-N pairing
     # amplifies into the efficiency number
     pairs = []
-    for _ in range(3):
-        lo_i = _spawn(lo_cores, corpus_path, repeats=1)
-        hi_i = _spawn(hi_cores, corpus_path, repeats=1)
+    for k in range(5):
+        # alternate which level runs first: host throughput drifts over
+        # minutes, so a fixed order would bias every pair the same way
+        if k % 2 == 0:
+            lo_i = _spawn(lo_cores, corpus_path, repeats=1)
+            hi_i = _spawn(hi_cores, corpus_path, repeats=1)
+        else:
+            hi_i = _spawn(hi_cores, corpus_path, repeats=1)
+            lo_i = _spawn(lo_cores, corpus_path, repeats=1)
         pairs.append((lo_i, hi_i, hi_i["urls_per_sec"] / max(lo_i["urls_per_sec"], 1e-9)))
     pairs.sort(key=lambda p: p[2])
-    lo, hi, ratio = pairs[1]  # median pair
+    lo, hi, ratio = pairs[len(pairs) // 2]  # median pair
     peak = _spawn(CPUS, corpus_path, repeats=1) if CPUS > hi_cores else hi
     crawl = _spawn(CPUS, corpus_path, repeats=3, mode="crawl")
     efficiency = round(ratio / (hi_cores / lo_cores), 3)
@@ -254,6 +260,7 @@ def main():
                     "iterative_crawl": crawl,
                     "urls_per_sec": peak["urls_per_sec"],
                     "scaling_ratio": round(ratio, 3),
+                    "all_scaling_ratios": [round(p[2], 3) for p in pairs],
                     "scaling_efficiency": efficiency,
                 },
             }
