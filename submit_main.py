@@ -25,10 +25,18 @@ def main() -> None:
     ap.add_argument("--max-conn", type=int, default=None)
     ap.add_argument("--max-conn-per-host", type=int, default=None)
     ap.add_argument("--max-waves", type=int, default=None)
-    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--checkpoint", default=None,
+                    help="filesystem root, or iceberg://catalog[/ns] with the Iceberg runtime")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--images", action="store_true")
     ap.add_argument("--output", default=None, help="parquet dir for the visit log")
+    ap.add_argument("--fetch-mode", choices=("corpus", "http"), default="corpus",
+                    help="http = live network fetch from --seeds")
+    ap.add_argument("--seeds", nargs="*", default=None,
+                    help="seed URLs (http mode; corpus mode defaults to site roots)")
+    ap.add_argument("--respect-robots", action="store_true")
+    ap.add_argument("--min-delay-sec", type=float, default=0.0,
+                    help="wall-clock spacing between same-host requests (http mode)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -38,7 +46,8 @@ def main() -> None:
 
     spark = SparkSession.builder.appName("wcm-spark-crawl").getOrCreate()
 
-    corpus = corpus_df(spark, args.sites, args.pages).cache()
+    live = args.fetch_mode == "http"
+    corpus = None if live else corpus_df(spark, args.sites, args.pages).cache()
     cfg = CrawlConfig(
         max_conn=args.max_conn,
         max_conn_per_host=args.max_conn_per_host,
@@ -46,11 +55,17 @@ def main() -> None:
         checkpoint_dir=args.checkpoint,
         collect_images=args.images,
         expected_urls=max(args.sites * args.pages * 4, 100_000),
+        fetch_mode=args.fetch_mode,
+        respect_robots=args.respect_robots,
+        min_delay_sec=args.min_delay_sec,
     )
     if args.resume:
         result = Crawler.resume(spark, corpus, cfg)
     else:
-        result = Crawler(spark, corpus, cfg).run(seed_urls(args.sites))
+        seeds = args.seeds if args.seeds else seed_urls(args.sites)
+        if live and not args.seeds:
+            raise SystemExit("http mode needs --seeds")
+        result = Crawler(spark, corpus, cfg).run(seeds)
 
     if args.output:
         result.visits.write.mode("overwrite").parquet(args.output)
