@@ -144,6 +144,56 @@ def test_live_crawl_error_channel(spark):
     assert all(v["status"] is None for v in vis)
 
 
+def test_non_http_schemes_skipped_in_live_mode(spark):
+    """The frontier keeps ftp/ws/wss (R2, Mojo.pm:177) but the live
+    fetcher speaks only http(s): such rows are SKIPPED at fetch time —
+    never requested, never retried, counted in the wave's ``skipped``
+    metric — and the crawl still drains cleanly."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from wcm_spark.scheduler import Crawler, CrawlConfig
+
+    class H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            body = (
+                b'<a href="ftp://files.example.test/f.txt">ftp</a>'
+                b'<a href="wss://rt.example.test/sock">ws</a>'
+                b'<a href="/leaf.html">leaf</a>'
+                if self.path == "/index.html"
+                else b"leaf"
+            )
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        cfg = CrawlConfig(
+            fetch_mode="http", use_bloom=False, expected_urls=100,
+            http_timeout=5.0, retry_errors=2,
+            max_waves=5,  # guard: a skip miscounted as pending would spin
+        )
+        res = Crawler(spark, None, cfg).run([f"{base}/index.html"])
+        urls = {r["request_url"] for r in res.visits.collect()}
+        # only the http URLs were ever fetched; no NULL-status error rows
+        # for the ftp/wss children (skipped, not errored-and-retried)
+        assert urls == {f"{base}/index.html", f"{base}/leaf.html"}
+        assert res.visits.filter("status is null").count() == 0
+        assert res.waves == 2
+        assert res.metrics[-1]["pending"] == 0
+        assert res.metrics[-1]["skipped"] == 2  # ftp + wss rows
+    finally:
+        srv.shutdown()
+
+
 def test_http_mode_fetches_each_url_exactly_once(spark):
     """The live fetch is pinned per wave: deriving visits, children and
     retry frames from it must NOT re-hit the network (each URL requested

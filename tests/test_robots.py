@@ -139,3 +139,63 @@ def test_live_robots_fetch_and_gate(spark):
         assert hits["/pub/y.html"] == 1
     finally:
         srv.shutdown()
+
+
+def test_fetch_time_robots_gate_drains_frontier(spark):
+    """Regression: a frontier row gated away at FETCH time (its host's
+    robots rules were unknown at enqueue, learned only when the row came
+    up for fetching) must still count as having left the frontier —
+    pending_count otherwise stays inflated forever and the loop spins on
+    empty waves instead of hitting the empty-frontier break."""
+    import threading
+    from collections import Counter
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from wcm_spark.scheduler import Crawler, CrawlConfig
+
+    hits: Counter = Counter()
+    lock = threading.Lock()
+
+    class H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            with lock:
+                hits[self.path] += 1
+            if self.path == "/robots.txt":
+                body, ct = b"User-agent: *\nDisallow: /private/\n", "text/plain"
+            elif self.path == "/index.html":
+                # cross-host link: localhost is a DIFFERENT host_key than
+                # 127.0.0.1, so its robots are unknown at enqueue time and
+                # the disallowed row is only gated when wave 2 fetches it
+                body = (
+                    f'<a href="http://localhost:{srv.server_address[1]}'
+                    f'/private/x.html">other-host</a>'.encode()
+                )
+                ct = "text/html"
+            else:
+                body, ct = b"leaf", "text/html"
+            self.send_response(200)
+            self.send_header("Content-Type", ct)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        cfg = CrawlConfig(
+            fetch_mode="http", use_bloom=False, expected_urls=100,
+            http_timeout=5.0, respect_robots=True,
+            max_waves=5,  # guard: pre-fix the loop would spin to this cap
+        )
+        res = Crawler(spark, None, cfg).run([f"{base}/index.html"])
+        # wave 1 fetches index; wave 2's only row is gated away -> frontier
+        # empty -> the loop must stop at wave 2, with pending fully drained
+        assert res.waves == 2
+        assert res.metrics[-1]["pending"] == 0
+        assert hits.get("/private/x.html", 0) == 0  # gated, never requested
+    finally:
+        srv.shutdown()

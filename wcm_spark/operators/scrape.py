@@ -101,13 +101,17 @@ def scrape_resolve_children(
     Python worker between stages. Same output as the staged pipeline
     (asserted in tests/test_parity.py::test_fused_equals_staged).
 
-    ``seen_bc``: optional broadcast of the exact seen-digest set. When the
-    set still fits a broadcast (same threshold as the broadcast anti-join)
-    the D2 probe runs HERE, before rows ever cross the Arrow boundary —
-    on link-dense waves ~97% of candidates are already-seen, so this cuts
-    the transferred row count ~30x. Exactness is unchanged: the predicate
-    is identical to the anti-join's. Beyond the threshold the caller
-    passes None and the bloom+shuffle anti-join path takes over.
+    ``seen_bc``: optional broadcast of the exact seen-digest set — either
+    one Broadcast[set] or a LIST of them (the scheduler ships the base set
+    once and then only per-wave deltas; the probe is the union). Pieces
+    should be ordered largest-first: ~97% of candidates on link-dense
+    waves hit the base set, so the loop short-circuits on the first
+    probe for the common case. When the set still fits a broadcast (same
+    threshold as the broadcast anti-join) the D2 probe runs HERE, before
+    rows ever cross the Arrow boundary — this cuts the transferred row
+    count ~30x. Exactness is unchanged: the predicate is identical to the
+    anti-join's. Beyond the threshold the caller passes None and the
+    bloom+shuffle anti-join path takes over.
 
     ``local_first_wins``: additionally keep only the partition-local
     minimum (parent_seq, emit_idx) per digest. The global window dedup
@@ -125,9 +129,14 @@ def scrape_resolve_children(
     if "depth" not in src.columns:
         src = src.withColumn("depth", F.lit(0).cast("int"))
 
+    seen_bcs = (
+        list(seen_bc) if isinstance(seen_bc, (list, tuple)) else
+        ([seen_bc] if seen_bc is not None else None)
+    )
+
     def fused(batches):
         hk_cache: dict = {}
-        seen = seen_bc.value if seen_bc is not None else None
+        seen_sets = [b.value for b in seen_bcs] if seen_bcs else None
         best: dict = {} if local_first_wins else None
         for pdf in batches:
             # columnar accumulation: building pandas from per-column lists
@@ -154,8 +163,14 @@ def scrape_resolve_children(
                     if child is None:
                         continue
                     curl, cmethod, cparams, digest = child
-                    if seen is not None and digest in seen:
-                        continue  # D2 probe at the source (exact)
+                    if seen_sets is not None:
+                        hit = False
+                        for s in seen_sets:  # D2 probe at the source (exact)
+                            if digest in s:
+                                hit = True
+                                break
+                        if hit:
+                            continue
                     if best is not None:
                         prev = best.get(digest)
                         if prev is not None and prev[7] <= pseq:

@@ -48,6 +48,18 @@ PENDING_COLS = [
     "context_kind", "retries",
 ]
 
+# userinfo-bearing URL (F8 credential carrier) — one pattern shared by the
+# Spark rlike gates and the driver-side seed scan so the carrier count the
+# loop tracks can never disagree with what the harvest collect would find
+UI_PAT = "^[a-z][a-z0-9+.-]*://[^/?#]*@"
+
+# live-fetchable scheme: the frontier keeps ftp/ws/wss (R2, Mojo.pm:177 —
+# the reference's Mojo UA can speak them) but sources/httpfetch.py speaks
+# only http(s); such rows are SKIPPED at fetch time in http mode (counted
+# in the per-wave ``skipped`` metric, never retried) instead of erroring
+# into the retry channel
+HTTP_PAT = "^https?://"
+
 
 @dataclass
 class CrawlConfig:
@@ -137,6 +149,13 @@ class Crawler:
         self._robots_bc = None
         self._robots_bodies: dict[str, str] = {}
         self._robots_hosts: set[str] = set()
+        # piggybacked driver state (maintained from the per-wave digest
+        # collect while the exact seen mirror is alive; None = unknown):
+        # count of pending userinfo-carrier rows, and every host_key that
+        # ever entered the frontier (http+robots mode only)
+        self._pending_ui: int | None = None
+        self._pending_nonhttp: int | None = None
+        self._frontier_hosts: set[str] | None = None
         if self.config.respect_robots:
             if corpus is not None:
                 self._robots_bc = spark.sparkContext.broadcast(
@@ -184,11 +203,17 @@ class Crawler:
 
         from .robots import RobotsCache
 
-        hosts = {
-            r["host_key"]
-            for r in wave.select("host_key").distinct().collect()
-            if r["host_key"]
-        } - self._robots_hosts
+        if self._frontier_hosts is not None:
+            # tracked superset of the wave's hosts (piggybacked on the
+            # digest collect) — no per-wave distinct-collect job; fetching
+            # a not-yet-scheduled host's robots a wave early is harmless
+            hosts = self._frontier_hosts - self._robots_hosts
+        else:
+            hosts = {
+                r["host_key"]
+                for r in wave.select("host_key").distinct().collect()
+                if r["host_key"]
+            } - self._robots_hosts
         if hosts:
             import urllib.request
 
@@ -298,17 +323,20 @@ class Crawler:
 
         return (hk(key) or key) if "://" in key else key
 
-    def _harvest_credentials(self, wave: DataFrame) -> None:
+    def _harvest_credentials(self, wave: DataFrame) -> int:
         """F8 learn-on-first-sight (UserAgent.pm:17-31): any wave URL that
         carries userinfo teaches this host's credentials; later same-host
         requests get them re-attached. Userinfo-bearing URLs are rare, so
-        the harvest is a driver collect of a tiny filtered slice."""
+        the harvest is a driver collect of a tiny filtered slice — and the
+        loop only calls it at all while its tracked pending-carrier count
+        (piggybacked on the per-wave digest collect) is nonzero, so the
+        common all-clean crawl pays ZERO extra jobs per wave. Returns the
+        number of carrier rows found (the loop decrements its count)."""
         from .urlkit import host_key as hk
 
-        carriers = wave.filter(
-            F.col("url").rlike("^[a-z][a-z0-9+.-]*://[^/?#]*@")
-        )
-        for r in carriers.select("url", "seq").orderBy("seq").collect():
+        carriers = wave.filter(F.col("url").rlike(UI_PAT))
+        rows = carriers.select("url", "seq").orderBy("seq").collect()
+        for r in rows:
             url = r["url"]
             key = hk(url)
             if key is None:
@@ -317,6 +345,7 @@ class Crawler:
             userinfo = rest.split("@", 1)[0]
             if userinfo:
                 self._creds[key] = userinfo
+        return len(rows)
 
     def _with_credentials(self, wave: DataFrame) -> DataFrame:
         """F8 (UserAgent.pm:17-31,58-63): attach stored userinfo per host_key
@@ -502,6 +531,30 @@ class Crawler:
         pending = self._seed_frontier(seeds).localCheckpoint(eager=True)
         seen = pending.select("digest").localCheckpoint(eager=True)
         next_seq = pending.count()
+        # seed the piggybacked trackers (list seeds: free driver-side scan;
+        # DataFrame seeds: one narrow one-time job — never per-wave)
+        if isinstance(seeds, (list, tuple)):
+            import re
+
+            self._pending_ui = len(
+                {u for u in seeds if re.match(UI_PAT, u)}
+            )
+            if cfg.fetch_mode == "http":
+                self._pending_nonhttp = len(
+                    {u for u in seeds if not re.match(HTTP_PAT, u)}
+                )
+        else:
+            self._pending_ui = pending.filter(F.col("url").rlike(UI_PAT)).count()
+            if cfg.fetch_mode == "http":
+                self._pending_nonhttp = pending.filter(
+                    ~F.col("url").rlike(HTTP_PAT)
+                ).count()
+        if cfg.respect_robots and cfg.fetch_mode == "http":
+            self._frontier_hosts = {
+                r["host_key"]
+                for r in pending.select("host_key").distinct().collect()
+                if r["host_key"]
+            }
         bloom = None
         if cfg.use_bloom:
             bloom = NumpyBloom.sized(cfg.expected_urls, cfg.bloom_fpp)
@@ -523,6 +576,17 @@ class Crawler:
             raise ValueError("nothing to resume: no committed frontier")
         seen = store.read(spark, "seen")
         meta = store.latest_meta("frontier") or {}
+        crawler._pending_ui = pending.filter(F.col("url").rlike(UI_PAT)).count()
+        if config.fetch_mode == "http":
+            crawler._pending_nonhttp = pending.filter(
+                ~F.col("url").rlike(HTTP_PAT)
+            ).count()
+        if config.respect_robots and config.fetch_mode == "http":
+            crawler._frontier_hosts = {
+                r["host_key"]
+                for r in pending.select("host_key").distinct().collect()
+                if r["host_key"]
+            }
         bloom = None
         if config.use_bloom:
             bloom = NumpyBloom.sized(config.expected_urls, config.bloom_fpp)
@@ -579,12 +643,25 @@ class Crawler:
             cfg.fetch_mode != "http" and drain_level and self.store is None
         )
         # Exact driver-side seen set for the in-UDF D2 probe — maintained
-        # only while it fits cfg.broadcast_seen_max (the same scale cutoff
-        # as the broadcast anti-join; ~128MB of md5 digests at the default)
+        # only while it fits cfg.broadcast_seen_max. Driver cost at the 4M
+        # default: 4M x 32-char digest strings ≈ 128MB of payload, ~400MB
+        # with Python object overhead — bounded and disclosed; beyond the
+        # cutoff the mirror (and every tracker piggybacked on its per-wave
+        # collect) is dropped and the bloom+anti-join path takes over.
+        # The broadcast is INCREMENTAL: the base set ships once, then each
+        # wave ships only its fresh-digest delta (seen_bcs pieces, largest
+        # first); pieces re-consolidate into one broadcast every 8 waves so
+        # the per-candidate probe stays O(1)-ish.
         seen_set: set | None = None
-        seen_bc = None
+        seen_bcs: list = []
+        seen_delta: set = set()
         if cfg.broadcast_seen_max and next_seq <= cfg.broadcast_seen_max:
             seen_set = {r["digest"] for r in seen.select("digest").collect()}
+        else:
+            # no exact mirror ⇒ no piggybacked collect ⇒ trackers unknown
+            self._pending_ui = None
+            self._pending_nonhttp = None
+            self._frontier_hosts = None
         while True:
             if pending_count == 0:
                 if cfg.on_empty is not None:
@@ -625,13 +702,38 @@ class Crawler:
             # real-world side effects and cost, so it is pinned eagerly —
             # every URL is requested exactly ONCE per wave no matter how
             # many frames derive from it.
-            self._harvest_credentials(wave)
+            # credential harvest only while carriers are known (or could
+            # be) pending — the tracked count makes the all-clean crawl
+            # pay zero extra jobs per wave
+            if self._pending_ui is None or self._pending_ui > 0:
+                found = self._harvest_credentials(wave)
+                if self._pending_ui is not None:
+                    self._pending_ui -= found
             # wave_taken: the slice leaving the frontier this wave (incl.
             # robots-disallowed rows, which are skipped, not retried);
-            # wave: the slice actually fetched.
+            # wave: the slice actually fetched. The carry below must
+            # subtract the TAKEN count (what left the frontier), while the
+            # fetch metric reports the post-gate count — conflating them
+            # inflates pending_count by every disallowed row and the loop
+            # never sees the frontier drain.
             wave_taken = wave
+            wave_taken_count = wave_count
+            if cfg.fetch_mode == "http" and (
+                self._pending_nonhttp is None or self._pending_nonhttp > 0
+            ):
+                # live fetch speaks only http(s): ftp/ws/wss frontier rows
+                # are skipped (not retried), gated here only while the
+                # tracked pending-non-http count says any could be in play
+                gated = wave.filter(F.col("url").rlike(HTTP_PAT)).localCheckpoint(
+                    eager=True
+                )
+                gated_count = gated.count()
+                if self._pending_nonhttp is not None:
+                    self._pending_nonhttp -= wave_count - gated_count
+                wave, wave_count = gated, gated_count
+            pre_robots = wave
             wave = self._refresh_robots_and_gate(wave)
-            if wave is not wave_taken:
+            if wave is not pre_robots:
                 wave = wave.localCheckpoint(eager=True)
                 wave_count = wave.count()
             fetched = self._fetch_wave(wave)
@@ -668,13 +770,23 @@ class Crawler:
             # D2 at the source while the exact digest set fits a broadcast:
             # the fused UDF drops already-seen children BEFORE they cross
             # the Arrow boundary (link-dense waves are ~97% seen rows), and
-            # keeps only the partition-local first emit per digest. Beyond
-            # the threshold seen_bc is None and the bloom+shuffle anti-join
+            # keeps only the partition-local first emit per digest. The
+            # base set broadcasts ONCE; each later wave ships only its
+            # fresh-digest delta (O(new) serialization per wave, not
+            # O(total)), re-consolidating every 8 pieces. Beyond the
+            # threshold seen_bcs is empty and the bloom+shuffle anti-join
             # backstop below takes over — same exact semantics.
             if seen_set is not None:
-                if seen_bc is not None:
-                    seen_bc.unpersist()
-                seen_bc = spark.sparkContext.broadcast(seen_set)
+                if not seen_bcs:
+                    seen_bcs.append(spark.sparkContext.broadcast(seen_set))
+                elif seen_delta:
+                    if len(seen_bcs) >= 8:
+                        for b in seen_bcs:
+                            b.unpersist()
+                        seen_bcs = [spark.sparkContext.broadcast(seen_set)]
+                    else:
+                        seen_bcs.append(spark.sparkContext.broadcast(seen_delta))
+                    seen_delta = set()
             _tr("seen_broadcast")
             if cfg.on_wave is not None:
                 replaced = cfg.on_wave(wave_id, pages)
@@ -685,8 +797,8 @@ class Crawler:
             children = scrape_resolve_children(
                 pages.select("url", "content_type", "content_length", "body", "seq", "depth"),
                 cfg.containers,
-                seen_bc=seen_bc,
-                local_first_wins=seen_bc is not None,
+                seen_bc=seen_bcs if seen_bcs else None,
+                local_first_wins=bool(seen_bcs),
                 handlers=cfg.html_handlers,
                 redundancy=cfg.redundancy,
             )
@@ -694,7 +806,7 @@ class Crawler:
             # D2 before D3: they commute on digest, and anti-joining first
             # (broadcast while seen fits) leaves the window dedup sorting
             # only the unseen sliver instead of every extracted edge
-            if seen_bc is None:
+            if not seen_bcs:
                 fresh = seen_anti_join(children, seen, bloom, seen_count=next_seq)  # D2
             else:
                 fresh = children  # probe already applied in-UDF, exactly
@@ -759,16 +871,69 @@ class Crawler:
             )
             _tr("assign_seq+final_ckpt")
             next_seq += enq_count
+            digests_collected = False
             if seen_set is not None and enq_count:
                 if len(seen_set) + enq_count > cfg.broadcast_seen_max:
-                    seen_set = None  # outgrown: bloom+anti-join from here on
-                    if seen_bc is not None:
-                        seen_bc.unpersist()
-                        seen_bc = None
+                    # outgrown: bloom+anti-join from here on; the trackers
+                    # piggybacked on this collect die with the mirror
+                    seen_set = None
+                    for b in seen_bcs:
+                        b.unpersist()
+                    seen_bcs = []
+                    self._pending_ui = None
+                    self._pending_nonhttp = None
+                    self._frontier_hosts = None
                 else:
-                    seen_set.update(
-                        r["digest"] for r in enqueue.select("digest").collect()
+                    # ONE driver collect per wave carries everything the
+                    # loop needs from the fresh rows: digests (exact seen
+                    # mirror + next delta broadcast), the bloom base hashes
+                    # (JVM xxhash64 — the driver updates the filter with no
+                    # separate build job), the userinfo-carrier flag
+                    # (credential-harvest gate) and, in live-robots mode,
+                    # host keys (robots-refresh gate).
+                    sel = [
+                        F.col("digest"),
+                        F.col("url").rlike(UI_PAT).alias("__ui"),
+                    ]
+                    track_nonhttp = (
+                        cfg.fetch_mode == "http"
+                        and self._pending_nonhttp is not None
                     )
+                    if track_nonhttp:
+                        sel.append((~F.col("url").rlike(HTTP_PAT)).alias("__nh"))
+                    if bloom is not None:
+                        sel += [
+                            F.xxhash64(F.col("digest")).alias("__h1"),
+                            F.xxhash64(
+                                F.col("digest"), F.lit("wcm-bloom-salt")
+                            ).alias("__h2"),
+                        ]
+                    track_hosts = self._frontier_hosts is not None
+                    if track_hosts:
+                        sel.append(F.col("host_key"))
+                    rows = enqueue.select(*sel).collect()
+                    digests_collected = True
+                    fresh_digests = [r["digest"] for r in rows]
+                    seen_set.update(fresh_digests)
+                    seen_delta.update(fresh_digests)
+                    n_ui = sum(1 for r in rows if r["__ui"])
+                    if self._pending_ui is not None and n_ui:
+                        self._pending_ui += n_ui
+                    if track_nonhttp:
+                        self._pending_nonhttp += sum(
+                            1 for r in rows if r["__nh"]
+                        )
+                    if bloom is not None and rows:
+                        import numpy as np
+
+                        bloom.add(
+                            np.array([r["__h1"] for r in rows], dtype=np.int64),
+                            np.array([r["__h2"] for r in rows], dtype=np.int64),
+                        )
+                    if track_hosts:
+                        self._frontier_hosts.update(
+                            r["host_key"] for r in rows if r["host_key"]
+                        )
             _tr("digest_collect")
 
             no_caps = drain_level
@@ -795,7 +960,7 @@ class Crawler:
                     out_col="seq",
                     start=next_seq,
                 ).drop("__shuffle_key").select(*PENDING_COLS)
-                next_seq += pending_count - wave_count + enq_count
+                next_seq += pending_count - wave_taken_count + enq_count
                 new_pending = new_pending.localCheckpoint(eager=True)
                 new_seen = seen.unionByName(enqueue.select("digest"))
             elif not no_caps:
@@ -805,15 +970,18 @@ class Crawler:
             # (seed checkpoint + per-wave enqueue checkpoints): unioning is
             # plan-only, so the old per-wave O(total-seen) re-checkpoint is
             # gone; the broadcast anti-join just scans the pieces.
-            if bloom is not None and enq_count:
+            if bloom is not None and enq_count and not digests_collected:
+                # only when the exact-mirror collect didn't already fold
+                # the fresh hashes in driver-side
                 build_bloom(enqueue.select("digest"), bloom)
             _tr("pending_seen_update")
             if not no_caps:
                 pending.unpersist()
             pending, seen = new_pending, new_seen
-            # exact carry in both paths: remaining = pending - wave, plus
-            # the fresh enqueue — no per-wave recount job needed
-            pending_count = pending_count - wave_count + enq_count
+            # exact carry in both paths: remaining = pending - wave_taken
+            # (pre-robots-gate — disallowed rows also left the frontier),
+            # plus the fresh enqueue — no per-wave recount job needed
+            pending_count = pending_count - wave_taken_count + enq_count
 
             total_fetched += wave_count
             metrics.append(
@@ -822,6 +990,9 @@ class Crawler:
                     fetched=wave_count,
                     enqueued=enq_count,
                     pending=pending_count,
+                    # rows that left the frontier unfetched this wave:
+                    # robots-disallowed + non-http(s) schemes in live mode
+                    skipped=wave_taken_count - wave_count,
                     sec=round(time.monotonic() - t0, 3),
                 )
             )
