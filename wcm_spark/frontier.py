@@ -16,6 +16,15 @@ The scheduler does not call this class in its hot loop (it works in whole
 waves); Frontier exists as the user-facing queue API and the property-test
 surface. State commits to a TableStore when one is supplied — that is the
 Iceberg-backed durable-queue analog of Queue::MySQL (Queue/MySQL.pm:45-118).
+
+Single-row enqueues are CHEAP: rows buffer on the driver and materialize
+into the DataFrame in one batch at the next read (length/next/dequeue/
+bulk/commit), the redundancy probe hits an exact driver-side digest cache
+(restored lazily, kept only while it fits ``digest_cache_max``), and the
+pending length is an O(1) tracked counter — N adds cost zero Spark jobs,
+not N scans over an N-deep union plan. Every few DataFrame mutations the
+plan is flattened with a lazy localCheckpoint so lineage depth stays
+bounded no matter how many API calls a session makes.
 """
 
 from __future__ import annotations
@@ -33,22 +42,77 @@ _SCHEMA = (
     "host_key string, depth int, state string"
 )
 
+# flatten the union/withColumn lineage after this many DataFrame mutations
+_FLATTEN_EVERY = 32
+
 
 class Frontier:
-    def __init__(self, spark: SparkSession, store: TableStore | None = None, cap: int | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        store: TableStore | None = None,
+        cap: int | None = None,
+        digest_cache_max: int = 1_000_000,
+    ):
         self.spark = spark
         self.cap = cap
         self.store = store
+        self.digest_cache_max = digest_cache_max
         self._df = spark.createDataFrame([], _SCHEMA)
         self._next_seq = 0
+        self._buffer: list[tuple] = []   # driver-buffered single-row adds
+        self._digests: set | None = set()  # exact probe cache; None = too big
+        self._pending_count = 0
+        self._mutations = 0
         if store is not None:
             restored = store.read(spark, "frontier_api")
             if restored is not None:
                 self._df = restored
-                # restore collects ONE scalar (max seq), never the digests:
-                # the seen set stays distributed in self._df
-                row = self._df.agg(F.max("seq").alias("m")).collect()[0]
+                # restore collects scalars (max seq, counts) — digests are
+                # pulled back only if the table is small enough to cache
+                row = self._df.agg(
+                    F.max("seq").alias("m"),
+                    F.count("*").alias("n"),
+                    F.sum(
+                        F.when(F.col("state") == "pending", 1).otherwise(0)
+                    ).alias("p"),
+                ).collect()[0]
                 self._next_seq = (row["m"] + 1) if row["m"] is not None else 0
+                self._pending_count = int(row["p"] or 0)
+                if (row["n"] or 0) <= digest_cache_max:
+                    self._digests = {
+                        r["digest"]
+                        for r in self._df.select("digest").distinct().collect()
+                    }
+                else:
+                    self._digests = None  # probe falls back to a Spark job
+
+    # -- internal state plumbing --------------------------------------------
+
+    def _set_df(self, df: DataFrame) -> None:
+        self._mutations += 1
+        if self._mutations % _FLATTEN_EVERY == 0:
+            # lazy checkpoint: truncates lineage at next evaluation without
+            # forcing a job now — keeps union/withColumn depth bounded
+            df = df.localCheckpoint(eager=False)
+        self._df = df
+
+    def _flush(self) -> None:
+        """Materialize buffered single-row adds as ONE union."""
+        if not self._buffer:
+            return
+        batch = self.spark.createDataFrame(self._buffer, _SCHEMA).withColumn(
+            "host_key", host_key_udf(F.col("url"))
+        )
+        self._buffer = []
+        self._set_df(self._df.unionByName(batch))
+
+    def _seen(self, digest: str) -> bool:
+        if self._digests is not None:
+            return digest in self._digests
+        if any(b[4] == digest for b in self._buffer):
+            return True
+        return bool(self._df.filter(F.col("digest") == digest).take(1))
 
     # -- queue API (Queue.pm contract) --------------------------------------
 
@@ -62,21 +126,27 @@ class Frontier:
         from .urlkit import job_digest
 
         digest = job_digest(url, method, params)
-        if not requeue and bool(self._df.filter(F.col("digest") == digest).take(1)):
-            return False  # scalar probe: one narrow lookup, no driver mirror
+        if not requeue and self._seen(digest):
+            return False
         if self.cap is not None and self.cap < self.length():
             return False  # newcomer dropped, digest NOT marked
-        row = self.spark.createDataFrame(
-            [(self._next_seq, url, method, params, digest, None, 0, "pending")], _SCHEMA
-        ).withColumn("host_key", host_key_udf(F.col("url")))
-        self._df = self._df.unionByName(row)
+        self._buffer.append(
+            (self._next_seq, url, method, params, digest, None, 0, "pending")
+        )
+        if self._digests is not None:
+            self._digests.add(digest)
+            if len(self._digests) > self.digest_cache_max:
+                self._flush()
+                self._digests = None
         self._next_seq += 1
+        self._pending_count += 1
         return True
 
     def enqueue_frame(self, df: DataFrame, requeue: bool = False) -> int:
         """Bulk path: dedup via anti-join (the scheduler-scale semantics)."""
         from .operators.seq import assign_seq
 
+        self._flush()
         df = df.withColumn(
             "digest", digest_col(F.col("url"), F.col("method"), F.col("params"))
         )
@@ -94,14 +164,23 @@ class Frontier:
             rows = rows.orderBy("seq").limit(room)
         rows = rows.localCheckpoint(eager=True)
         n = rows.count()
-        self._df = self._df.unionByName(rows)
+        self._set_df(self._df.unionByName(rows))
         self._next_seq += n
+        self._pending_count += n
+        if self._digests is not None:
+            if len(self._digests) + n > self.digest_cache_max:
+                self._digests = None
+            else:
+                self._digests.update(
+                    r["digest"] for r in rows.select("digest").collect()
+                )
         return n
 
     def length(self) -> int:
-        return self._df.filter("state = 'pending'").count()
+        return self._pending_count
 
     def next(self, offset: int = 0) -> dict | None:
+        self._flush()
         rows = (
             self._df.filter("state = 'pending'").orderBy("seq").limit(offset + 1).collect()
         )
@@ -111,21 +190,29 @@ class Frontier:
         head = self.next(0)
         if head is None:
             return None
-        self._df = self._df.withColumn(
-            "state",
-            F.when(F.col("seq") == head["seq"], F.lit("done")).otherwise(F.col("state")),
+        self._set_df(
+            self._df.withColumn(
+                "state",
+                F.when(F.col("seq") == head["seq"], F.lit("done")).otherwise(F.col("state")),
+            )
         )
+        self._pending_count -= 1
         return head
 
     def dequeue_wave(self, limit: int | None = None) -> DataFrame:
+        self._flush()
         wave = self._df.filter("state = 'pending'").orderBy("seq")
         if limit is not None:
             wave = wave.limit(limit)
         wave = wave.localCheckpoint(eager=True)
-        self._df = self._df.join(wave.select("seq").withColumnRenamed("seq", "__dq"),
-                                 F.col("seq") == F.col("__dq"), "left") \
-            .withColumn("state", F.when(F.col("__dq").isNotNull(), F.lit("done")).otherwise(F.col("state"))) \
+        n = wave.count()
+        self._set_df(
+            self._df.join(wave.select("seq").withColumnRenamed("seq", "__dq"),
+                          F.col("seq") == F.col("__dq"), "left")
+            .withColumn("state", F.when(F.col("__dq").isNotNull(), F.lit("done")).otherwise(F.col("state")))
             .drop("__dq")
+        )
+        self._pending_count -= n
         return wave
 
     def shuffle(self, seed: int = 42) -> None:
@@ -133,6 +220,7 @@ class Frontier:
         reference shuffles unseeded — any fixed permutation is conformant)."""
         from pyspark.sql.window import Window
 
+        self._flush()
         pend = self._df.filter("state = 'pending'")
         done = self._df.filter("state != 'pending'")
         reseq = pend.withColumn(
@@ -140,16 +228,18 @@ class Frontier:
             F.row_number().over(Window.orderBy(F.md5(F.concat(F.col("url"), F.lit(str(seed)))))).cast("long")
             + F.lit(self._next_seq),
         )
-        self._df = done.unionByName(reseq)
-        self._next_seq += pend.count() + 1
+        self._set_df(done.unionByName(reseq))
+        self._next_seq += self._pending_count + 1
 
     def seen_digests(self) -> set:
         """Materialize the seen set to the driver — an explicitly small-N
         debugging surface; the queue itself never calls this."""
+        self._flush()
         return {r["digest"] for r in self._df.select("digest").distinct().collect()}
 
     def commit(self) -> int | None:
         if self.store is None:
             return None
+        self._flush()
         return self.store.commit("frontier_api", self._df, mode="overwrite",
                                  meta={"next_seq": self._next_seq})
