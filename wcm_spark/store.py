@@ -126,17 +126,17 @@ class IcebergTableStore(TableStore):
         assert mode in ("append", "overwrite")
         ident = self._ident(name)
         writer = df.writeTo(ident)
+        # meta rides in the Iceberg snapshot summary (snapshot-property.*
+        # write options), so each historical snapshot keeps ITS meta and no
+        # value ever touches SQL text — no quoting/injection surface
+        for k, v in (meta or {}).items():
+            writer = writer.option(f"snapshot-property.wcm.{k}", str(v))
         if not self._exists(name):
             writer.create()
         elif mode == "append":
             writer.append()
         else:
             writer.replace()
-        if meta:
-            props = ", ".join(
-                f"'wcm.{k}'='{v}'" for k, v in meta.items()
-            )
-            self.spark.sql(f"ALTER TABLE {ident} SET TBLPROPERTIES ({props})")
         row = self.spark.sql(
             f"SELECT snapshot_id FROM {ident}.snapshots ORDER BY committed_at DESC LIMIT 1"
         ).collect()
@@ -150,14 +150,32 @@ class IcebergTableStore(TableStore):
             return spark.table(ident)
         return spark.sql(f"SELECT * FROM {ident} VERSION AS OF {version}")
 
+    @staticmethod
+    def _meta_from_summary(summary: dict | None) -> dict:
+        out = {
+            k[len("wcm."):]: v
+            for k, v in (summary or {}).items()
+            if k.startswith("wcm.")
+        }
+        # numeric meta round-trips as strings through the summary map
+        for k, v in list(out.items()):
+            if isinstance(v, str) and v.lstrip("-").isdigit():
+                out[k] = int(v)
+        return out
+
     def snapshots(self, name: str) -> list[dict]:
         if not self._exists(name):
             return []
         rows = self.spark.sql(
-            f"SELECT snapshot_id, committed_at FROM {self._ident(name)}.snapshots ORDER BY committed_at"
+            f"SELECT snapshot_id, committed_at, summary "
+            f"FROM {self._ident(name)}.snapshots ORDER BY committed_at"
         ).collect()
         return [
-            {"version": int(r["snapshot_id"]), "ts": str(r["committed_at"]), "meta": self.latest_meta(name) or {}}
+            {
+                "version": int(r["snapshot_id"]),
+                "ts": str(r["committed_at"]),
+                "meta": self._meta_from_summary(r["summary"]),
+            }
             for r in rows
         ]
 
@@ -166,22 +184,8 @@ class IcebergTableStore(TableStore):
         return snaps[-1]["version"] if snaps else 0
 
     def latest_meta(self, name: str) -> dict | None:
-        if not self._exists(name):
-            return None
-        props = {
-            r["key"]: r["value"]
-            for r in self.spark.sql(
-                f"SHOW TBLPROPERTIES {self._ident(name)}"
-            ).collect()
-        }
-        out = {
-            k[len("wcm."):]: v for k, v in props.items() if k.startswith("wcm.")
-        }
-        # numeric meta round-trips as strings through TBLPROPERTIES
-        for k, v in list(out.items()):
-            if isinstance(v, str) and v.lstrip("-").isdigit():
-                out[k] = int(v)
-        return out or None
+        snaps = self.snapshots(name)
+        return (snaps[-1]["meta"] or None) if snaps else None
 
 
 def for_session(spark: SparkSession, root_or_catalog: str) -> TableStore:
