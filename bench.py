@@ -5,10 +5,21 @@ Measures:
 2. crawl-pipeline throughput (fetch-join + scrape + resolve + dedup over a
    deterministic synthetic corpus sized by the sf) — the north metric
    "frontier URLs fetched+deduped per second"
-3. scaling efficiency: the same pipeline at two parallelism levels
-   (local[2] vs local[8] — the sandbox stand-in for N vs 4N executors,
-   chosen inside the host's always-linear region; see BENCH/BASELINE.md),
-   efficiency = (thr_4N / thr_N) / 4, target >= 0.8
+3. scaling efficiency at BOTH pairs, identical protocol for each:
+   - local[8] -> local[32]: the pair BASELINE.md prescribes as the
+     sandbox stand-in for N vs 4N executors (reported as the headline
+     ``scaling_efficiency``)
+   - local[2] -> local[8]: the host's always-linear region (context for
+     host-phase drift; reported alongside, never as the headline)
+   Each pair: 3 interleaved lo/hi rounds; BOTH estimators reported —
+   per-level best-of-N (min-time rule for one-sided throttle noise) and
+   median of per-round paired ratios. efficiency = ratio / (hi/lo cores).
+4. null-work host-ceiling control: a pure-JVM embarrassingly-parallel
+   job (chained md5 over the same corpus, no Python workers, no shuffle
+   beyond one count) at 8 and 32 cores. If THIS job also fails to scale
+   8->32, the ceiling is the host's, not the engine's;
+   ``efficiency_vs_host_ceiling`` = engine ratio / null ratio isolates
+   the engine's own scaling from that ceiling.
 
 Each parallelism level runs in a subprocess (one SparkContext per JVM).
 """
@@ -42,6 +53,7 @@ HEADLINE_QUERIES = [
     "ann_lsh_bucketed",
     "ann_ivf",
     "ann_ivf_kmeans",
+    "ann_ivf_fitted",
     "embedding_neardup",
     "image_phash_neardup",
     "stratified_sample",
@@ -162,11 +174,65 @@ def _crawl_run(cores: int, corpus_path: str) -> dict:
     )
 
 
+def _null_run(cores: int, corpus_path: str) -> dict:
+    """Child-process body: the host-ceiling CONTROL job.
+
+    Embarrassingly parallel, pure-JVM (whole-stage codegen, no Python
+    workers, no wide shuffle): per corpus row, one md5 of the body then a
+    chain of WCM_NULL_ROUNDS (default 64) small md5s, reduced by a single
+    count+max. There is nothing here the engine contributes — if this job
+    does not scale from 8 to 32 cores either, the ceiling is the host's.
+    """
+    from pyspark.sql import functions as F
+
+    from wcm_spark.session import get_spark
+
+    rounds = int(os.environ.get("WCM_NULL_ROUNDS", "64"))
+    spark = get_spark(f"wcm-null-{cores}", cpus=cores, shuffle_partitions=cores)
+    total_bytes = sum(
+        os.path.getsize(os.path.join(corpus_path, f))
+        for f in os.listdir(corpus_path)
+        if f.endswith(".parquet")
+    )
+    spark.conf.set(
+        "spark.sql.files.maxPartitionBytes", str(max(total_bytes // (cores * 3), 1 << 20))
+    )
+    spark.conf.set(
+        "spark.sql.files.openCostInBytes", str(max(total_bytes // (cores * 6), 1 << 18))
+    )
+    corpus = spark.read.parquet(corpus_path)
+    chain = F.aggregate(
+        F.sequence(F.lit(1), F.lit(rounds)),
+        F.md5(F.col("body")),
+        lambda acc, i: F.md5(F.concat(acc, F.lit("x"))),
+    )
+
+    def job(src):
+        return src.select(chain.alias("h")).agg(
+            F.count(F.lit(1)).alias("n"), F.max("h")
+        )
+
+    job(corpus.sample(0.05, seed=1)).collect()  # warm-up, untimed
+    t0 = time.monotonic()
+    n_pages = job(corpus).collect()[0]["n"]
+    elapsed = time.monotonic() - t0
+    spark.stop()
+    return dict(
+        cores=cores,
+        pages=n_pages,
+        sec=round(elapsed, 3),
+        urls_per_sec=round(n_pages / elapsed, 1),
+    )
+
+
 def _child_main():
     cores = int(os.environ["WCM_BENCH_CORES"])
     corpus_path = os.environ["WCM_BENCH_CORPUS"]
-    if os.environ.get("WCM_BENCH_MODE") == "crawl":
+    mode = os.environ.get("WCM_BENCH_MODE")
+    if mode == "crawl":
         print(json.dumps(_crawl_run(cores, corpus_path)))
+    elif mode == "null":
+        print(json.dumps(_null_run(cores, corpus_path)))
     else:
         print(json.dumps(_pipeline_run(cores, corpus_path)))
 
@@ -213,41 +279,64 @@ def main():
     corpus_df(spark, sites, pages_per_site).write.mode("overwrite").parquet(corpus_path)
     spark.stop()
 
-    # Scaling pair: N=2 vs 4N=8 cores. This box's usable parallelism
-    # drifts over tens of minutes (earlier it scaled linearly to 16; in
-    # degraded phases it saturates between 8 and 16 — same code+input
-    # measured 4->16 ratios of 3.0-3.5 vs 2->8 ratios of 3.9-4.0), so the
-    # pair sits WELL inside the always-linear region to measure the
-    # ENGINE's scaling rather than the host ceiling of the moment. Peak
-    # throughput still runs at the full $SPARK_GRAFT_CPUS.
-    lo_cores, hi_cores = 2, 8
-    # paired sampling: each (lo, hi) pair runs back-to-back so the ratio
-    # is taken under shared host conditions; the median ratio is robust to
-    # the ±30% turbo/noise swings that independent best-of-N pairing
-    # amplifies into the efficiency number
-    # Per-level best-of-N: host noise is one-sided (throttling only ever
-    # SLOWS a run), so each level's MAX observed throughput is its
-    # cleanest measurement — the standard min-time benchmarking rule,
-    # applied per parallelism level. Runs interleave lo/hi so neither
-    # level systematically gets the cooler window. (Paired-median and
-    # min-combined-time selections were both tried; both let a single
-    # throttled member corrupt the ratio.)
-    lo_runs, hi_runs = [], []
-    for k in range(3):
-        if k % 2 == 0:
-            lo_runs.append(_spawn(lo_cores, corpus_path, repeats=1))
-            hi_runs.append(_spawn(hi_cores, corpus_path, repeats=1))
-        else:
-            hi_runs.append(_spawn(hi_cores, corpus_path, repeats=1))
-            lo_runs.append(_spawn(lo_cores, corpus_path, repeats=1))
-    lo = max(lo_runs, key=lambda r: r["urls_per_sec"])
-    hi = max(hi_runs, key=lambda r: r["urls_per_sec"])
-    lo["all_urls_per_sec"] = [r["urls_per_sec"] for r in lo_runs]
-    hi["all_urls_per_sec"] = [r["urls_per_sec"] for r in hi_runs]
-    ratio = hi["urls_per_sec"] / max(lo["urls_per_sec"], 1e-9)
-    peak = _spawn(CPUS, corpus_path, repeats=1) if CPUS > hi_cores else hi
-    efficiency = round(ratio / (hi_cores / lo_cores), 3)
-    # crawl next-coolest window; best-of-3 reported alongside all runs
+    def run_pair(lo_cores: int, hi_cores: int, rounds: int = 3, mode: str = "pipeline") -> dict:
+        """One scaling pair, protocol identical for every pair and round:
+        ``rounds`` back-to-back (lo, hi) rounds in alternating order (so
+        neither level systematically gets the cooler window), reporting
+        BOTH estimators — per-level best-of-N (min-time rule: host
+        throttling is one-sided, it only ever slows a run) and the median
+        of per-round paired ratios (robust when a single member of a
+        round throttles). efficiency = ratio / (hi_cores / lo_cores)."""
+        lo_runs, hi_runs = [], []
+        for k in range(rounds):
+            if k % 2 == 0:
+                lo_runs.append(_spawn(lo_cores, corpus_path, repeats=1, mode=mode))
+                hi_runs.append(_spawn(hi_cores, corpus_path, repeats=1, mode=mode))
+            else:
+                hi_runs.append(_spawn(hi_cores, corpus_path, repeats=1, mode=mode))
+                lo_runs.append(_spawn(lo_cores, corpus_path, repeats=1, mode=mode))
+        lo = max(lo_runs, key=lambda r: r["urls_per_sec"])
+        hi = max(hi_runs, key=lambda r: r["urls_per_sec"])
+        lo["all_urls_per_sec"] = [r["urls_per_sec"] for r in lo_runs]
+        hi["all_urls_per_sec"] = [r["urls_per_sec"] for r in hi_runs]
+        factor = hi_cores / lo_cores
+        ratio_best = hi["urls_per_sec"] / max(lo["urls_per_sec"], 1e-9)
+        pair_ratios = sorted(
+            h["urls_per_sec"] / max(l["urls_per_sec"], 1e-9)
+            for l, h in zip(lo_runs, hi_runs)
+        )
+        ratio_median = pair_ratios[len(pair_ratios) // 2]
+        return {
+            f"local{lo_cores}": lo,
+            f"local{hi_cores}": hi,
+            "ratio_best": round(ratio_best, 3),
+            "ratio_median_pairs": round(ratio_median, 3),
+            "all_pair_ratios": [round(r, 3) for r in pair_ratios],
+            "efficiency_best": round(ratio_best / factor, 3),
+            "efficiency_median_pairs": round(ratio_median / factor, 3),
+        }
+
+    # The PRESCRIBED pair first (BASELINE.md: local[8] vs local[32] as the
+    # N vs 4N stand-in) in the coolest window, then the always-linear 2->8
+    # context pair. Both pairs, both estimators, every round — the
+    # protocol is pinned in BENCH/BASELINE.md and identical across rounds.
+    pair_main = run_pair(8, CPUS if CPUS >= 32 else 32)
+    pair_linear = run_pair(2, 8)
+    # Null-work host-ceiling control at the prescribed pair's levels: one
+    # round is enough — the question is only whether pure-JVM
+    # embarrassingly-parallel work scales 8->32 on this host right now.
+    null_pair = run_pair(8, CPUS if CPUS >= 32 else 32, rounds=1, mode="null")
+    lo = pair_linear["local2"]
+    hi = pair_linear["local8"]
+    peak = pair_main[f"local{CPUS if CPUS >= 32 else 32}"]
+    # headline efficiency = the prescribed pair's best-of-N estimator;
+    # engine-vs-host-ceiling divides out what the null job loses too
+    efficiency = pair_main["efficiency_best"]
+    ratio = pair_main["ratio_best"]
+    eff_vs_host = round(
+        pair_main["ratio_best"] / max(null_pair["ratio_best"], 1e-9), 3
+    )
+    # crawl next; best-of-3 reported alongside all runs
     crawl = _spawn(CPUS, corpus_path, repeats=3, mode="crawl")
 
     # headline queries run LAST: the north-rule efficiency pairs and the
@@ -271,13 +360,18 @@ def main():
                 "queries": query_secs,
                 "sf": sf_name,
                 "throughput": {
-                    f"local{lo_cores}": lo,
-                    f"local{hi_cores}": hi,
+                    "local2": lo,
+                    "local8": hi,
                     f"local{CPUS}_peak": peak,
                     "iterative_crawl": crawl,
                     "urls_per_sec": peak["urls_per_sec"],
-                    "scaling_ratio": round(ratio, 3),
+                    # headline = the PRESCRIBED local[8]->local[32] pair
+                    "scaling_ratio": ratio,
                     "scaling_efficiency": efficiency,
+                    "scaling_pair_8to32": pair_main,
+                    "scaling_pair_2to8": pair_linear,
+                    "null_control_8to32": null_pair,
+                    "efficiency_vs_host_ceiling": eff_vs_host,
                 },
             }
         )

@@ -139,6 +139,22 @@ def register(name: str):
     return deco
 
 
+# Similarity gates are PARAMETERS of their builders, defaulting to the
+# real-data operating points (phash near-dup Hamming <= 8, near-dup /
+# LSH-verified cosine >= 0.9). The driver's synthetic embeddings are
+# near-orthogonal noise (pairwise cosine ~ N(0, 1/sqrt(64))), so at the
+# real-data gates every fixture query returns 0 rows — a vacuous
+# correctness check. The registry therefore passes these DOCUMENTED
+# overrides, tuned to the synthetic tail so the oracle compare exercises
+# nonzero candidate/verify paths; production callers use the builders'
+# defaults (or their own gates) directly.
+SYNTHETIC_GATES: dict[str, dict] = {
+    "image_phash_neardup": {"max_hamming": 24},
+    "embedding_neardup": {"min_cosine": 0.35},
+    "ann_lsh_bucketed": {"min_cosine": 0.25},
+}
+
+
 def spark_only(name: str):
     def deco(fn):
         _SPARK_ONLY[name] = fn
@@ -672,10 +688,13 @@ SELECT query_id, cand_id, cosine FROM (
 
 
 @register("embedding_neardup")
-def _q_neardup(d, sf):
+def _q_neardup(d, sf, min_cosine: float = 0.9):
     """Embedding near-dup pairs via banded hyperplane LSH candidates:
-    cosine >= 0.35 among same-label vectors that share at least one LSH
-    band (4 bands x 4 deterministic md5-sign hyperplanes, OR-amplified).
+    cosine >= ``min_cosine`` among same-label vectors that share at least
+    one LSH band (4 bands x 4 deterministic md5-sign hyperplanes,
+    OR-amplified). Default 0.9 is the real-data near-duplicate gate; the
+    registry overrides to 0.35 on the synthetic fixtures
+    (SYNTHETIC_GATES — near-orthogonal noise embeddings never reach 0.9).
 
     This is the 100 TB shape: the exact cosine verification is bounded by
     the (label, band, signature) bucket join instead of an O(n^2)
@@ -738,20 +757,21 @@ SELECT vec_a, vec_b, label, cosine FROM (
   FROM cand c
   JOIN {emb} a ON a.vec_id = c.vec_a
   JOIN {emb} b ON b.vec_id = c.vec_b
-) t WHERE cosine >= 0.35"""
+) t WHERE cosine >= {min_cosine}"""
 
 
 @register("ann_lsh_bucketed")
-def _q_ann_lsh(d, sf):
+def _q_ann_lsh(d, sf, min_cosine: float = 0.9):
     """Similarity-search scale path: random-hyperplane LSH bucketing.
 
     8 hyperplanes with deterministic ±1 components from md5 parity (so both
     engines derive identical planes with no RNG); vectors sharing a bucket
-    are candidate neighbors, then verified by exact cosine >= 0.25 (gate
-    tuned to the tail of the near-orthogonal synthetic embedding
-    distribution; on real data it sits near 0.9). At scale
-    the bucket join replaces the O(n^2) brute-force pair join of
-    ann_cosine_topk: candidates shuffle by bucket id only."""
+    are candidate neighbors, then verified by exact cosine >=
+    ``min_cosine`` (default 0.9, the real-data gate; the registry
+    overrides to 0.25 on the synthetic near-orthogonal fixtures —
+    SYNTHETIC_GATES). At scale the bucket join replaces the O(n^2)
+    brute-force pair join of ann_cosine_topk: candidates shuffle by
+    bucket id only."""
     f = _fn(d)
     sign = (
         "CASE WHEN "
@@ -801,16 +821,19 @@ SELECT vec_a, vec_b, bucket, cosine FROM (
   JOIN bucketed bb ON ba.bucket = bb.bucket AND ba.vec_id < bb.vec_id
   JOIN {emb} a ON a.vec_id = ba.vec_id
   JOIN {emb} b ON b.vec_id = bb.vec_id
-) t WHERE cosine >= 0.25"""
+) t WHERE cosine >= {min_cosine}"""
 
 
 @register("image_phash_neardup")
-def _q_phash_neardup(d, sf):
+def _q_phash_neardup(d, sf, max_hamming: int = 8):
     """Perceptual-hash near-dup for the image table shape: 64-bit
     signature -> 4 bands of 16 bits (LSH: pairs identical in >=1 band are
-    candidates) -> exact Hamming distance <= 8 verified on candidates
-    only. On crawled images the signature is images.phash64 (the sink
-    column pinned by the PSNR pytest gates); here it is derived
+    candidates) -> exact Hamming distance <= ``max_hamming`` verified on
+    candidates only (default 8, the standard real-image near-dup gate;
+    the registry overrides to 24 on the synthetic fixtures —
+    SYNTHETIC_GATES — whose sign-bit hashes are uniform noise). On
+    crawled images the signature is images.phash64 (the sink column
+    pinned by the PSNR pytest gates); here it is derived
     deterministically as the sign bits of the 64-dim embedding so both
     engines compute identical hashes with no image codec. Hamming is
     computed in row form (count of differing sign bits over the candidate
@@ -844,20 +867,13 @@ ham AS (
   JOIN elems eb ON eb.vec_id = c.vec_b AND eb.dim = ea.dim
   GROUP BY c.vec_a, c.vec_b
 )
-SELECT vec_a, vec_b, hamming FROM ham WHERE hamming <= 24"""
+SELECT vec_a, vec_b, hamming FROM ham WHERE hamming <= {max_hamming}"""
 
 
-@register("ann_ivf_kmeans")
-def _q_ann_ivf_kmeans(d, sf):
-    """IVF coarse quantizer FIT: 2 unrolled Lloyd iterations of k-means
-    (k=8, deterministic init = first 8 vectors), entirely in row form
-    (vec_id, dim, x) so the same SQL shape runs on both engines — no
-    array ops, no RNG. Iterative-algorithm pattern: at cluster scale each
-    iteration is one hash-aggregate over the exploded elements (shuffle by
-    (cell, dim)); centroids round to 6 decimals per iteration so
-    double-summation order differences between engines cannot flip an
-    assignment. Output: final cell sizes (the quantizer's balance
-    profile). ann_ivf consumes such a quantizer for probing."""
+def _ivf_kmeans_ctes(d, sf):
+    """The shared 2-iteration Lloyd chain: WITH-clause text ending in
+    ``final_asg(vec_id, cell)`` — the fitted cell assignment both
+    ann_ivf_kmeans (balance profile) and ann_ivf_fitted (probe) consume."""
     if d == "spark":
         elems = (
             "SELECT vec_id, dim, CAST(x AS DOUBLE) AS x FROM "
@@ -896,7 +912,7 @@ cent{i + 1} AS (
 )""")
         prev_cent = f"cent{i + 1}"
     chain = ",\n".join(iters)
-    return f"""WITH elems AS ({elems}),
+    return f"""elems AS ({elems}),
 vnorm AS (SELECT vec_id, sqrt(sum(x * x)) AS nv FROM elems GROUP BY vec_id),
 cent0 AS (SELECT vec_id AS cell, dim, x AS cx FROM elems WHERE vec_id < 8),
 {chain},
@@ -917,9 +933,65 @@ final_asg AS (
     JOIN vnorm v ON v.vec_id = dt.vec_id
     JOIN final_cnorm n ON n.cell = dt.cell
   ) t WHERE rk = 1
-)
+)"""
+
+
+@register("ann_ivf_kmeans")
+def _q_ann_ivf_kmeans(d, sf):
+    """IVF coarse quantizer FIT: 2 unrolled Lloyd iterations of k-means
+    (k=8, deterministic init = first 8 vectors), entirely in row form
+    (vec_id, dim, x) so the same SQL shape runs on both engines — no
+    array ops, no RNG. Iterative-algorithm pattern: at cluster scale each
+    iteration is one hash-aggregate over the exploded elements (shuffle by
+    (cell, dim)); centroids round to 6 decimals per iteration so
+    double-summation order differences between engines cannot flip an
+    assignment. Output: final cell sizes (the quantizer's balance
+    profile). ann_ivf_fitted probes this same quantizer."""
+    return f"""WITH {_ivf_kmeans_ctes(d, sf)}
 SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs
 FROM final_asg GROUP BY cell"""
+
+
+@register("ann_ivf_fitted")
+def _q_ann_ivf_fitted(d, sf):
+    """IVF probe over the FITTED quantizer: the k-means cells from
+    ann_ivf_kmeans (final_asg) feed an actual search — queries
+    (vec_id < 3) probe ONLY their own fitted cell, exact cosine top-3
+    among same-cell candidates. The fit→search chain a production IVF
+    index runs: at cluster scale the probe join shuffles on cell id (each
+    query touches one inverted list), never the O(n^2) pair space; the
+    fit itself is the hash-aggregate chain documented on
+    ann_ivf_kmeans."""
+    if d == "spark":
+        def dot(a, b):
+            return (
+                f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            )
+
+        def norm(a):
+            return f"sqrt(aggregate({a}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    else:
+        def dot(a, b):
+            return f"list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+
+        def norm(a):
+            return f"sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+    emb = _tbl("embeddings", d, sf)
+    cos_qx = f"{dot('q.embedding', 'x.embedding')} / ({norm('q.embedding')} * {norm('x.embedding')})"
+    return f"""WITH {_ivf_kmeans_ctes(d, sf)}
+SELECT query_id, cand_id, cosine FROM (
+  SELECT q.vec_id AS query_id, x.vec_id AS cand_id,
+         round({cos_qx}, 4) AS cosine,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round({cos_qx}, 6) DESC, x.vec_id
+         ) AS rk
+  FROM final_asg aq
+  JOIN {emb} q ON q.vec_id = aq.vec_id AND q.vec_id < 3
+  JOIN final_asg ax ON ax.cell = aq.cell AND ax.vec_id != q.vec_id
+  JOIN {emb} x ON x.vec_id = ax.vec_id
+) t WHERE rk <= 3"""
 
 
 @register("ann_ivf")
@@ -1367,9 +1439,10 @@ def _q_mm_audio(spark, sf_dir):
 
 def _mk_spark_fn(name: str):
     builder = _BUILDERS[name]
+    gates = SYNTHETIC_GATES.get(name, {})
 
     def run(spark, sf_dir):
-        return spark.sql(builder("spark", sf_dir))
+        return spark.sql(builder("spark", sf_dir, **gates))
 
     run.__name__ = f"q_{name}"
     return run
@@ -1384,6 +1457,9 @@ def spark_queries() -> dict[str, Callable]:
 
 
 def oracle_sqls() -> dict[str, str]:
-    out = {name: builder("duck", None) for name, builder in _BUILDERS.items()}
+    out = {
+        name: builder("duck", None, **SYNTHETIC_GATES.get(name, {}))
+        for name, builder in _BUILDERS.items()
+    }
     out["resolve_href_goldens"] = _resolve_oracle_sql()
     return out
