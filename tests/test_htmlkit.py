@@ -562,6 +562,46 @@ def test_selector_class_child_not_and_attr_ops():
     assert [it["literal_uri"] for it in items] == ["/n1"]
 
 
+def test_selector_sibling_combinators_and_positional_pseudos():
+    """Mojo::DOM container grammar, the round-2 gaps: adjacent (+) and
+    general (~) sibling combinators, :nth-of-type, :first/last-child,
+    :first/last-of-type — including no-space forms and ~ inside [attr~=]
+    staying an attribute op."""
+    from wcm_spark.htmlkit import find, parse_html
+
+    html = """
+    <div id="list">
+      <h2>head</h2>
+      <a href="/a1">a1</a>
+      <p>between</p>
+      <a href="/a2">a2</a>
+      <a href="/a3">a3</a>
+    </div>
+    <div id="other"><a href="/o1" rel="me nofollow">o1</a></div>
+    """
+    dom = parse_html(html)
+
+    def hrefs(sel):
+        return [n.attrs.get("href") for n in find(dom, sel)]
+
+    assert hrefs("h2 + a") == ["/a1"]            # adjacent only
+    assert hrefs("p + a") == ["/a2"]
+    assert hrefs("a + a") == ["/a3"]
+    assert hrefs("h2 ~ a") == ["/a1", "/a2", "/a3"]  # any later sibling
+    assert hrefs("p ~ a") == ["/a2", "/a3"]
+    assert hrefs("p+a") == ["/a2"]               # no-space form
+    assert hrefs("p~a") == ["/a2", "/a3"]
+    assert hrefs("[rel~=nofollow]") == ["/o1"]   # ~ in attr op untouched
+    assert hrefs("a:first-child") == ["/o1"]     # a1 is 2nd child of #list
+    assert hrefs("#list a:first-of-type") == ["/a1"]
+    assert hrefs("#list a:last-of-type") == ["/a3"]
+    assert hrefs("#list a:nth-of-type(2)") == ["/a2"]
+    assert hrefs("#list :last-child") == ["/a3"]
+    # chains mixing sibling and ancestor combinators
+    assert hrefs("#list h2 + a") == ["/a1"]
+    assert hrefs("div > h2 ~ a:nth-of-type(3)") == ["/a3"]
+
+
 def test_fast_preset_collection_equals_generic():
     """The tag-switch preset path must emit EXACTLY what the compiled
     selector path emits — same items, same order (forcing the generic

@@ -284,8 +284,11 @@ def parse_html(text: str, xml: bool | None = None) -> Node:
 
 # ---------------------------------------------------------------------------
 # Selector engine: tag, #id, .class, [attr], [attr{=,^=,$=,*=,~=}v],
-# :nth-child(n), :not(compound), descendant and child (>) combinators.
-# Covers the presets plus the container selectors users actually write.
+# :nth-child(n), :nth-of-type(n), :first/last-child, :first/last-of-type,
+# :not(compound); descendant, child (>), adjacent (+) and general (~)
+# sibling combinators — the container grammar Mojo::DOM accepts in
+# practice (Mojo.pm:139 takes any CSS3 selector; these are the forms user
+# scrape code actually writes).
 # ---------------------------------------------------------------------------
 
 _SIMPLE_RE = re.compile(
@@ -297,6 +300,11 @@ _SIMPLE_RE = re.compile(
       (?:(?P<op>[\^\$\*~]?=)(?P<quote>['"]?)(?P<val>[^\]'"]*)(?P=quote))?
     \]
   | :nth-child\((?P<nth>\d+)\)
+  | :nth-of-type\((?P<nthot>\d+)\)
+  | :first-of-type(?P<firstot>)
+  | :last-of-type(?P<lastot>)
+  | :first-child(?P<firstc>)
+  | :last-child(?P<lastc>)
   | :not\((?P<notsel>[^)]+)\)
 """,
     re.VERBOSE,
@@ -360,7 +368,75 @@ def _parse_compound(token: str):
                 sibs = n.parent.element_children()
                 return k - 1 < len(sibs) and sibs[k - 1] is n
             tests.append(nth_test)
+        elif m.group("nthot"):
+            k = int(m.group("nthot"))
+            def nthot_test(n, k=k):
+                if n.parent is None:
+                    return False
+                typed = [c for c in n.parent.element_children() if c.tag == n.tag]
+                return k - 1 < len(typed) and typed[k - 1] is n
+            tests.append(nthot_test)
+        elif m.group("firstot") is not None:
+            tests.append(
+                lambda n: n.parent is not None
+                and next(
+                    (c for c in n.parent.element_children() if c.tag == n.tag),
+                    None,
+                )
+                is n
+            )
+        elif m.group("lastot") is not None:
+            tests.append(
+                lambda n: n.parent is not None
+                and next(
+                    (c for c in reversed(n.parent.element_children()) if c.tag == n.tag),
+                    None,
+                )
+                is n
+            )
+        elif m.group("firstc") is not None:
+            tests.append(
+                lambda n: n.parent is not None
+                and (lambda s: bool(s) and s[0] is n)(n.parent.element_children())
+            )
+        elif m.group("lastc") is not None:
+            tests.append(
+                lambda n: n.parent is not None
+                and (lambda s: bool(s) and s[-1] is n)(n.parent.element_children())
+            )
     return tests
+
+
+def _tokenize_selector(selector: str) -> list[str]:
+    """Split a selector into compound tokens and combinator tokens.
+
+    Char-scan with bracket/paren depth so ``~`` inside ``[attr~=v]`` and
+    spaces inside ``:not(...)`` never read as combinators; handles the
+    no-space forms (``a.b+c``) the whitespace split could not."""
+    toks: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    for ch in selector.strip():
+        if ch in "[(":
+            depth += 1
+            buf.append(ch)
+        elif ch in "])":
+            depth -= 1
+            buf.append(ch)
+        elif depth == 0 and ch in ">+~":
+            if buf:
+                toks.append("".join(buf))
+                buf = []
+            toks.append(ch)
+        elif depth == 0 and ch.isspace():
+            if buf:
+                toks.append("".join(buf))
+                buf = []
+        else:
+            buf.append(ch)
+    if buf:
+        toks.append("".join(buf))
+    return toks
 
 
 def _compile_selector(selector: str):
@@ -368,16 +444,17 @@ def _compile_selector(selector: str):
     compound's tag requirement (None for attr-only selectors), used to
     bucket selectors for single-pass extraction.
 
-    Combinators: descendant (whitespace) and child (>). Matching walks
-    right-to-left with backtracking on descendant hops, so mixed chains
-    like ``div > ul li > a`` resolve correctly."""
-    tokens = re.sub(r"\s*>\s*", " > ", selector.strip()).split()
+    Combinators: descendant (whitespace), child (>), adjacent sibling (+)
+    and general sibling (~). Matching walks right-to-left with
+    backtracking on descendant/general-sibling hops, so mixed chains like
+    ``div > ul li + a`` resolve correctly."""
+    tokens = _tokenize_selector(selector)
     compounds: list = []
     rels: list[str] = []  # rels[i]: relation between compounds[i] and [i+1]
     pending = " "
     for tok in tokens:
-        if tok == ">":
-            pending = ">"
+        if tok in (">", "+", "~"):
+            pending = tok
             continue
         if compounds:
             rels.append(pending)
@@ -385,7 +462,7 @@ def _compile_selector(selector: str):
         pending = " "
     if not compounds:
         raise ValueError(f"empty selector: {selector!r}")
-    last_tok = [t for t in tokens if t != ">"][-1]
+    last_tok = [t for t in tokens if t not in (">", "+", "~")][-1]
     m = re.match(r"[a-zA-Z][\w-]*", last_tok)
     last_tag = m.group(0).lower() if m else None
 
@@ -393,6 +470,24 @@ def _compile_selector(selector: str):
         if idx < 0:
             return True
         rel = rels[idx]
+        if rel in ("+", "~"):
+            parent = node.parent
+            if parent is None:
+                return False
+            sibs = parent.element_children()
+            # identity scan — Node is a dataclass whose == is deep/recursive
+            i = next((j for j, s in enumerate(sibs) if s is node), -1)
+            if i < 0:
+                return False
+            if rel == "+":
+                if i == 0:
+                    return False
+                prev = sibs[i - 1]
+                return all(t(prev) for t in compounds[idx]) and _match_up(prev, idx - 1)
+            for prev in sibs[:i]:
+                if all(t(prev) for t in compounds[idx]) and _match_up(prev, idx - 1):
+                    return True
+            return False
         anc = node.parent
         if rel == ">":
             return (
