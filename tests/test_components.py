@@ -212,3 +212,21 @@ def test_iceberg_store_when_catalog_present(spark):
     assert store.read(spark, "probe").count() == 2
     assert store.read(spark, "probe", version=v1).count() == 1
     assert store.latest_meta("probe")["wave"] == 2
+
+
+def test_drain_pos_fast_path_dense_and_ordered(spark):
+    """Drain-mode crawls take the pos=seq fast path (no end-of-crawl rank
+    pass); the result must still be a DENSE 0..N-1 position whose order
+    equals the (wave, seq) order the rank pass would produce — including
+    with error rows and retries in the mix."""
+    from wcm_spark.corpus import corpus_df, seed_urls
+    from wcm_spark.scheduler import CrawlConfig, Crawler
+
+    corpus = corpus_df(spark, n_sites=3, pages_per_site=8).cache()
+    cfg = CrawlConfig(expected_urls=10_000, use_bloom=False, retry_errors=1)
+    res = Crawler(spark, corpus, cfg).run(seed_urls(3))
+    rows = res.visits.select("pos", "wave", "seq").collect()
+    assert rows, "crawl produced no visits"
+    assert sorted(r["pos"] for r in rows) == list(range(len(rows)))
+    by_pos = [(r["wave"], r["seq"]) for r in sorted(rows, key=lambda r: r["pos"])]
+    assert by_pos == sorted(by_pos)

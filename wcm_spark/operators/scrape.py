@@ -134,8 +134,14 @@ def scrape_resolve_children(
         ([seen_bc] if seen_bc is not None else None)
     )
 
+    _MISS = object()
+
     def fused(batches):
         hk_cache: dict = {}
+        # nav/footer links repeat across every page of a site — memoize the
+        # full resolve+digest on (literal, base, method, params). Bounded:
+        # keys are the partition's distinct links (capped as a guard).
+        mc_cache: dict = {}
         seen_sets = [b.value for b in seen_bcs] if seen_bcs else None
         best: dict = {} if local_first_wins else None
         for pdf in batches:
@@ -156,10 +162,12 @@ def scrape_resolve_children(
                 child_depth = int(depth) + 1
                 pseq = int(seq)
                 for it in items:
-                    child = make_child(
-                        it["literal_uri"], it["base"], it["method"],
-                        it["params"], redundancy,
-                    )
+                    mk = (it["literal_uri"], it["base"], it["method"], it["params"])
+                    child = mc_cache.get(mk, _MISS)
+                    if child is _MISS:
+                        child = make_child(mk[0], mk[1], mk[2], mk[3], redundancy)
+                        if len(mc_cache) < (1 << 21):
+                            mc_cache[mk] = child
                     if child is None:
                         continue
                     curl, cmethod, cparams, digest = child

@@ -1017,9 +1017,18 @@ class Crawler:
         visits_all = visit_frames[0] if visit_frames else self._empty_visits()
         for vf in visit_frames[1:]:
             visits_all = visits_all.unionByName(vf)
-        # Distributed dense position — a global Window.orderBy would funnel
-        # the whole crawl history through one partition.
-        visits_all = assign_seq(visits_all, ["wave", "seq"], out_col="pos")
+        if lazy_visits and cfg.shuffle_every is None and visit_frames:
+            # Drain-mode invariant: every frontier seq is fetched exactly
+            # once (no politeness slicing, and the fetch-time gates are
+            # http-only so nothing is skipped in this mode) and each wave
+            # fetches a strictly higher seq range than the last — so the
+            # dense (wave, seq) position IS the frontier seq. O(1) column,
+            # no end-of-crawl range-exchange/rank pass over the history.
+            visits_all = visits_all.withColumn("pos", F.col("seq").cast("long"))
+        else:
+            # Distributed dense position — a global Window.orderBy would
+            # funnel the whole crawl history through one partition.
+            visits_all = assign_seq(visits_all, ["wave", "seq"], out_col="pos")
         images = None
         if image_frames:
             images = image_frames[0]
