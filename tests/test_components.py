@@ -204,7 +204,18 @@ def test_iceberg_store_when_catalog_present(spark):
 
     cat = spark.conf.get("spark.sql.catalog.iceberg", None)
     if not cat:
-        pytest.skip("no Iceberg catalog configured in this environment")
+        # Verified round 3: the pyspark 4.1.2 distribution here ships no
+        # iceberg-spark-runtime jar (checked $SPARK_HOME/jars and the
+        # pyspark wheel's jars/), there is no local ivy/maven cache, and
+        # the sandbox has no network (repo1.maven.org does not resolve) —
+        # the jar cannot be installed, so the real-Iceberg branch is
+        # structurally untestable in this environment, not merely
+        # unconfigured.
+        pytest.skip(
+            "no Iceberg catalog: iceberg-spark-runtime jar absent and "
+            "unfetchable in this sandbox (no network); runs on a real "
+            "cluster via spark-submit --packages + spark.sql.catalog.*"
+        )
     store = IcebergTableStore(spark, "iceberg")
     df = spark.createDataFrame([(1, "a")], "id int, v string")
     v1 = store.commit("probe", df, mode="overwrite", meta={"wave": 1})
@@ -212,6 +223,9 @@ def test_iceberg_store_when_catalog_present(spark):
     assert store.read(spark, "probe").count() == 2
     assert store.read(spark, "probe", version=v1).count() == 1
     assert store.latest_meta("probe")["wave"] == 2
+    # per-snapshot meta history (snapshot summaries, not table props)
+    metas = [s["meta"].get("wave") for s in store.snapshots("probe")]
+    assert metas == [1, 2]
 
 
 def test_drain_pos_fast_path_dense_and_ordered(spark):

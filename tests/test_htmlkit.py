@@ -600,6 +600,11 @@ def test_selector_sibling_combinators_and_positional_pseudos():
     # chains mixing sibling and ancestor combinators
     assert hrefs("#list h2 + a") == ["/a1"]
     assert hrefs("div > h2 ~ a:nth-of-type(3)") == ["/a3"]
+    # selector groups: any alternative matches, document order kept
+    assert hrefs("h2 + a, #other a") == ["/a1", "/o1"]
+    assert hrefs("#list a:first-of-type, #list a:last-of-type, [rel~=me]") == [
+        "/a1", "/a3", "/o1",
+    ]
 
 
 def test_fast_preset_collection_equals_generic():

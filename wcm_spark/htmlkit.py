@@ -439,15 +439,48 @@ def _tokenize_selector(selector: str) -> list[str]:
     return toks
 
 
+def _split_top_level(selector: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` outside brackets/parens (selector groups)."""
+    parts: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    for ch in selector:
+        if ch in "[(":
+            depth += 1
+        elif ch in "])":
+            depth -= 1
+        if ch == sep and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    return [p.strip() for p in parts if p.strip()]
+
+
 def _compile_selector(selector: str):
     """Compile to (matches_fn, last_tag) — last_tag is the rightmost
     compound's tag requirement (None for attr-only selectors), used to
     bucket selectors for single-pass extraction.
 
     Combinators: descendant (whitespace), child (>), adjacent sibling (+)
-    and general sibling (~). Matching walks right-to-left with
-    backtracking on descendant/general-sibling hops, so mixed chains like
-    ``div > ul li + a`` resolve correctly."""
+    and general sibling (~); selector GROUPS (``a, b``) match if any
+    alternative matches (their last_tag collapses to the shared tag, or
+    None — the generic bucket — when alternatives end differently).
+    Matching walks right-to-left with backtracking on descendant/
+    general-sibling hops, so mixed chains like ``div > ul li + a``
+    resolve correctly."""
+    group = _split_top_level(selector)
+    if len(group) > 1:
+        compiled = [_compile_selector(part) for part in group]
+        fns = [fn for fn, _ in compiled]
+        tags = {tag for _, tag in compiled}
+        last = tags.pop() if len(tags) == 1 else None
+
+        def matches_any(node: Node) -> bool:
+            return any(fn(node) for fn in fns)
+
+        return matches_any, last
     tokens = _tokenize_selector(selector)
     compounds: list = []
     rels: list[str] = []  # rels[i]: relation between compounds[i] and [i+1]
