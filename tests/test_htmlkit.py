@@ -605,6 +605,13 @@ def test_selector_sibling_combinators_and_positional_pseudos():
     assert hrefs("#list a:first-of-type, #list a:last-of-type, [rel~=me]") == [
         "/a1", "/a3", "/o1",
     ]
+    # an+b formulas (children of #list: h2, a1, p, a2, a3 at 1..5)
+    assert hrefs("#list a:nth-child(even)") == ["/a1", "/a2"]
+    assert hrefs("#list a:nth-child(odd)") == ["/a3"]
+    assert hrefs("#list a:nth-child(2n)") == ["/a1", "/a2"]
+    assert hrefs("#list :nth-child(n+4)") == ["/a2", "/a3"]
+    assert hrefs("#list a:nth-of-type(2n+1)") == ["/a1", "/a3"]
+    assert hrefs("#list a:nth-of-type(-n+2)") == ["/a1", "/a2"]
 
 
 def test_fast_preset_collection_equals_generic():

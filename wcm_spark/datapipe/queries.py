@@ -525,11 +525,33 @@ FROM {_tbl('documents', d, sf)}
 GROUP BY md5(text)"""
 
 
+def _minhash_sig_select() -> str:
+    """8 minhash signature columns from TWO md5s per shingle: each digest
+    slices into four 8-hex (32-bit) chunks, min-aggregated independently.
+    2 md5 calls instead of 8 is the dominant cost of the whole minhash
+    family (hashing every (doc, shingle) row); 32-bit chunk mins keep the
+    standard P(mh_a = mh_b) = J(A,B) LSH property with negligible
+    collision mass, and hex-string min stays engine-portable."""
+    cols = []
+    for i in range(8):
+        src = "ha" if i < 4 else "hb"
+        pos = (i % 4) * 8 + 1
+        cols.append(f"min(substr({src}, {pos}, 8)) AS mh{i}")
+    return ",\n       ".join(cols)
+
+
+_MINHASH_HASHED = (
+    "SELECT doc_id, md5('a' || tok) AS ha, md5('b' || tok) AS hb FROM tok_set"
+)
+
+
 @register("dedup_minhash_lsh")
 def _q_minhash(d, sf):
-    """MinHash+LSH near-dup candidates: 8 md5-minhashes over the token set,
-    4 bands of 2 -> bucket ids; pairs sharing a bucket are candidates.
-    Hex-string min is engine-portable (no integer hash divergence)."""
+    """MinHash+LSH near-dup candidates: 8 minhashes over the shingle set
+    (two md5s per shingle sliced into 32-bit chunks — see
+    _minhash_sig_select), 4 bands of 2 -> bucket ids; pairs sharing a
+    bucket are candidates. Hex-string min is engine-portable (no integer
+    hash divergence)."""
     f = _fn(d)
     if d == "spark":
         tok_rows = """tok_rows AS (
@@ -539,9 +561,6 @@ def _q_minhash(d, sf):
         tok_rows = """tok_rows AS (
   SELECT doc_id, unnest(shingles) AS tok FROM shingled
 )"""
-    sigs = ",\n       ".join(
-        f"min(md5('s{i}' || tok)) AS mh{i}" for i in range(8)
-    )
     bands = ",\n       ".join(
         f"md5(mh{2*i} || mh{2*i+1}) AS band{i}" for i in range(4)
     )
@@ -550,10 +569,12 @@ def _q_minhash(d, sf):
     )
     return f"""WITH {_shingles_cte(d, sf)},
 {tok_rows},
+tok_set AS (SELECT DISTINCT doc_id, tok FROM tok_rows),
+tok_hashed AS ({_MINHASH_HASHED}),
 sigs AS (
   SELECT doc_id,
-       {sigs}
-  FROM (SELECT DISTINCT doc_id, tok FROM tok_rows) t
+       {_minhash_sig_select()}
+  FROM tok_hashed
   GROUP BY doc_id
 ),
 banded AS (
@@ -584,7 +605,6 @@ def _q_jaccard(d, sf):
         tok_rows = "SELECT doc_id, tok FROM shingled LATERAL VIEW explode(shingles) x AS tok"
     else:
         tok_rows = "SELECT doc_id, unnest(shingles) AS tok FROM shingled"
-    sigs = ",\n       ".join(f"min(md5('s{i}' || tok)) AS mh{i}" for i in range(8))
     bands = ",\n       ".join(f"md5(mh{2*i} || mh{2*i+1}) AS band{i}" for i in range(4))
     band_union = "\nUNION ALL\n".join(
         f"SELECT doc_id, {i} AS band_no, band{i} AS bucket FROM banded" for i in range(4)
@@ -593,10 +613,12 @@ def _q_jaccard(d, sf):
 tok_rows AS ({tok_rows}),
 tok_set AS (SELECT DISTINCT doc_id, tok FROM tok_rows),
 sizes AS (SELECT doc_id, count(*) AS n FROM tok_set GROUP BY doc_id),
+tok_hashed AS ({_MINHASH_HASHED}),
 sigs AS (
   SELECT doc_id,
-       {sigs}
-  FROM tok_set GROUP BY doc_id
+       {_minhash_sig_select()}
+  FROM tok_hashed
+  GROUP BY doc_id
 ),
 banded AS (
   SELECT doc_id,
@@ -1227,12 +1249,26 @@ def _shingle_set_df(spark, sf_dir):
     )
 
 
-def _minhash_spark(spark, sf_dir):
+def _minhash_buckets_df(spark, sf_dir):
+    """(doc_id, band_no, bucket) rows under the SAME signature scheme as
+    the SQL dialects (_minhash_sig_select: two md5s per shingle sliced
+    into 32-bit chunks) — shared by the minhash and jaccard overrides so
+    the DataFrame path can never drift from the oracle's candidates."""
     from pyspark.sql import functions as F
 
     tok_set = _shingle_set_df(spark, sf_dir)
-    sigs = tok_set.groupBy("doc_id").agg(
-        *[F.min(F.md5(F.concat(F.lit(f"s{i}"), F.col("tok")))).alias(f"mh{i}") for i in range(8)]
+    hashed = tok_set.select(
+        "doc_id",
+        F.md5(F.concat(F.lit("a"), F.col("tok"))).alias("ha"),
+        F.md5(F.concat(F.lit("b"), F.col("tok"))).alias("hb"),
+    )
+    sigs = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.substring(F.col("ha" if i < 4 else "hb"), (i % 4) * 8 + 1, 8)
+            ).alias(f"mh{i}")
+            for i in range(8)
+        ]
     )
     banded = sigs.select(
         "doc_id",
@@ -1241,12 +1277,18 @@ def _minhash_spark(spark, sf_dir):
     # one-pass unpivot (stack) instead of a 4-way UNION ALL re-scan;
     # EAGER checkpoint: a lazy persist races in the self-join below (both
     # sides compute the unmaterialized cache inside one action)
-    buckets = banded.select(
+    return banded.select(
         "doc_id",
         F.expr(
             "stack(4, 0, band0, 1, band1, 2, band2, 3, band3) AS (band_no, bucket)"
         ),
     ).localCheckpoint(eager=True)
+
+
+def _minhash_spark(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    buckets = _minhash_buckets_df(spark, sf_dir)
     b = buckets.select(
         F.col("doc_id").alias("doc_b_id"),
         F.col("band_no").alias("band_no_b"),
@@ -1266,15 +1308,40 @@ def _minhash_spark(spark, sf_dir):
 
 
 def _jaccard_spark(spark, sf_dir):
+    """Exact Jaccard verified ONLY on MinHash-band candidate pairs — the
+    same restriction the SQL dialects express, so the oracle compare is
+    structural rather than luck: a J>=0.8 pair sharing no band is
+    excluded on BOTH sides. (The earlier override ran the full shingle
+    equi-join, a superset that merely happened to agree on fixtures.)"""
     from pyspark.sql import functions as F
 
     tok_set = _shingle_set_df(spark, sf_dir).localCheckpoint(eager=True)
     sizes = tok_set.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = tok_set
-    b = tok_set.select(F.col("doc_id").alias("doc_id_b"), F.col("tok").alias("tok_b"))
+    buckets = _minhash_buckets_df(spark, sf_dir)
+    b = buckets.select(
+        F.col("doc_id").alias("doc_b_id"),
+        F.col("band_no").alias("band_no_b"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    cand = (
+        buckets.join(
+            b,
+            (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("band_no") == F.col("band_no_b"))
+            & (F.col("doc_id") < F.col("doc_b_id")),
+        )
+        .select(F.col("doc_id").alias("doc_a"), F.col("doc_b_id").alias("doc_b"))
+        .dropDuplicates()
+    )
+    a_t = tok_set.select(F.col("doc_id").alias("doc_a"), "tok")
+    b_t = tok_set.select(F.col("doc_id").alias("doc_b2"), F.col("tok").alias("tok_b"))
     inter = (
-        a.join(b, (F.col("tok") == F.col("tok_b")) & (F.col("doc_id") < F.col("doc_id_b")))
-        .groupBy(F.col("doc_id").alias("doc_a"), F.col("doc_id_b").alias("doc_b"))
+        cand.join(a_t, "doc_a")
+        .join(
+            b_t,
+            (F.col("doc_b") == F.col("doc_b2")) & (F.col("tok") == F.col("tok_b")),
+        )
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("both"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))

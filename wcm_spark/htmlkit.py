@@ -299,8 +299,8 @@ _SIMPLE_RE = re.compile(
   | \[(?P<attr>[\w:-]+)
       (?:(?P<op>[\^\$\*~]?=)(?P<quote>['"]?)(?P<val>[^\]'"]*)(?P=quote))?
     \]
-  | :nth-child\((?P<nth>\d+)\)
-  | :nth-of-type\((?P<nthot>\d+)\)
+  | :nth-child\((?P<nth>[^)]+)\)
+  | :nth-of-type\((?P<nthot>[^)]+)\)
   | :first-of-type(?P<firstot>)
   | :last-of-type(?P<lastot>)
   | :first-child(?P<firstc>)
@@ -309,6 +309,30 @@ _SIMPLE_RE = re.compile(
 """,
     re.VERBOSE,
 )
+
+
+def _parse_nth(expr: str) -> tuple[int, int]:
+    """CSS an+b micro-grammar -> (a, b): '3', '2n', '2n+1', '-n+4',
+    'odd', 'even'. A 1-based position i matches iff i = a*k + b for some
+    integer k >= 0."""
+    expr = expr.strip().lower().replace(" ", "")
+    if expr == "odd":
+        return (2, 1)
+    if expr == "even":
+        return (2, 0)
+    m = re.fullmatch(r"([+-]?\d*)n([+-]\d+)?", expr)
+    if m:
+        raw_a = m.group(1)
+        a = 1 if raw_a in ("", "+") else (-1 if raw_a == "-" else int(raw_a))
+        return (a, int(m.group(2) or 0))
+    return (0, int(expr))
+
+
+def _nth_matches(a: int, b: int, i: int) -> bool:
+    if a == 0:
+        return i == b
+    k, r = divmod(i - b, a)
+    return r == 0 and k >= 0
 
 
 def _parse_compound(token: str):
@@ -361,20 +385,22 @@ def _parse_compound(token: str):
                     in (n.attrs.get(attr) or "").split()
                 )
         elif m.group("nth"):
-            k = int(m.group("nth"))
-            def nth_test(n, k=k):
+            a, b = _parse_nth(m.group("nth"))
+            def nth_test(n, a=a, b=b):
                 if n.parent is None:
                     return False
                 sibs = n.parent.element_children()
-                return k - 1 < len(sibs) and sibs[k - 1] is n
+                i = next((j for j, s in enumerate(sibs, 1) if s is n), 0)
+                return i > 0 and _nth_matches(a, b, i)
             tests.append(nth_test)
         elif m.group("nthot"):
-            k = int(m.group("nthot"))
-            def nthot_test(n, k=k):
+            a, b = _parse_nth(m.group("nthot"))
+            def nthot_test(n, a=a, b=b):
                 if n.parent is None:
                     return False
                 typed = [c for c in n.parent.element_children() if c.tag == n.tag]
-                return k - 1 < len(typed) and typed[k - 1] is n
+                i = next((j for j, s in enumerate(typed, 1) if s is n), 0)
+                return i > 0 and _nth_matches(a, b, i)
             tests.append(nthot_test)
         elif m.group("firstot") is not None:
             tests.append(
