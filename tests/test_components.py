@@ -244,3 +244,30 @@ def test_drain_pos_fast_path_dense_and_ordered(spark):
     assert sorted(r["pos"] for r in rows) == list(range(len(rows)))
     by_pos = [(r["wave"], r["seq"]) for r in sorted(rows, key=lambda r: r["pos"])]
     assert by_pos == sorted(by_pos)
+
+
+def test_long_chain_crawl_consolidates_seen_broadcast(spark):
+    """A 12-wave chain crawl drives the incremental seen-broadcast past
+    its 8-piece consolidation point; dedup must stay exact (the chain
+    also links BACK to the seed every page, so every wave re-offers
+    already-seen URLs to the probe)."""
+    from wcm_spark.scheduler import CrawlConfig, Crawler
+
+    n = 12
+    rows = []
+    for i in range(n):
+        nxt = f"<a href='/p{i+1}.html'>n</a>" if i + 1 < n else ""
+        body = (f"<a href='/p0.html'>seed</a>{nxt}").encode()
+        rows.append((f"http://chain.test/p{i}.html", 200, "text/html",
+                     len(body), body, None))
+    corpus = spark.createDataFrame(
+        rows,
+        "url string, status int, content_type string, content_length bigint, "
+        "body binary, redirect_to string",
+    ).cache()
+    cfg = CrawlConfig(expected_urls=1000, use_bloom=False)
+    res = Crawler(spark, corpus, cfg).run(["http://chain.test/p0.html"])
+    vis = [r["url"] for r in res.visits.orderBy("pos").collect()]
+    assert vis == [f"http://chain.test/p{i}.html" for i in range(n)]
+    assert res.waves == n  # one new URL per wave; no duplicate fetches
+    assert res.seen.count() == n

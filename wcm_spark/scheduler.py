@@ -512,10 +512,24 @@ class Crawler:
                 .drop("last_wave")
             )
         if cfg.max_conn_per_host is not None:
+            k = cfg.max_conn_per_host
+            # two-phase per-host top-K (the reason frontier rows carry
+            # host_salt): phase 1 caps each (host, salt) shard to K rows,
+            # spreading a skewed host over cfg.salts tasks instead of
+            # funneling its millions of pending rows through ONE window
+            # task; phase 2 ranks the <= K*salts survivors per host. The
+            # true per-host top-K by seq is always contained in the union
+            # of per-shard top-Ks, so the result is identical.
+            w1 = Window.partitionBy("host_key", "host_salt").orderBy("seq")
+            wave = (
+                wave.withColumn("__hs", F.row_number().over(w1))
+                .filter(F.col("__hs") <= k)
+                .drop("__hs")
+            )
             w = Window.partitionBy("host_key").orderBy("seq")
             wave = (
                 wave.withColumn("__hr", F.row_number().over(w))
-                .filter(F.col("__hr") <= cfg.max_conn_per_host)
+                .filter(F.col("__hr") <= k)
                 .drop("__hr")
             )
         if cfg.max_conn is not None:
