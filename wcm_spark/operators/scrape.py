@@ -135,12 +135,18 @@ def scrape_resolve_children(
     )
 
     _MISS = object()
+    # the schemes the frontier keeps (R2) — any other absolute literal is
+    # dropped by make_child regardless of base, so this list is exhaustive
+    # for cache-worthy base-independent literals
+    _ABS_SCHEMES = ("http://", "https://", "ftp://", "ws://", "wss://")
 
     def fused(batches):
         hk_cache: dict = {}
-        # nav/footer links repeat across every page of a site — memoize the
-        # full resolve+digest on (literal, base, method, params). Bounded:
-        # keys are the partition's distinct links (capped as a guard).
+        # absolute nav/footer links repeat across every page of a site —
+        # memoize the full resolve+digest for them. ONLY fully-absolute
+        # literals are cacheable-by-literal: a relative literal resolves
+        # against its page's base, which differs per page, so caching
+        # those is all-miss overhead (measured). Bounded as a guard.
         mc_cache: dict = {}
         seen_sets = [b.value for b in seen_bcs] if seen_bcs else None
         best: dict = {} if local_first_wins else None
@@ -162,12 +168,24 @@ def scrape_resolve_children(
                 child_depth = int(depth) + 1
                 pseq = int(seq)
                 for it in items:
-                    mk = (it["literal_uri"], it["base"], it["method"], it["params"])
-                    child = mc_cache.get(mk, _MISS)
-                    if child is _MISS:
-                        child = make_child(mk[0], mk[1], mk[2], mk[3], redundancy)
-                        if len(mc_cache) < (1 << 21):
-                            mc_cache[mk] = child
+                    lit = it["literal_uri"]
+                    # anchored scheme check: "/redir?to=http://x" is
+                    # RELATIVE and must not share a cache slot across bases
+                    if lit.startswith(_ABS_SCHEMES):
+                        mk = (lit, it["method"], it["params"])
+                        child = mc_cache.get(mk, _MISS)
+                        if child is _MISS:
+                            child = make_child(
+                                lit, it["base"], it["method"], it["params"],
+                                redundancy,
+                            )
+                            if len(mc_cache) < (1 << 20):
+                                mc_cache[mk] = child
+                    else:
+                        child = make_child(
+                            lit, it["base"], it["method"], it["params"],
+                            redundancy,
+                        )
                     if child is None:
                         continue
                     curl, cmethod, cparams, digest = child
