@@ -225,6 +225,41 @@ def _null_run(cores: int, corpus_path: str) -> dict:
     )
 
 
+def _probe_burn(sec: float) -> int:
+    import hashlib
+
+    t_end = time.monotonic() + sec
+    n = 0
+    h = b"x" * 64
+    while time.monotonic() < t_end:
+        for _ in range(2000):
+            h = hashlib.md5(h).digest()
+        n += 2000
+    return n
+
+
+def _host_probe(seconds: float = 3.0) -> dict:
+    """Spark-free host-phase probe: 32 md5-burning PROCESSES (no GIL, no
+    JVM) measuring the aggregate hash throughput the host will actually
+    deliver right now. Recorded before and after the scaling pairs so
+    every BENCH artifact carries direct evidence of the host phase it ran
+    in (this box drifts 2-5x over tens of minutes with no guest-visible
+    cause — see BENCH/BASELINE.md)."""
+    import multiprocessing as mp
+
+    nproc = min(32, os.cpu_count() or 1)
+    t0 = time.monotonic()
+    with mp.Pool(nproc) as pool:
+        counts = pool.map(_probe_burn, [seconds] * nproc)
+    elapsed = time.monotonic() - t0
+    agg = sum(counts) / elapsed
+    return {
+        "procs": nproc,
+        "aggregate_md5_per_sec_m": round(agg / 1e6, 2),
+        "per_proc_md5_per_sec_m": round(agg / nproc / 1e6, 3),
+    }
+
+
 def _child_main():
     cores = int(os.environ["WCM_BENCH_CORES"])
     corpus_path = os.environ["WCM_BENCH_CORPUS"]
@@ -320,12 +355,14 @@ def main():
     # N vs 4N stand-in) in the coolest window, then the always-linear 2->8
     # context pair. Both pairs, both estimators, every round — the
     # protocol is pinned in BENCH/BASELINE.md and identical across rounds.
+    probe_before = _host_probe()
     pair_main = run_pair(8, CPUS if CPUS >= 32 else 32)
     pair_linear = run_pair(2, 8)
     # Null-work host-ceiling control at the prescribed pair's levels: one
     # round is enough — the question is only whether pure-JVM
     # embarrassingly-parallel work scales 8->32 on this host right now.
     null_pair = run_pair(8, CPUS if CPUS >= 32 else 32, rounds=1, mode="null")
+    probe_after = _host_probe()
     lo = pair_linear["local2"]
     hi = pair_linear["local8"]
     peak = pair_main[f"local{CPUS if CPUS >= 32 else 32}"]
@@ -372,6 +409,10 @@ def main():
                     "scaling_pair_2to8": pair_linear,
                     "null_control_8to32": null_pair,
                     "efficiency_vs_host_ceiling": eff_vs_host,
+                    "host_probe": {
+                        "before_pairs": probe_before,
+                        "after_pairs": probe_after,
+                    },
                 },
             }
         )
