@@ -163,12 +163,21 @@ def _resolve_full(base: str, href: str) -> str:
     return out
 
 
+_SCHEME_RE = re.compile(r"[A-Za-z][A-Za-z0-9+.\-]*")
+
+
 def url_scheme(url: str) -> str | None:
+    # fast path: the overwhelming majority of resolved crawl URLs —
+    # skips the slice + regex machinery entirely
+    if url.startswith("http://"):
+        return "http"
+    if url.startswith("https://"):
+        return "https"
     i = url.find(":")
     if i <= 0:
         return None
     sch = url[:i]
-    if re.fullmatch(r"[A-Za-z][A-Za-z0-9+.\-]*", sch):
+    if _SCHEME_RE.fullmatch(sch):
         return sch.lower()
     return None
 
