@@ -762,16 +762,25 @@ _FAST_TAG_PRESETS = {
 }
 
 
-def _collect_presets_fast(dom: Node) -> dict:
+def _collect_presets_fast(dom: Node):
     """One walk, direct tag switch — semantically identical to compiling
     the 15 preset selectors, minus the matcher machinery (the hot ~45% of
     extraction CPU on real pages). Containers / custom handlers take the
-    generic compiled path instead."""
+    generic compiled path instead. Also returns the first base[href]
+    element found on the same walk (document order — exactly what
+    ``at(dom, "base[href]")`` would return) so the caller skips a second
+    full-tree matcher scan per page."""
     out: dict = {k: [] for k in _PRESET_KEYS_SORTED}
     style_hits = out["[style]"]
     style_handler = HANDLER_PRESETS["[style]"]
     xml = getattr(dom, "xml", False)
+    base_node = None
     for node in dom.walk():
+        # base detection BEFORE the XML script guard: at("base[href]")
+        # applies no such filter, and this must return exactly what it
+        # would
+        if base_node is None and node.tag == "base" and "href" in node.attrs:
+            base_node = node
         if xml and node.has_script_ancestor():
             continue
         attrs = node.attrs
@@ -786,7 +795,7 @@ def _collect_presets_fast(dom: Node) -> dict:
             out[_SITEMAP_KEY].append((node, HANDLER_PRESETS[_SITEMAP_KEY]))
         if "style" in attrs:
             style_hits.append((node, style_handler))
-    return out
+    return out, base_node
 
 
 def extract_links(
@@ -818,18 +827,20 @@ def extract_links(
     if content_type and _HTMLISH_CT.match(content_type):
         text = decode_body(content_type, body)
         dom = parse_html(text)
-        base_tag = at(dom, "base[href]")
-        if base_tag is not None:
-            base = resolve_href(url, base_tag.attrs.get("href") or "")
 
         if containers is None and handlers is None:
             # Hot path: the preset selectors have fixed shapes (tag +
             # optional single attr), so a direct tag switch replaces the
-            # compiled-matcher machinery. Output is identical to the
-            # generic path (A/B-pinned in tests/test_htmlkit.py).
-            matches_by_key = _collect_presets_fast(dom)
+            # compiled-matcher machinery — and the same walk yields the
+            # base[href] element, saving a second full-tree scan. Output
+            # is identical to the generic path (A/B-pinned in
+            # tests/test_htmlkit.py).
+            matches_by_key, base_tag = _collect_presets_fast(dom)
         else:
             matches_by_key = None
+            base_tag = at(dom, "base[href]")
+        if base_tag is not None:
+            base = resolve_href(url, base_tag.attrs.get("href") or "")
         if containers is None:
             containers = [None]
         elif isinstance(containers, str):
