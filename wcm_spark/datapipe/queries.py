@@ -1199,6 +1199,60 @@ def _q_fingerprint(d, sf):
 FROM {_tbl('documents', d, sf)}"""
 
 
+# the corpus generator's closed language set — pivot columns must be a
+# fixed list for a deterministic schema on both engines
+_DOC_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+@register("doc_lang_pivot")
+def _q_lang_pivot(d, sf):
+    """PIVOT (§2.6 relational coverage): per source, one count column per
+    language. The SQL form is portable conditional aggregation; the Spark
+    side overrides with the native DataFrame groupBy().pivot() (fixed
+    value list — no extra distinct pass) in _SPARK_OVERRIDES, and the
+    oracle pins both produce identical tables."""
+    cols = ",\n  ".join(
+        f"CAST(sum(CASE WHEN lang = '{l}' THEN 1 ELSE 0 END) AS BIGINT) AS {l}"
+        for l in _DOC_LANGS
+    )
+    return f"""SELECT source,
+  {cols}
+FROM {_tbl('documents', d, sf)}
+GROUP BY source"""
+
+
+@register("doclen_percentiles")
+def _q_doclen_percentiles(d, sf):
+    """Exact per-group percentiles (ordered-set aggregate): median and p90
+    of document length per language via percentile_cont WITHIN GROUP —
+    the ANSI form both engines implement. At scale this is one sort-based
+    aggregate shuffled by lang (5 groups; a skew-safe variant would
+    pre-aggregate per (lang, n_chars) first — lengths are low-cardinality
+    so the rollup side stays tiny)."""
+    return f"""SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  round(CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY n_chars) AS DOUBLE), 4) AS median_chars,
+  round(CAST(percentile_cont(0.9) WITHIN GROUP (ORDER BY n_chars) AS DOUBLE), 4) AS p90_chars
+FROM {_tbl('documents', d, sf)}
+GROUP BY lang"""
+
+
+@register("doclen_histogram")
+def _q_doclen_histogram(d, sf):
+    """Fixed-bin length histogram: 10 bins of 64 chars clamped to [0, 9]
+    (floor arithmetic — DuckDB lacks width_bucket, so the portable form
+    is the explicit clamp both engines fold into one hash aggregate).
+    The shape a 100 TB quality dashboard uses: one map-side-combinable
+    groupBy on a derived int, no sort anywhere."""
+    bucket = "least(greatest(CAST(floor(n_chars / 64.0) AS INT), 0), 9)"
+    return f"""SELECT {bucket} AS bucket,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(min(n_chars) AS BIGINT) AS min_chars,
+  CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM {_tbl('documents', d, sf)}
+GROUP BY {bucket}"""
+
+
 # ---------------------------------------------------------------------------
 # optimized Spark-side implementations for the multi-reference queries.
 # Catalyst inlines CTEs, so the SQL forms above recompute the exploded
@@ -1378,10 +1432,28 @@ def _simhash_spark(spark, sf_dir):
     )
 
 
+def _lang_pivot_spark(spark, sf_dir):
+    """Native DataFrame pivot with a pinned value list: no extra distinct
+    scan for pivot values, one hash aggregate, stable column order."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = (
+        docs.groupBy("source")
+        .pivot("lang", list(_DOC_LANGS))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(_DOC_LANGS))
+    )
+    return out.select(
+        "source", *[F.col(l).cast("long").alias(l) for l in _DOC_LANGS]
+    )
+
+
 _SPARK_OVERRIDES = {
     "dedup_minhash_lsh": _minhash_spark,
     "dedup_ngram_jaccard": _jaccard_spark,
     "dedup_simhash": _simhash_spark,
+    "doc_lang_pivot": _lang_pivot_spark,
 }
 
 
