@@ -62,6 +62,9 @@ HEADLINE_QUERIES = [
     "quality_score",
     "token_count",
     "doc_fingerprint",
+    "doc_lang_pivot",
+    "doclen_percentiles",
+    "doclen_histogram",
     "status_histogram",
 ]
 
