@@ -216,13 +216,25 @@ def _null_run(cores: int, corpus_path: str) -> dict:
         )
 
     job(corpus.sample(0.05, seed=1)).collect()  # warm-up, untimed
+    # time-boxed: repeat the fixed-work job until >= ~12 s has elapsed and
+    # report work/time. The per-unit cost of identical JVM work swings
+    # ~20x with host phase (measured 1.0 vs 20.6 us/row for this exact
+    # job), so a fixed round count is either overhead-dominated (good
+    # phase) or minutes long (bad phase); the rate is the honest metric.
     t0 = time.monotonic()
-    n_pages = job(corpus).collect()[0]["n"]
-    elapsed = time.monotonic() - t0
+    reps = 0
+    n_pages = 0
+    while True:
+        n_pages += job(corpus).collect()[0]["n"]
+        reps += 1
+        elapsed = time.monotonic() - t0
+        if elapsed >= 12.0 or reps >= 16:
+            break
     spark.stop()
     return dict(
         cores=cores,
         pages=n_pages,
+        reps=reps,
         sec=round(elapsed, 3),
         urls_per_sec=round(n_pages / elapsed, 1),
     )
