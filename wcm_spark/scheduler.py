@@ -441,7 +441,47 @@ class Crawler:
 
     # -- seeds ------------------------------------------------------------
 
+    _SEED_SCHEMA = (
+        "seq long, wave int, url string, host_key string, method string, "
+        "params string, digest string, depth int, referrer_url string, "
+        "literal_uri string, context string, context_kind string, retries int"
+    )
+
     def _seed_frontier(self, seeds) -> DataFrame:
+        if isinstance(seeds, (list, tuple)):
+            # driver-side fast path: digest dedup (first wins) and dense
+            # seq assignment are pure Python over the seed list — ONE
+            # createDataFrame (host_salt rides as a lazy JVM column on
+            # the caller's checkpoint) instead of the ~5 Spark jobs the
+            # generic window/range-exchange path costs. Seed lists are
+            # the overwhelmingly common entry; DataFrame seeds keep the
+            # distributed path below.
+            from .urlkit import host_key as hk_fn
+            from .urlkit import job_digest
+
+            red = self.config.redundancy
+            rows = []
+            seen_d = set()
+            for u in seeds:
+                dig = (
+                    str(red(u, None, None)) if red is not None
+                    else job_digest(u, None, None)
+                )
+                if dig in seen_d:
+                    continue
+                seen_d.add(dig)
+                rows.append(
+                    (len(rows), 0, u, hk_fn(u), None, None, dig, 0,
+                     None, None, None, None, 0)
+                )
+            return (
+                self.spark.createDataFrame(rows, self._SEED_SCHEMA)
+                .withColumn(
+                    "host_salt",
+                    host_salt_col(F.col("host_key"), self.config.salts),
+                )
+                .select(*PENDING_COLS)
+            )
         if isinstance(seeds, DataFrame):
             df = seeds
             if "seed_order" not in df.columns:
