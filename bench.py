@@ -253,13 +253,41 @@ def _probe_burn(sec: float) -> int:
     return n
 
 
+def _probe_bw(sec: float) -> float:
+    """MB/s copied through a 64MB (larger-than-LLC) buffer, timed INSIDE
+    the worker after the buffer is faulted in (pool startup / allocation
+    must not dilute the rate). Always completes at least one copy."""
+    import numpy as np
+
+    a = np.ones(64_000_000, dtype=np.uint8)
+    int(a[::4096].sum())  # fault in
+    t0 = time.monotonic()
+    t_end = t0 + sec
+    n = 0
+    while True:
+        b = a.copy()
+        n += 1
+        del b
+        if time.monotonic() >= t_end:
+            break
+    return n * 64 / (time.monotonic() - t0)
+
+
 def _host_probe(seconds: float = 3.0) -> dict:
-    """Spark-free host-phase probe: 32 md5-burning PROCESSES (no GIL, no
-    JVM) measuring the aggregate hash throughput the host will actually
-    deliver right now. Recorded before and after the scaling pairs so
-    every BENCH artifact carries direct evidence of the host phase it ran
-    in (this box drifts 2-5x over tens of minutes with no guest-visible
-    cause — see BENCH/BASELINE.md)."""
+    """Spark-free host-phase probe, two axes:
+
+    - CPU: 32 md5-burning PROCESSES (L1-resident, no GIL, no JVM) — the
+      aggregate hash rate the host's cores deliver right now.
+    - MEMORY BANDWIDTH: copies through a 64MB buffer, 1 proc and 8 procs
+      — the axis that actually throttles Spark here. Diagnosed round 3:
+      in degraded phases this box keeps near-full CPU (md5 scales to ~28
+      effective cores) while aggregate copy bandwidth collapses to
+      ~7 GB/s, so bandwidth-hungry JVM scans/Arrow/parse stages clamp at
+      ~12 effective cores no matter the thread or process count — the
+      same identical JVM job measured 1.0 vs 20.6 µs/row across phases.
+
+    Recorded before and after the scaling pairs so every BENCH artifact
+    carries the host phase it ran in."""
     import multiprocessing as mp
 
     nproc = min(32, os.cpu_count() or 1)
@@ -268,10 +296,15 @@ def _host_probe(seconds: float = 3.0) -> dict:
         counts = pool.map(_probe_burn, [seconds] * nproc)
     elapsed = time.monotonic() - t0
     agg = sum(counts) / elapsed
+    bw1 = _probe_bw(1.5)
+    with mp.Pool(8) as pool:
+        bw8 = sum(pool.map(_probe_bw, [1.5] * 8))
     return {
         "procs": nproc,
         "aggregate_md5_per_sec_m": round(agg / 1e6, 2),
         "per_proc_md5_per_sec_m": round(agg / nproc / 1e6, 3),
+        "copy_bw_1proc_gb_s": round(bw1 / 1000, 2),
+        "copy_bw_8proc_gb_s": round(bw8 / 1000, 2),
     }
 
 
