@@ -42,37 +42,91 @@ def test_resize_images(spark):
         assert r["self_psnr"] == float("inf")  # deterministic resample
 
 
-def test_video_frame_stub_shape(spark):
+def test_media_codec_roundtrips():
+    """WCV1/WCA1 container codecs: bit-exact frame round-trip, header
+    metadata, seekable index; PCM audio round-trip within int16
+    quantization."""
+    import numpy as np
+
+    from wcm_spark.images import gen_image
+    from wcm_spark.media import (
+        decode_audio, decode_video_frame, decode_video_meta, encode_audio,
+        encode_video, gen_audio, gen_video,
+    )
+
+    frames = [gen_image(f"t/f{i}", 12, 10) for i in range(5)]
+    blob = encode_video(frames, fps=4)
+    n, w, h, fps, index = decode_video_meta(blob)
+    assert (n, w, h, fps) == (5, 12, 10, 4)
+    for i, entry in enumerate(index):
+        assert np.array_equal(decode_video_frame(blob, entry), frames[i])
+
+    sig = (np.sin(np.arange(1000) / 7.0) * 20000).astype(np.int16)
+    back, rate = decode_audio(encode_audio(sig, 8000))
+    assert rate == 8000 and back.size == 1000
+    assert np.abs(back * 32768.0 - sig).max() <= 1.0
+
+    # generators are deterministic
+    assert gen_video("k", 3) == gen_video("k", 3)
+    assert gen_audio("k") == gen_audio("k")
+
+
+def test_video_frame_sampling_real_decode(spark):
+    """Uniform sampling decodes the RIGHT frames: with n=6, k=3 the
+    sampled frame_nos are 0,2,4 and their pixels equal the source frames
+    bit-exactly; corrupt payloads become dead-letter rows."""
     from wcm_spark.datapipe.multimodal import sample_video_frames
+    from wcm_spark.images import gen_image
+    from wcm_spark.media import gen_video
 
     df = spark.createDataFrame(
-        [(f"v{i}", f"payload-{i}".encode() * 20) for i in range(4)],
+        [("v0", gen_video("v0", n_frames=6, w=8, h=8)),
+         ("bad", b"NOT_A_VIDEO")],
         "video_id string, bytes binary",
     )
-    out = sample_video_frames(df, k=3).collect()
-    assert len(out) == 12
-    # deterministic: same payload -> same frames
-    by_key = {}
-    for r in out:
+    rows = sample_video_frames(df, k=3).collect()
+    good = sorted(
+        (r for r in rows if r["video_id"] == "v0"), key=lambda r: r["frame_no"]
+    )
+    assert [r["frame_no"] for r in good] == [0, 2, 4]
+    for r in good:
         arr, _ = decode_image(r["frame_bytes"])
-        by_key[(r["video_id"], r["frame_no"])] = arr
-    df2 = sample_video_frames(df, k=3).collect()
-    for r in df2:
-        arr, _ = decode_image(r["frame_bytes"])
-        assert np.array_equal(arr, by_key[(r["video_id"], r["frame_no"])])
+        assert np.array_equal(arr, gen_image(f"v0/f{r['frame_no']}", 8, 8))
+        assert (r["w"], r["h"]) == (8, 8) and r["decode_ok"]
+    bad = [r for r in rows if r["video_id"] == "bad"]
+    assert len(bad) == 1 and bad[0]["decode_ok"] is False
 
 
-def test_audio_features_stub(spark):
+def test_audio_features_real_fft(spark):
+    """Band energies equal a direct numpy FFT computation of the decoded
+    PCM; a pure tone concentrates its energy in the right band."""
+    import numpy as np
+
     from wcm_spark.datapipe.multimodal import extract_audio_features
+    from wcm_spark.media import decode_audio, encode_audio, gen_audio
 
+    rate = 8000
+    t = np.arange(4000) / rate
+    tone = encode_audio(np.sin(2 * np.pi * 3500 * t) * 20000, rate)
+    # 3.5 kHz -> rfft bin 1750 of 2001 (Nyquist 4 kHz) -> band 6 of 8
     df = spark.createDataFrame(
-        [("a0", b"\x00" * 800), ("a1", bytes(range(256)) * 4), ("a2", b"")],
+        [("tone", tone), ("gen", gen_audio("gen")), ("bad", b"junk")],
         "audio_id string, bytes binary",
     )
-    rows = {r["audio_id"]: r for r in extract_audio_features(df).collect()}
-    assert rows["a0"]["band_energy"] == [0.0] * 8
-    assert rows["a2"]["duration_sec"] == 0.0
-    assert len(rows["a1"]["band_energy"]) == 8 and all(e > 0 for e in rows["a1"]["band_energy"])
+    rows = {r["audio_id"]: r for r in extract_audio_features(df, n_bands=8).collect()}
+
+    def ref_energies(blob):
+        sig, _ = decode_audio(blob)
+        spec = np.abs(np.fft.rfft(sig))
+        pad = (-spec.size) % 8
+        banded = np.pad(spec, (0, pad)).reshape(8, -1)
+        return [round(float(e), 4) for e in np.sqrt((banded**2).mean(axis=1))]
+
+    assert rows["gen"]["band_energy"] == ref_energies(gen_audio("gen"))
+    e = rows["tone"]["band_energy"]
+    assert e.index(max(e)) == 6
+    assert rows["tone"]["duration_sec"] == 0.5
+    assert rows["bad"]["band_energy"] == [0.0] * 8
 
 
 def test_credentials_attach(spark):

@@ -8,10 +8,14 @@ makes that plumbing real (schemas, batching, partition-size control) with:
 - image decode + resize: REAL implementations over the engine's native
   wclz/wcq6 codecs (numpy box-average resampling), Pillow-gated for
   PNG/JPEG (wcm_spark/images.py)
-- video frame sampling / audio feature extraction: this container ships no
-  av libraries, so the decode kernels are clearly-marked deterministic
-  stubs behind the same batch interface — swapping in pyav/soundfile
-  changes one scalar function, not the Spark plan
+- video frame sampling / audio feature extraction: REAL decode kernels
+  over the engine's own containers (wcm_spark/media.py — WCV1 seekable
+  length-prefixed wclz frames, WCA1 int16 PCM): uniform frame sampling
+  decodes ONLY the k selected frames via the container's frame index
+  (O(k), not O(n_frames)), and audio features are FFT band RMS over the
+  decoded signal. No av libraries exist in this container, so the
+  formats are the engine's — swapping in pyav/soundfile on a cluster
+  changes the scalar codec calls, not the Spark plans
 
 Partitioning note (scale): callers should repartition payload frames by a
 size-aware key before these stages — a 10 MB-average binary column at
@@ -21,7 +25,6 @@ computes the records-per-batch both stages use.
 
 from __future__ import annotations
 
-import hashlib
 
 import numpy as np
 import pandas as pd
@@ -103,55 +106,79 @@ def resize_images(df: DataFrame, out_w: int = 16, out_h: int = 16) -> DataFrame:
     )
 
 
-def _stub_frames(data: bytes, k: int) -> list[bytes]:
-    """STUB: deterministic fake frame sampler. A real implementation decodes
-    with pyav and samples k keyframes; this derives k deterministic 8x8
-    pseudo-frames from the payload hash so the Spark-side schema, batch
-    shape and downstream joins are fully exercised without codecs."""
-    frames = []
-    for i in range(k):
-        seed = hashlib.md5(data[:64] + bytes([i])).digest()
-        arr = np.frombuffer((seed * 24)[: 8 * 8 * 3], dtype=np.uint8).reshape(8, 8, 3)
-        frames.append(encode_image(arr.copy(), "wclz"))
-    return frames
-
-
 def sample_video_frames(df: DataFrame, k: int = 3) -> DataFrame:
-    """binary video → k frame rows each: (video_id, frame_no, frame_bytes).
+    """binary WCV1 video → up to k uniformly-spaced frame rows each:
+    (video_id, frame_no, frame_bytes, w, h, decode_ok).
 
-    Decode kernel is a deterministic stub (no av libs in this container);
-    the explode shape, schema and partitioning are the real pipeline."""
+    REAL decode: the container's length-prefix index lets the sampler
+    seek — only the k selected frames are decoded and re-encoded
+    (lossless), O(k) per video regardless of frame count. Payloads that
+    are not WCV1 emit one decode_ok=false row (the dead-letter pattern:
+    corrupt payloads survive to a quarantine filter instead of killing
+    the batch)."""
+    from ..media import decode_video_frame, decode_video_meta
 
     def run(batches):
         for pdf in batches:
             rows = []
             for vid, data in zip(pdf["video_id"], pdf["bytes"]):
-                for i, fb in enumerate(_stub_frames(bytes(data), k)):
-                    rows.append((vid, i, fb))
-            yield pd.DataFrame(rows, columns=["video_id", "frame_no", "frame_bytes"])
+                data = bytes(data)
+                try:
+                    n, w, h, fps, index = decode_video_meta(data)
+                except Exception:
+                    rows.append((vid, None, None, None, None, False))
+                    continue
+                take = min(k, n)
+                # uniform sampling: frame floor(i * n / take)
+                for i in range(take):
+                    fno = (i * n) // take
+                    arr = decode_video_frame(data, index[fno])
+                    rows.append(
+                        (vid, fno, encode_image(arr, "wclz"),
+                         int(arr.shape[1]), int(arr.shape[0]), True)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["video_id", "frame_no", "frame_bytes", "w", "h", "decode_ok"],
+            )
 
-    return df.mapInPandas(run, schema="video_id string, frame_no int, frame_bytes binary")
+    return df.mapInPandas(
+        run,
+        schema=(
+            "video_id string, frame_no int, frame_bytes binary, "
+            "w int, h int, decode_ok boolean"
+        ),
+    )
 
 
 def extract_audio_features(df: DataFrame, n_bands: int = 8) -> DataFrame:
-    """binary audio → fixed-size feature vector (duration, band energies).
+    """binary WCA1 audio → (audio_id, duration_sec, band_energy).
 
-    STUB decode: interprets the payload as a PCM-ish byte stream (a real
-    implementation swaps in soundfile/librosa); the band-energy math and
-    the array<double> output column are real."""
+    REAL decode + DSP: int16 PCM → [-1,1] float, rfft, band RMS over
+    ``n_bands`` equal slices of the magnitude spectrum. Non-WCA1
+    payloads emit zero-duration all-zero rows (dead-letter pattern)."""
+    from ..media import decode_audio
 
     def run(batches):
         for pdf in batches:
             rows = []
             for aid, data in zip(pdf["audio_id"], pdf["bytes"]):
-                raw = np.frombuffer(bytes(data), dtype=np.uint8).astype(np.float64)
-                if raw.size == 0:
+                try:
+                    sig, rate = decode_audio(bytes(data))
+                except Exception:
                     rows.append((aid, 0.0, [0.0] * n_bands))
                     continue
-                pad = (-raw.size) % n_bands
-                sig = np.pad(raw, (0, pad)).reshape(n_bands, -1)
-                energies = [round(float(e), 4) for e in np.sqrt((sig**2).mean(axis=1))]
-                rows.append((aid, round(raw.size / 8000.0, 4), energies))
+                if sig.size == 0:
+                    rows.append((aid, 0.0, [0.0] * n_bands))
+                    continue
+                spec = np.abs(np.fft.rfft(sig))
+                pad = (-spec.size) % n_bands
+                banded = np.pad(spec, (0, pad)).reshape(n_bands, -1)
+                energies = [
+                    round(float(e), 4)
+                    for e in np.sqrt((banded**2).mean(axis=1))
+                ]
+                rows.append((aid, round(sig.size / rate, 4), energies))
             yield pd.DataFrame(rows, columns=["audio_id", "duration_sec", "band_energy"])
 
     return df.mapInPandas(

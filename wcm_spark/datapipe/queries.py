@@ -1535,31 +1535,69 @@ def _q_mm_resize(spark, sf_dir):
 
 @spark_only("multimodal_video_frames")
 def _q_mm_video(spark, sf_dir):
-    """Frame-sampling plumbing over an opaque video binary column (decode
-    kernel stubbed — no av libs in this container)."""
+    """REAL frame sampling over the engine's WCV1 video container: the
+    synthetic payloads (deterministic per doc_id, generated inside the
+    executors) are genuinely decoded — the sampler seeks the container's
+    frame index and decodes only the selected frames. One doc in ~10 is
+    given a corrupt payload to exercise the dead-letter row."""
+    import pandas as pd
     from pyspark.sql import functions as F
 
     from .multimodal import sample_video_frames
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
-    vids = docs.select(
-        F.concat(F.lit("vid-"), F.col("doc_id").cast("string")).alias("video_id"),
-        F.encode(F.col("text"), "utf-8").alias("bytes"),
+
+    def gen(batches):
+        from ..media import gen_video
+
+        for pdf in batches:
+            ids = [f"vid-{i}" for i in pdf["doc_id"]]
+            payloads = [
+                b"NOT_A_VIDEO" if int(i) % 10 == 7
+                else gen_video(f"vid-{i}", n_frames=4 + int(i) % 5)
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"video_id": ids, "bytes": payloads})
+
+    vids = docs.select("doc_id").mapInPandas(
+        gen, schema="video_id string, bytes binary"
     )
-    return sample_video_frames(vids, k=3)
+    out = sample_video_frames(vids, k=3)
+    # frame_bytes is decoded-content-determined but binary cells don't
+    # hash through the driver's canonicalizer — project its md5 instead
+    return out.select(
+        "video_id", "frame_no", F.md5(F.col("frame_bytes")).alias("frame_md5"),
+        "w", "h", "decode_ok",
+    )
 
 
 @spark_only("multimodal_audio_features")
 def _q_mm_audio(spark, sf_dir):
-    """Band-energy feature extraction over an opaque audio binary column."""
+    """REAL band-energy extraction over the engine's WCA1 PCM container:
+    deterministic three-sine signals are decoded and FFT'd in the
+    executors; one doc in ~10 carries a corrupt payload (dead-letter
+    all-zero row)."""
+    import pandas as pd
     from pyspark.sql import functions as F
 
     from .multimodal import extract_audio_features
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
-    auds = docs.select(
-        F.concat(F.lit("aud-"), F.col("doc_id").cast("string")).alias("audio_id"),
-        F.encode(F.col("text"), "utf-8").alias("bytes"),
+
+    def gen(batches):
+        from ..media import gen_audio
+
+        for pdf in batches:
+            ids = [f"aud-{i}" for i in pdf["doc_id"]]
+            payloads = [
+                b"NOT_AUDIO" if int(i) % 10 == 7
+                else gen_audio(f"aud-{i}", n_samples=2000 + 100 * (int(i) % 7))
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"audio_id": ids, "bytes": payloads})
+
+    auds = docs.select("doc_id").mapInPandas(
+        gen, schema="audio_id string, bytes binary"
     )
     feats = extract_audio_features(auds)
     # Explode the array<double> to scalar rows: the driver canonicalizes
