@@ -151,3 +151,58 @@ def test_credentials_attach(spark):
     for r in fetched:
         assert r["fetch_auth_url"] == r["request_url"].replace("http://", "http://user:pw@")
         assert "user:pw" not in r["url"]  # final URL stays credential-free
+
+
+def test_dead_letter_covers_corrupt_frames_zero_frames_and_bad_rate(spark):
+    """Review regression: dead-letter must also catch (1) a valid WCV1
+    index over corrupt frame bytes, (2) a header declaring zero frames,
+    (3) a WCA1 header with sample_rate=0 — none may kill the task."""
+    import struct
+
+    from wcm_spark.datapipe.multimodal import (
+        extract_audio_features, sample_video_frames,
+    )
+    from wcm_spark.media import gen_video
+
+    good = gen_video("ok", n_frames=3, w=8, h=8)
+    corrupt_frames = bytearray(good)
+    corrupt_frames[20:] = bytes(len(corrupt_frames) - 20)  # keep header+index start
+    zero_frames = b"WCV1" + struct.pack("<HHHH", 0, 8, 8, 8)
+    vids = spark.createDataFrame(
+        [("ok", good), ("corrupt", bytes(corrupt_frames)), ("empty", zero_frames)],
+        "video_id string, bytes binary",
+    )
+    rows = sample_video_frames(vids, k=2).collect()
+    by_vid = {}
+    for r in rows:
+        by_vid.setdefault(r["video_id"], []).append(r)
+    assert all(r["decode_ok"] for r in by_vid["ok"]) and len(by_vid["ok"]) == 2
+    assert len(by_vid["corrupt"]) == 1 and by_vid["corrupt"][0]["decode_ok"] is False
+    assert len(by_vid["empty"]) == 1 and by_vid["empty"][0]["decode_ok"] is False
+
+    bad_rate = b"WCA1" + struct.pack("<II", 0, 4) + b"\x01\x00\x02\x00\x03\x00\x04\x00"
+    auds = spark.createDataFrame(
+        [("bad_rate", bad_rate)], "audio_id string, bytes binary"
+    )
+    r = extract_audio_features(auds).collect()[0]
+    assert r["duration_sec"] == 0.0 and r["band_energy"] == [0.0] * 8
+
+
+def test_resolve_memo_not_shared_for_empty_authority_literals(spark):
+    """Review regression: 'http:///foo' and bare 'http://' take their host
+    from the page BASE, so two pages on different hosts must resolve them
+    differently — the absolute-literal memo may not share those slots."""
+    from wcm_spark.operators.scrape import scrape_resolve_children
+
+    body = b'<a href="http:///foo">x</a>'
+    pages = spark.createDataFrame(
+        [
+            ("http://sitea.test/p1", "text/html", len(body), body, 1, 0),
+            ("http://siteb.test/p2", "text/html", len(body), body, 2, 0),
+        ],
+        "url string, content_type string, content_length bigint, body binary, "
+        "seq long, depth int",
+    ).coalesce(1)  # one partition => one shared mc_cache, the risky case
+    out = {r["referrer_url"]: r["url"] for r in scrape_resolve_children(pages).collect()}
+    assert out["http://sitea.test/p1"] == "http://sitea.test/foo"
+    assert out["http://siteb.test/p2"] == "http://siteb.test/foo"

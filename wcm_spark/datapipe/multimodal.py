@@ -123,20 +123,28 @@ def sample_video_frames(df: DataFrame, k: int = 3) -> DataFrame:
             rows = []
             for vid, data in zip(pdf["video_id"], pdf["bytes"]):
                 data = bytes(data)
+                # the WHOLE decode (header + selected frame payloads) is
+                # dead-lettered: a valid index over corrupt frame bytes,
+                # or a header declaring zero frames, must also land in
+                # quarantine instead of killing the task
                 try:
                     n, w, h, fps, index = decode_video_meta(data)
+                    take = min(k, n)
+                    vid_rows = []
+                    # uniform sampling: frame floor(i * n / take)
+                    for i in range(take):
+                        fno = (i * n) // take
+                        arr = decode_video_frame(data, index[fno])
+                        vid_rows.append(
+                            (vid, fno, encode_image(arr, "wclz"),
+                             int(arr.shape[1]), int(arr.shape[0]), True)
+                        )
+                    if not vid_rows:
+                        raise ValueError("container declares zero frames")
                 except Exception:
                     rows.append((vid, None, None, None, None, False))
                     continue
-                take = min(k, n)
-                # uniform sampling: frame floor(i * n / take)
-                for i in range(take):
-                    fno = (i * n) // take
-                    arr = decode_video_frame(data, index[fno])
-                    rows.append(
-                        (vid, fno, encode_image(arr, "wclz"),
-                         int(arr.shape[1]), int(arr.shape[0]), True)
-                    )
+                rows.extend(vid_rows)
             yield pd.DataFrame(
                 rows,
                 columns=["video_id", "frame_no", "frame_bytes", "w", "h", "decode_ok"],
@@ -163,22 +171,23 @@ def extract_audio_features(df: DataFrame, n_bands: int = 8) -> DataFrame:
         for pdf in batches:
             rows = []
             for aid, data in zip(pdf["audio_id"], pdf["bytes"]):
+                # full dead-letter scope: a decodable header with an
+                # invalid rate (0) or truncated PCM must quarantine too
                 try:
                     sig, rate = decode_audio(bytes(data))
+                    if sig.size == 0 or rate <= 0:
+                        raise ValueError("empty signal or invalid rate")
+                    spec = np.abs(np.fft.rfft(sig))
+                    pad = (-spec.size) % n_bands
+                    banded = np.pad(spec, (0, pad)).reshape(n_bands, -1)
+                    energies = [
+                        round(float(e), 4)
+                        for e in np.sqrt((banded**2).mean(axis=1))
+                    ]
+                    row = (aid, round(sig.size / rate, 4), energies)
                 except Exception:
-                    rows.append((aid, 0.0, [0.0] * n_bands))
-                    continue
-                if sig.size == 0:
-                    rows.append((aid, 0.0, [0.0] * n_bands))
-                    continue
-                spec = np.abs(np.fft.rfft(sig))
-                pad = (-spec.size) % n_bands
-                banded = np.pad(spec, (0, pad)).reshape(n_bands, -1)
-                energies = [
-                    round(float(e), 4)
-                    for e in np.sqrt((banded**2).mean(axis=1))
-                ]
-                rows.append((aid, round(sig.size / rate, 4), energies))
+                    row = (aid, 0.0, [0.0] * n_bands)
+                rows.append(row)
             yield pd.DataFrame(rows, columns=["audio_id", "duration_sec", "band_energy"])
 
     return df.mapInPandas(

@@ -170,8 +170,14 @@ def scrape_resolve_children(
                 for it in items:
                     lit = it["literal_uri"]
                     # anchored scheme check: "/redir?to=http://x" is
-                    # RELATIVE and must not share a cache slot across bases
-                    if lit.startswith(_ABS_SCHEMES):
+                    # RELATIVE and must not share a cache slot across
+                    # bases — and an EMPTY-authority absolute ("http://",
+                    # "http:///x") takes its host from the base, so it is
+                    # not base-independent either
+                    if lit.startswith(_ABS_SCHEMES) and (
+                        (j := lit.index("://") + 3) < len(lit)
+                        and lit[j] not in "/?#"
+                    ):
                         mk = (lit, it["method"], it["params"])
                         child = mc_cache.get(mk, _MISS)
                         if child is _MISS:

@@ -185,7 +185,22 @@ class IcebergTableStore(TableStore):
 
     def latest_meta(self, name: str) -> dict | None:
         snaps = self.snapshots(name)
-        return (snaps[-1]["meta"] or None) if snaps else None
+        if not snaps:
+            return None
+        if snaps[-1]["meta"]:
+            return snaps[-1]["meta"]
+        # backward compatibility: checkpoints committed by the previous
+        # scheme carried meta in TBLPROPERTIES, not snapshot summaries —
+        # without this fallback a resume of such a table would silently
+        # restart next_seq/wave at 0 over a non-empty frontier
+        props = {
+            r["key"]: r["value"]
+            for r in self.spark.sql(
+                f"SHOW TBLPROPERTIES {self._ident(name)}"
+            ).collect()
+        }
+        out = self._meta_from_summary(props)
+        return out or None
 
 
 def for_session(spark: SparkSession, root_or_catalog: str) -> TableStore:
