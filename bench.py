@@ -427,6 +427,10 @@ def main():
     )
     # crawl next; best-of-3 reported alongside all runs
     crawl = _spawn(CPUS, corpus_path, repeats=3, mode="crawl")
+    # phase context for the crawl figure: in high-bandwidth windows this
+    # engine records 9.0-10.0k urls/s on this workload; in starved ones
+    # 2-3k (BENCH/BASELINE.md) — the probe says which window this was
+    crawl["host_probe_after"] = _host_probe()
 
     # headline queries run LAST: the north-rule efficiency pairs and the
     # crawl got the coolest windows (sustained load progressively
