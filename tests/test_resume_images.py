@@ -84,3 +84,69 @@ def test_image_payload_fidelity(spark, corpus_df):
         if r["caption"] is not None:
             assert r["caption"] == f"caption site {site} image {tag}"
         assert isinstance(r["phash"], int)
+
+
+def test_kill_resume_live_http_no_refetch(spark, tmp_path):
+    """Live-mode kill/resume: a crawl stopped after wave 1 and resumed
+    from the checkpoint completes the site WITHOUT refetching the
+    committed wave's URLs (hit counters prove it), and the combined
+    visit set equals an uninterrupted live crawl's."""
+    import threading
+    from collections import Counter
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    hits: Counter = Counter()
+    lock = threading.Lock()
+
+    class H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            with lock:
+                hits[self.path] += 1
+            if self.path == "/index.html":
+                body = b'<a href="/a.html">a</a><a href="/b.html">b</a>'
+            elif self.path == "/a.html":
+                body = b'<a href="/c.html">c</a>'
+            else:
+                body = b"leaf"
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        ckpt = str(tmp_path / "http-ckpt")
+        cfg = CrawlConfig(
+            fetch_mode="http", use_bloom=False, expected_urls=100,
+            http_timeout=5.0, checkpoint_dir=ckpt,
+        )
+        import dataclasses
+
+        partial = Crawler(spark, None, dataclasses.replace(cfg, max_waves=1)).run(
+            [f"{base}/index.html"]
+        )
+        assert partial.waves == 1
+        assert hits["/index.html"] == 1
+        with lock:
+            hits_after_wave1 = dict(hits)
+
+        resumed = Crawler.resume(spark, None, cfg)
+        # the committed wave's URL was NOT refetched on resume
+        assert hits["/index.html"] == hits_after_wave1["/index.html"] == 1
+        got = {r["request_url"] for r in partial.visits.collect()} | {
+            r["request_url"] for r in resumed.visits.collect()
+        }
+        assert got == {
+            f"{base}/index.html", f"{base}/a.html", f"{base}/b.html",
+            f"{base}/c.html",
+        }
+        # every URL fetched exactly once across the kill/resume boundary
+        assert all(v == 1 for v in hits.values()), hits
+    finally:
+        srv.shutdown()
