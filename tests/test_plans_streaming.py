@@ -194,3 +194,43 @@ def test_neardup_and_jaccard_have_no_pair_explosion(spark):
         plan = formatted_plan(qs[name](spark, SF))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_stream_dedup_first_wins(spark, tmp_path):
+    """Streaming D2/D3: watermark-bounded dropDuplicatesWithinWatermark
+    keeps exactly the first row per digest within the horizon (real
+    streaming run, file source -> availableNow -> memory sink)."""
+    from wcm_spark.streaming.metrics import stream_dedup_first_wins
+
+    src = str(tmp_path / "cand")
+    rows = [
+        ("d1", "http://a/1", "2026-01-01 10:00:00"),
+        ("d1", "http://a/1?dup", "2026-01-01 10:00:05"),
+        ("d2", "http://a/2", "2026-01-01 10:00:01"),
+        ("d2", "http://a/2?dup", "2026-01-01 10:59:00"),  # inside horizon
+        ("d3", "http://a/3", "2026-01-01 10:30:00"),
+    ]
+    spark.createDataFrame(
+        rows, "digest string, url string, ts string"
+    ).selectExpr("digest", "url", "CAST(ts AS TIMESTAMP) AS event_ts").coalesce(
+        1
+    ).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema("digest string, url string, event_ts timestamp")
+        .parquet(src)
+    )
+    q = (
+        stream_dedup_first_wins(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["digest"]: r["url"]
+        for r in spark.sql("select * from dedup_stream").collect()
+    }
+    assert set(got) == {"d1", "d2", "d3"}  # one survivor per digest

@@ -16,7 +16,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["visits_stream", "host_rate_metrics", "event_window_rollup"]
+__all__ = [
+    "visits_stream", "host_rate_metrics", "event_window_rollup",
+    "stream_dedup_first_wins",
+]
 
 VISITS_SCHEMA = (
     "wave int, seq long, url string, request_url string, original_url string, "
@@ -62,4 +65,28 @@ def event_window_rollup(
             F.col("w.end").alias("window_end"),
             "event_type", "n", "total_value",
         )
+    )
+
+
+def stream_dedup_first_wins(
+    candidates: DataFrame,
+    ts_col: str = "event_ts",
+    key_col: str = "digest",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """D2/D3 in Structured Streaming form: first-emit-wins dedup on the
+    digest with BOUNDED state.
+
+    The batch engine's seen set is exact and unbounded (bloom+anti-join
+    past the broadcast cutoff); a streaming ingest of candidate URLs
+    instead bounds the dedup state with an event-time watermark —
+    ``dropDuplicatesWithinWatermark`` keeps a key's state only until the
+    watermark passes it, so state size tracks the late-data horizon
+    rather than the crawl's lifetime. This is the standard shape for a
+    continuous 10^10-scale frontier ingest: exact within the horizon,
+    with the durable seen table (batch anti-join on commit) as the
+    global backstop — the same two-tier layout the batch loop uses.
+    """
+    return candidates.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        [key_col]
     )
