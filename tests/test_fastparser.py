@@ -92,3 +92,56 @@ def test_fast_parser_total(html):
     once = serialize_node(_fast_parse(html, False))
     twice = serialize_node(_fast_parse(once, False))
     assert serialize_node(_fast_parse(twice, False)) == twice
+
+
+def test_ab_adversarial_attr_garbage():
+    """Structured adversarial generator (the round-3 hardening fuzzer,
+    fixed seed): quotes/equals/slashes mangled through the attr region,
+    truncated constructs, stray closers — the fast scanner must equal
+    the stdlib oracle on every one (non-canonical tags route through the
+    exact stdlib-regex fallback)."""
+    import random
+
+    rng = random.Random(4242)
+    tags = ["a", "div", "p", "li", "script", "style", "img", "br", "base",
+            "form", "input", "option", "table"]
+    attrs = ["href", "src", "class", "id", "style", "data-x", "action",
+             "method", "name", "value"]
+    snippets = ["<!-- c -->", "<!doctype html>", "<?pi x?>", "&amp;", "&",
+                "<", ">", "<![CDATA[x]]>", "text ", "\n"]
+
+    def rand_val():
+        style = rng.random()
+        body = "".join(rng.choice("abc<>&\"' /=x.:") for _ in range(rng.randint(0, 8)))
+        if style < 0.4:
+            return '"%s"' % body.replace('"', "")
+        if style < 0.6:
+            return "'%s'" % body.replace("'", "")
+        return body.replace(" ", "").replace(">", "") or "v"
+
+    def rand_doc(depth=0):
+        out = []
+        for _ in range(rng.randint(1, 6)):
+            r = rng.random()
+            if r < 0.35:
+                out.append(rng.choice(snippets))
+            elif r < 0.85:
+                tag = rng.choice(tags)
+                a = "".join(
+                    " %s%s" % (rng.choice(attrs),
+                               "=" + rand_val() if rng.random() < 0.8 else "")
+                    for _ in range(rng.randint(0, 3))
+                )
+                out.append("<%s%s%s>" % (tag, a, "/" if rng.random() < 0.15 else ""))
+                if depth < 4 and rng.random() < 0.6:
+                    out.append(rand_doc(depth + 1))
+                if rng.random() < 0.7:
+                    out.append("</%s>" % tag)
+            else:
+                out.append("</%s>" % rng.choice(tags))
+        return "".join(out)
+
+    for _ in range(2000):
+        doc = rand_doc()
+        _ab(doc, False)
+        _ab(doc, True)

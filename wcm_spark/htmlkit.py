@@ -157,21 +157,67 @@ class _XmlDomBuilder(_DomBuilder):
 
 _FAST_TAG_RE = re.compile(
     r"""<(?:
-        !--.*?(?:-->|$)                     # comment
-      | !\[CDATA\[.*?(?:\]\]>|$)            # CDATA section (dropped)
-      | [!?][^>]*>?                         # doctype / processing instr
-      | (?P<close>/)\s*(?P<ctag>[a-zA-Z][a-zA-Z0-9:._-]*)[^>]*>
-      | (?P<tag>[a-zA-Z][a-zA-Z0-9:._-]*)(?P<attrs>(?:"[^"]*"|'[^']*'|[^>"'])*)>
+        !--.*?-->                           # comment (closer REQUIRED —
+                                            # unclosed takes the stdlib
+                                            # incomplete rule in _fast_parse)
+      | !\[CDATA\[.*?\]\]>                  # CDATA section (dropped)
+      | [!?](?!--|\[CDATA\[)[^>]*>          # doctype / processing instr
+                                            # (lookahead keeps unclosed
+                                            # comments/CDATA out of the
+                                            # bogus-decl branch)
+        # close-tag name must start RIGHT after '</' (html.parser treats
+        # '</ a>' as a bogus comment, not an end tag) and uses the same
+        # tolerant charset as open tags ('</a\'>' closes element "a'")
+      | (?P<close>/)(?P<ctag>[a-zA-Z][^\t\n\r\f\ />\x00]*+)[^>]*>
+        # open-tag name charset matches html.parser's tagfind_tolerant:
+        # anything after the first letter except whitespace, '/', '>'
+        # (so <b'> is a tag named "b'", exactly like the stdlib oracle).
+        # POSSESSIVE (*+): the stdlib name regex never gives characters
+        # back to the attr scan, so neither may ours (<l"/"> is tag l",
+        # not tag l with a quoted attr region).
+        # attr region: quotes are legal ONLY as '='-led values (stdlib
+        # name-scans a standalone '"f"' and then stalls — such tags go
+        # to the exact fallback); '='-led unquoted values may CONTAIN
+        # stray quotes (<a action=c"> is tolerated); else bare non-quote
+        # chars
+        # the '='-led branch must NOT cross whitespace: stdlib binds
+        # ' v=' as the NEXT attr name, never as this '='s value (spaced
+        # '= "quoted"' forms drop to the exact fallback instead)
+      | (?P<tag>[a-zA-Z][^\t\n\r\f\ />\x00]*+)
+        (?P<attrs>(?:=++(?:"[^"]*"|'[^']*'|[^>\s"'][^>\s]*)|[^>"'])*)>
     )""",
     re.DOTALL | re.VERBOSE,
 )
 
+# name charset = attrfind_tolerant's ([^\s/>][^\s/=>]*: the FIRST char
+# may be '=' or a quote — '<t "=">' really has attrs '"' and '="'), then
+# the tolerant value: '=+' collapses repeated equals, quoted alternatives
+# first, else an unquoted run that must not START with a quote but may
+# contain one
 _FAST_ATTR_RE = re.compile(
-    r"""([^\s/>=]+)(?:\s*=\s*("([^"]*)"|'([^']*)'|[^\s>]*))?""",
+    r"""([^\s/>][^\s/=>]*)(?:\s*=+\s*("([^"]*)"|'([^']*)'|(?!["'])[^\s>]*))?""",
     re.DOTALL,
 )
 
 _HAS_ENTITY = re.compile(r"&")
+
+_CDATA_CLOSE = {
+    "script": re.compile(r"</\s*script\s*>", re.IGNORECASE),
+    "style": re.compile(r"</\s*style\s*>", re.IGNORECASE),
+}
+
+# The fast path trusts its own (cheap) attr semantics ONLY for canonical
+# attr regions: whitespace-separated name(=value)? pairs with plain names
+# and unambiguous values, plus at most one trailing '/'. Anything else —
+# '='-leading names, stray quotes, '==' indicators, quotes glued to the
+# next token — re-parses through the exact stdlib-regex fallback. Real
+# pages are ~always canonical; the gate is one fullmatch per tag.
+_CANON_ATTRS_RE = re.compile(
+    r"""(?:\s+[a-zA-Z_:][-a-zA-Z0-9_:.]*
+        (?:=(?:"[^"<]*"|'[^'<]*'|[^\s>"'<=][^\s>"'<]*))?
+    )*\s*/?""",
+    re.VERBOSE | re.DOTALL,
+)
 
 
 def _unescape(s: str) -> str:
@@ -180,6 +226,65 @@ def _unescape(s: str) -> str:
 
         return _html.unescape(s)
     return s
+
+
+def _stdlib_starttag_fallback(text: str, i: int):
+    """Faithful replication of html.parser's parse_starttag +
+    check_for_whole_start_tag (using the STDLIB's own tolerant regexes)
+    for markup the fast tag regex rejects — stray quotes in the attr
+    region, junk tag endings. Rare path: clean pages never reach it.
+
+    Returns one of:
+      ("tag", (tag, [(name, value)...], self_closing), endpos)
+      ("data", raw_text, endpos)   # junk ending: emit RAW (no unescape)
+      ("incomplete", None, -1)
+    """
+    from html.parser import (
+        attrfind_tolerant,
+        locatestarttagend_tolerant,
+        tagfind_tolerant,
+    )
+
+    m = locatestarttagend_tolerant.match(text, i)
+    j = m.end()
+    nxt = text[j : j + 1]
+    if nxt == ">":
+        endpos = j + 1
+    elif nxt == "/" and text.startswith("/>", j):
+        endpos = j + 2
+    elif nxt == "":
+        return ("incomplete", None, -1)
+    elif nxt == "/":
+        endpos = j if j > i else i + 1
+    elif nxt in (
+        "abcdefghijklmnopqrstuvwxyz=/ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    ):
+        return ("incomplete", None, -1)
+    else:
+        endpos = j if j > i else i + 1
+    tm = tagfind_tolerant.match(text, i + 1)
+    tag = tm.group(1).lower()
+    k = tm.end()
+    attrs = []
+    while k < endpos:
+        am = attrfind_tolerant.match(text, k)
+        if not am:
+            break
+        name, rest, val = am.group(1, 2, 3)
+        if not rest:
+            val = None
+        elif val[:1] == "'" == val[-1:] or val[:1] == '"' == val[-1:]:
+            val = val[1:-1]
+        if val:
+            val = _unescape(val)
+        attrs.append((name.lower(), val))
+        k = am.end()
+    end = text[k:endpos].strip()
+    if end not in (">", "/>"):
+        # parse_starttag's junk-ending case passes the slice to
+        # handle_data RAW (goahead's unescape does not apply there)
+        return ("data", text[i:endpos], endpos)
+    return ("tag", (tag, attrs, end.endswith("/>")), endpos)
 
 
 def _fast_parse(text: str, xml: bool) -> Node:
@@ -198,73 +303,119 @@ def _fast_parse(text: str, xml: bool) -> Node:
             break
         if lt > pos:
             stack[-1].children.append(_unescape(text[pos:lt]))
+        tag = None
+        attr_map: dict = {}
+        self_closing = False
         m = _FAST_TAG_RE.match(text, lt)
-        if not m:
-            # bare '<' that opens no markup: literal text (HTMLParser-alike)
-            stack[-1].children.append("<")
-            pos = lt + 1
-            continue
-        pos = m.end()
-        close, ctag, tag_name, raw_attrs = m.group("close", "ctag", "tag", "attrs")
-        if close:
-            tag = ctag.lower()
-            for i in range(len(stack) - 1, 0, -1):
-                if stack[i].tag == tag:
-                    del stack[i:]
-                    break
-            continue
-        if not tag_name:
-            continue  # comment / doctype / PI
-        tag = tag_name.lower()
+        if (
+            m is not None
+            and m.group("attrs")
+            and not _CANON_ATTRS_RE.fullmatch(m.group("attrs"))
+        ):
+            m = None  # non-canonical attr region: exact fallback path
+        if m:
+            pos = m.end()
+            close, ctag, tag_name, raw_attrs = m.group("close", "ctag", "tag", "attrs")
+            if close:
+                ctag = ctag.lower()
+                for i in range(len(stack) - 1, 0, -1):
+                    if stack[i].tag == ctag:
+                        del stack[i:]
+                        break
+                continue
+            if not tag_name:
+                continue  # comment / doctype / PI
+            tag = tag_name.lower()
+            raw_attrs = raw_attrs or ""
+            # Self-closing when the trailing '/' is NOT part of a bare
+            # attribute value: html.parser's bare-value scan consumes
+            # '/' (<a href=http://x/> stays open, <a href=/> has value
+            # "/"), but a '/' after an attr NAME or a quoted value ends
+            # the tag (<t c/> and <t c="x"/> are self-closing).
+            _ra = raw_attrs.rstrip()
+            if _ra.endswith("/"):
+                if len(_ra) == 1 or _ra[-2] in " \t\r\n\"'":
+                    self_closing = True
+                else:
+                    # '=' in the final word ⇒ the '/' sits inside a bare
+                    # value (<a href=http://x/> stays open); the
+                    # '='-leading ambiguity was routed to the fallback
+                    _words = _ra[:-1].split()
+                    self_closing = bool(_words) and "=" not in _words[-1]
+            if raw_attrs and raw_attrs.strip("/ \t\r\n"):
+                for am in _FAST_ATTR_RE.finditer(raw_attrs):
+                    g1, g2, g3, g4 = am.group(1, 2, 3, 4)
+                    name = g1.lower().rstrip("/")
+                    if not name or name in attr_map:
+                        continue
+                    if g2 is None:
+                        attr_map[name] = None
+                    else:
+                        val = g3 if g3 is not None else (g4 if g4 is not None else g2)
+                        attr_map[name] = _unescape(val)
+        else:
+            c1 = text[lt + 1 : lt + 2]
+            c2 = text[lt + 2 : lt + 3]
+            if c1 == "/" and not (c2.isascii() and c2.isalpha()):
+                # '</' + non-name: html.parser's bogus-comment path —
+                # silently consume through the next '>' ('</>', '</ >',
+                # '</3>'); with no '>' left, fall to the bare-'<' path
+                j = text.find(">", lt + 2)
+                if j >= 0:
+                    pos = j + 1
+                    continue
+            elif c1.isascii() and c1.isalpha():
+                # pathological start tag — replicate the stdlib exactly
+                kind, payload, endpos = _stdlib_starttag_fallback(text, lt)
+                if kind == "data":
+                    stack[-1].children.append(payload)
+                    pos = endpos
+                    continue
+                if kind == "tag":
+                    tag, attr_pairs, self_closing = payload
+                    for name, val in attr_pairs:
+                        if name not in attr_map:  # first occurrence wins
+                            attr_map[name] = val
+                    pos = endpos
+                # incomplete falls through to the goahead end=1 rule
+            if tag is None:
+                if c1 in ("!", "?") or c1 == "/" or (
+                    c1.isascii() and c1.isalpha()
+                ):
+                    # html.parser's incomplete-construct rule (goahead,
+                    # end=1): emit everything through the NEXT '>'
+                    # inclusive as literal text, then resume after it
+                    j = text.find(">", lt + 1)
+                    if j >= 0:
+                        stack[-1].children.append(_unescape(text[lt : j + 1]))
+                        pos = j + 1
+                        continue
+                    # no '>' at all: '<' now, the remainder re-scans
+                # bare '<' opening no markup: literal text
+                stack[-1].children.append("<")
+                pos = lt + 1
+                continue
         rule = _AUTOCLOSE.get(tag)
         if rule and stack[-1].tag in rule:
             stack.pop()
         counter += 1
-        raw_attrs = raw_attrs or ""
-        # Self-closing only when the trailing '/' is a standalone token
-        # (preceded by whitespace, a closing quote, or nothing) — an
-        # unquoted attribute value may itself end in '/'
-        # (<a href=http://x/>), which html.parser keeps open.
-        _ra = raw_attrs.rstrip()
-        self_closing = _ra.endswith("/") and (
-            len(_ra) == 1 or _ra[-2] in " \t\r\n\"'"
-        )
-        attr_map: dict = {}
-        if raw_attrs and raw_attrs.strip("/ \t\r\n"):
-            for am in _FAST_ATTR_RE.finditer(raw_attrs):
-                g1, g2, g3, g4 = am.group(1, 2, 3, 4)
-                name = g1.lower().rstrip("/")
-                if not name or name in attr_map:
-                    continue
-                if g2 is None:
-                    attr_map[name] = None
-                else:
-                    val = g3 if g3 is not None else (g4 if g4 is not None else g2)
-                    attr_map[name] = _unescape(val)
         node = Node(tag=tag, attrs=attr_map, parent=stack[-1], pos=counter)
         stack[-1].children.append(node)
         if not self_closing and tag not in VOID_ELEMENTS:
             if not xml and tag in ("script", "style"):
-                # CDATA content: raw text until the matching end tag
-                if lower is None:
-                    lower = text.lower()
-                # html.parser terminates CDATA only at '</script' followed
-                # by [\t\n\r\f />] — '</scripty>' is still script content.
-                closer = "</" + tag
-                end = lower.find(closer, pos)
-                while end >= 0 and (
-                    lower[end + len(closer) : end + len(closer) + 1]
-                    not in ("\t", "\n", "\r", "\f", " ", "/", ">")
-                ):
-                    end = lower.find(closer, end + 1)
-                if end < 0:
-                    node.children.append(text[pos:])
+                # CDATA content: this stdlib (3.11) ends it ONLY at a
+                # full '</\s*tag\s*>' closer (set_cdata_mode's
+                # `interesting` regex) — '</script x>' or '</scripty>'
+                # stay content, and with NO closer the parser breaks in
+                # cdata mode and everything from here on is DISCARDED
+                # (never flushed, even at close()).
+                mclose = _CDATA_CLOSE[tag].search(text, pos)
+                if mclose is None:
                     pos = n
                 else:
-                    if end > pos:
-                        node.children.append(text[pos:end])
-                    gt = text.find(">", end)
-                    pos = (gt + 1) if gt >= 0 else n
+                    if mclose.start() > pos:
+                        node.children.append(text[pos : mclose.start()])
+                    pos = mclose.end()
             else:
                 stack.append(node)
     return root
