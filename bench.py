@@ -16,10 +16,13 @@ Measures:
    median of per-round paired ratios. efficiency = ratio / (hi/lo cores).
 4. null-work host-ceiling control: a pure-JVM embarrassingly-parallel
    job (chained md5 over the same corpus, no Python workers, no shuffle
-   beyond one count) at 8 and 32 cores. If THIS job also fails to scale
-   8->32, the ceiling is the host's, not the engine's;
-   ``efficiency_vs_host_ceiling`` = engine ratio / null ratio isolates
-   the engine's own scaling from that ceiling.
+   beyond one count) at the prescribed pair's levels (CPUS/4 and CPUS).
+   If THIS job also fails to scale, the ceiling is the host's, not the
+   engine's; ``efficiency_vs_host_ceiling`` = engine ratio / null ratio
+   isolates the engine's own scaling from that ceiling. A Spark-free
+   host probe (CPU hash rate + memory copy bandwidth — the axis that
+   actually throttles this box) is recorded before/after the pairs and
+   after the crawl.
 
 Each parallelism level runs in a subprocess (one SparkContext per JVM).
 """
