@@ -53,9 +53,17 @@ def assign_seq(
     # silently duplicate/skip seq values. When the caller has already
     # materialized the input (input_materialized=True), the sampling is
     # deterministic over pinned blocks and the barrier (one extra copy of
-    # the whole frame) can be skipped.
+    # the whole frame) can be skipped — but the exchange is PERSISTED so
+    # the second action (window + offset join) reads the shuffled blocks
+    # from cache instead of re-running the scan + range exchange (one
+    # exchange per call, not two). The caller unpersists via the
+    # ``_wcm_cached_exchange`` attribute on the returned DataFrame once it
+    # has materialized its result.
+    cached = None
     if not input_materialized:
         ranged = ranged.localCheckpoint(eager=True)
+    else:
+        cached = ranged = ranged.persist()
 
     counts = {
         r["__pid"]: r["cnt"]
@@ -77,4 +85,6 @@ def assign_seq(
         .withColumn(out_col, (F.row_number().over(local) - 1 + F.col("__off")).cast("long"))
         .drop("__pid", "__off")
     )
+    if cached is not None:
+        out._wcm_cached_exchange = cached  # caller unpersists after its action
     return (out, acc - start) if return_count else out

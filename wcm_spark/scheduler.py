@@ -807,10 +807,10 @@ class Crawler:
                 F.transform("redirect_history", _noui).alias("redirect_history"),
                 "status", "depth", "host_key",
             )
-            if not lazy_visits:
-                visits = visits.localCheckpoint(eager=True)
-            _tr("visits_ckpt")
-            visit_frames.append(visits)
+            # non-lazy paths: visits are NOT checkpointed here — they fold
+            # into the heavy-pass checkpoint below (one job per wave, one
+            # shared wave-side exchange) instead of paying a separate
+            # fetch-join job per wave just to pin the narrow visit rows
 
             pages = fetched.filter(F.col("status").isNotNull())
             if cfg.max_depth is not None:
@@ -911,18 +911,54 @@ class Crawler:
             # dedup window) executes exactly once here. Without this,
             # repartitionByRange's sampling job inside assign_seq re-runs
             # the whole chain a second time just to pick range boundaries.
-            enqueue = enqueue.localCheckpoint(eager=True)
+            if lazy_visits:
+                enqueue = enqueue.localCheckpoint(eager=True)
+            else:
+                # Fold the visits materialization INTO the heavy pass: the
+                # two frames union into one checkpoint (discriminator
+                # column), so the wave pays ONE job — the visits branch's
+                # wave-side exchange is shared with the fetch via Spark's
+                # ReuseExchange, and both result frames are narrow filters
+                # over the pinned blocks afterwards. (Previously the
+                # politeness/http/store paths paid a second fetch-join job
+                # per wave just to pin the visit rows.)
+                _vcols = [
+                    "wave", "seq", "url", "request_url", "original_url",
+                    "redirect_history", "status", "depth", "host_key",
+                ]
+                _ecols = [
+                    "url", "host_key", "method", "params", "digest", "depth",
+                    "referrer_url", "literal_uri", "context", "context_kind",
+                    "retries", "parent_seq", "emit_idx",
+                ]
+                combined = (
+                    visits.withColumn("__src", F.lit(0))
+                    .unionByName(
+                        enqueue.withColumn("__src", F.lit(1)),
+                        allowMissingColumns=True,
+                    )
+                    .localCheckpoint(eager=True)
+                )
+                visits = combined.filter("__src = 0").select(*_vcols)
+                enqueue = combined.filter("__src = 1").select(*_ecols)
+            visit_frames.append(visits)
             _tr("heavy_pass_ckpt")
             enqueue, enq_count = assign_seq(
                 enqueue, ["parent_seq", "emit_idx"], out_col="seq",
                 start=next_seq, return_count=True, input_materialized=True,
             )
+            cached_exchange = getattr(enqueue, "_wcm_cached_exchange", None)
             enqueue = (
                 enqueue.withColumn("wave", F.lit(wave_id))
                 .withColumn("host_salt", host_salt_col(F.col("host_key"), cfg.salts))
                 .select(*PENDING_COLS)
                 .localCheckpoint(eager=True)
             )
+            if cached_exchange is not None:
+                # assign_seq persisted its range exchange so its two
+                # actions shared one shuffle; the final checkpoint above
+                # was the last reader — release the blocks now
+                cached_exchange.unpersist()
             _tr("assign_seq+final_ckpt")
             next_seq += enq_count
             digests_collected = False
@@ -965,28 +1001,30 @@ class Crawler:
                     track_hosts = self._frontier_hosts is not None
                     if track_hosts:
                         sel.append(F.col("host_key"))
-                    rows = enqueue.select(*sel).collect()
+                    # Arrow-batched driver transfer: toPandas moves the
+                    # per-wave delta as columnar batches (~10x faster than
+                    # the row-Row collect at 100k+ fresh digests/wave) and
+                    # the tracker folds become vector ops
+                    pdf = enqueue.select(*sel).toPandas()
                     digests_collected = True
-                    fresh_digests = [r["digest"] for r in rows]
+                    fresh_digests = pdf["digest"].tolist()
                     seen_set.update(fresh_digests)
                     seen_delta.update(fresh_digests)
-                    n_ui = sum(1 for r in rows if r["__ui"])
+                    n_ui = int(pdf["__ui"].sum())
                     if self._pending_ui is not None and n_ui:
                         self._pending_ui += n_ui
                     if track_nonhttp:
-                        self._pending_nonhttp += sum(
-                            1 for r in rows if r["__nh"]
-                        )
-                    if bloom is not None and rows:
+                        self._pending_nonhttp += int(pdf["__nh"].sum())
+                    if bloom is not None and len(pdf):
                         import numpy as np
 
                         bloom.add(
-                            np.array([r["__h1"] for r in rows], dtype=np.int64),
-                            np.array([r["__h2"] for r in rows], dtype=np.int64),
+                            pdf["__h1"].to_numpy(dtype=np.int64),
+                            pdf["__h2"].to_numpy(dtype=np.int64),
                         )
                     if track_hosts:
                         self._frontier_hosts.update(
-                            r["host_key"] for r in rows if r["host_key"]
+                            h for h in pdf["host_key"] if h
                         )
             _tr("digest_collect")
 
