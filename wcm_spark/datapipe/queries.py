@@ -1464,26 +1464,34 @@ _SPARK_OVERRIDES = {
 
 @spark_only("crawl_bfs_e2e")
 def _q_crawl(spark, sf_dir):
-    """The crawl loop itself: BFS over the synthetic corpus, visit order out.
-    Ordering/seen parity vs the reference simulator is pinned in pytest
-    (tests/test_parity.py); SQL cannot express the iterative loop."""
-    from ..corpus import corpus_df, seed_urls
-    from ..scheduler import CrawlConfig, Crawler
+    """The crawl loop itself: BFS over the fixture corpus, visit order out.
 
-    corpus = corpus_df(spark, n_sites=2, pages_per_site=8).cache()
+    ORACLE-CHECKED since round 4: both engines read the SAME pyarrow-
+    written parquet (fixtures.fixture_corpus_path) and DuckDB recomputes
+    the whole visit set + pos ordering independently via an unrolled
+    wave-by-wave SQL program (fixtures.crawl_bfs_oracle_sql). The
+    pure-Python simulator parity stays pinned in tests/test_parity.py."""
+    from ..corpus import seed_urls
+    from ..scheduler import CrawlConfig, Crawler
+    from .fixtures import CRAWL_FIXTURE, fixture_corpus_path
+
+    corpus = spark.read.parquet(fixture_corpus_path(*CRAWL_FIXTURE)).cache()
     res = Crawler(spark, corpus, CrawlConfig(expected_urls=10_000, use_bloom=False)).run(
-        seed_urls(2)
+        seed_urls(CRAWL_FIXTURE[0])
     )
     return res.visits.select("pos", "url", "status", "depth").orderBy("pos")
 
 
 @spark_only("scrape_edges_e2e")
 def _q_scrape(spark, sf_dir):
-    """The scrape operator (P1-P9 + O1) over generated pages."""
-    from ..corpus import corpus_df
-    from ..operators.scrape import scrape_edges
+    """The scrape operator (P1-P9 + O1) over the fixture corpus.
 
-    pages = corpus_df(spark, n_sites=1, pages_per_site=6, with_images=False)
+    ORACLE-CHECKED since round 4: DuckDB re-extracts the edge set with
+    emit order from the same parquet (fixtures.scrape_edges_oracle_sql)."""
+    from ..operators.scrape import scrape_edges
+    from .fixtures import SCRAPE_FIXTURE, fixture_corpus_path
+
+    pages = spark.read.parquet(fixture_corpus_path(*SCRAPE_FIXTURE))
     return scrape_edges(pages).select(
         "page_url", "emit_idx", "literal_uri", "tag", "context_kind"
     )
@@ -1520,7 +1528,11 @@ def _q_mm_meta(spark, sf_dir):
 
 @spark_only("multimodal_resize")
 def _q_mm_resize(spark, sf_dir):
-    """Image resize stage (numpy box-average) over the binary column."""
+    """Image resize stage (numpy box-average) over the binary column.
+
+    ORACLE-CHECKED since round 4: the resized payload's md5 (binary cells
+    don't hash through the driver's canonicalizer) + dims + fidelity are
+    pinned against generator-computed expected values."""
     from pyspark.sql import functions as F
 
     from ..corpus import corpus_df
@@ -1530,7 +1542,9 @@ def _q_mm_resize(spark, sf_dir):
     imgs = corpus.filter(F.col("content_type").startswith("image/")).select(
         F.col("url").alias("image_id"), F.col("body").alias("bytes")
     )
-    return resize_images(imgs, 16, 16)
+    return resize_images(imgs, 16, 16).select(
+        "image_id", F.md5(F.col("bytes")).alias("resized_md5"), "w", "h", "self_psnr"
+    )
 
 
 @spark_only("multimodal_video_frames")
@@ -1545,7 +1559,10 @@ def _q_mm_video(spark, sf_dir):
 
     from .multimodal import sample_video_frames
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    # doc_id < 50 (not limit(50)): a deterministic, order-independent
+    # slice both engines can name — limit over a parquet scan has no
+    # defined row order at scale, and the DuckDB oracle needs the same ids
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter("doc_id < 50")
 
     def gen(batches):
         from ..media import gen_video
@@ -1582,7 +1599,7 @@ def _q_mm_audio(spark, sf_dir):
 
     from .multimodal import extract_audio_features
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter("doc_id < 50")
 
     def gen(batches):
         from ..media import gen_audio
@@ -1639,4 +1656,22 @@ def oracle_sqls() -> dict[str, str]:
         for name, builder in _BUILDERS.items()
     }
     out["resolve_href_goldens"] = _resolve_oracle_sql()
+    # engine-native queries with INDEPENDENT DuckDB oracles (round 4):
+    # the crawl/scrape oracles recompute results from the shared fixture
+    # parquet; the multimodal oracles pin generator-computed expectations
+    from .fixtures import (
+        crawl_bfs_oracle_sql,
+        multimodal_audio_oracle_sql,
+        multimodal_image_meta_oracle_sql,
+        multimodal_resize_oracle_sql,
+        multimodal_video_oracle_sql,
+        scrape_edges_oracle_sql,
+    )
+
+    out["crawl_bfs_e2e"] = crawl_bfs_oracle_sql()
+    out["scrape_edges_e2e"] = scrape_edges_oracle_sql()
+    out["multimodal_image_meta"] = multimodal_image_meta_oracle_sql()
+    out["multimodal_resize"] = multimodal_resize_oracle_sql()
+    out["multimodal_video_frames"] = multimodal_video_oracle_sql()
+    out["multimodal_audio_features"] = multimodal_audio_oracle_sql()
     return out
