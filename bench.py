@@ -67,6 +67,7 @@ HEADLINE_QUERIES = [
     "ann_ivf",
     "ann_ivf_kmeans",
     "ann_ivf_fitted",
+    "ann_recall_at_k",
     "embedding_neardup",
     "image_phash_neardup",
     "stratified_sample",

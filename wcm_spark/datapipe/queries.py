@@ -1016,6 +1016,110 @@ SELECT query_id, cand_id, cosine FROM (
 ) t WHERE rk <= 3"""
 
 
+@register("ann_recall_at_k")
+def _q_ann_recall(d, sf):
+    """Recall-vs-exact evaluation chaining the ANN family (the reason
+    ann_cosine_topk exists): per query (vec_id < 3), recall@3 of
+
+    - the FITTED IVF probe (ann_ivf_fitted's own-cell top-3), and
+    - the hyperplane-LSH bucket candidate set (ann_lsh_bucketed's
+      pre-verify candidates),
+
+    against the brute-force exact top-3 ground truth. This makes the
+    scale paths' quality measurable in the same oracle-checked signal
+    that validates their plans: at 100 TB you tune n_cells / n_planes by
+    exactly this query over a sampled query set, with ground truth from
+    the (sampled) exact baseline."""
+    f = _fn(d)
+    if d == "spark":
+        dot = (
+            "aggregate(zip_with(q.embedding, c.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        norm_q = "sqrt(aggregate(q.embedding, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+        norm_c = "sqrt(aggregate(c.embedding, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+        dot_qx = (
+            "aggregate(zip_with(q.embedding, x.embedding, (x1, y1) -> CAST(x1 AS DOUBLE) * CAST(y1 AS DOUBLE)), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        norm_x = "sqrt(aggregate(x.embedding, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    else:
+        dot = "list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))"
+        norm_q = "sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))"
+        norm_c = "sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))"
+        dot_qx = "list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(x.embedding AS DOUBLE[]))"
+        norm_x = "sqrt(list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(x.embedding AS DOUBLE[])))"
+    sign = (
+        "CASE WHEN "
+        + _hex2int(
+            f"substr(md5('pl' || CAST(p AS {f['STR']}) || '_' || CAST(dim AS {f['STR']})), 1, 4)", d
+        )
+        + " % 2 = 0 THEN 1.0 ELSE -1.0 END"
+    )
+    if d == "spark":
+        planes = f"SELECT id AS p, dim, {sign} AS s FROM range(8) LATERAL VIEW explode(sequence(0, 63)) x AS dim"
+    else:
+        planes = f"SELECT t1.range AS p, t2.range AS dim, {sign} AS s FROM range(8) t1, range(64) t2"
+    emb = _tbl("embeddings", d, sf)
+    cos_qx = f"{dot_qx} / ({norm_q} * {norm_x})"
+    # elems/vnorm/final_asg come from the shared IVF fit chain; the LSH
+    # bucketing reuses the SAME exploded elems rows
+    return f"""WITH {_ivf_kmeans_ctes(d, sf)},
+planes AS ({planes}),
+proj AS (
+  SELECT e.vec_id, pl.p, round(sum(pl.s * e.x), 6) AS pr
+  FROM elems e JOIN planes pl ON pl.dim = e.dim
+  GROUP BY e.vec_id, pl.p
+),
+bucketed AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN pr > 0 THEN power(2, p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id
+),
+exact3 AS (
+  SELECT query_id, cand_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round({dot} / ({norm_q} * {norm_c}), 6) DESC, c.vec_id
+           ) AS rk
+    FROM {emb} q JOIN {emb} c ON q.vec_id < 3 AND c.vec_id != q.vec_id
+  ) t WHERE rk <= 3
+),
+ivf3 AS (
+  SELECT query_id, cand_id FROM (
+    SELECT q.vec_id AS query_id, x.vec_id AS cand_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round({cos_qx}, 6) DESC, x.vec_id
+           ) AS rk
+    FROM final_asg aq
+    JOIN {emb} q ON q.vec_id = aq.vec_id AND q.vec_id < 3
+    JOIN final_asg ax ON ax.cell = aq.cell AND ax.vec_id != q.vec_id
+    JOIN {emb} x ON x.vec_id = ax.vec_id
+  ) t WHERE rk <= 3
+),
+lshcand AS (
+  SELECT DISTINCT qa.vec_id AS query_id, xb.vec_id AS cand_id
+  FROM bucketed qa
+  JOIN bucketed xb ON qa.bucket = xb.bucket AND xb.vec_id != qa.vec_id
+  WHERE qa.vec_id < 3
+)
+SELECT query_id, method, recall_at_3 FROM (
+  SELECT e.query_id, 'ivf_fitted' AS method,
+         round(CAST(count(i.cand_id) AS DOUBLE) / 3.0, 4) AS recall_at_3
+  FROM exact3 e
+  LEFT JOIN ivf3 i ON i.query_id = e.query_id AND i.cand_id = e.cand_id
+  GROUP BY e.query_id
+  UNION ALL
+  SELECT e.query_id, 'lsh_bucket' AS method,
+         round(CAST(count(c.cand_id) AS DOUBLE) / 3.0, 4) AS recall_at_3
+  FROM exact3 e
+  LEFT JOIN lshcand c ON c.query_id = e.query_id AND c.cand_id = e.cand_id
+  GROUP BY e.query_id
+) t"""
+
+
 @register("ann_ivf")
 def _q_ann_ivf(d, sf):
     """Similarity-search scale path #2: IVF (inverted-file) partitioning.
