@@ -65,6 +65,34 @@ def test_frontier_fifo_order(spark):
     assert q.dequeue() is None
 
 
+def test_frontier_peek_no_spark_job_after_first(spark):
+    """Repeated next() peeks are served from the cached head window —
+    after the first materialization, NO Spark access happens (VERDICT r3
+    item 7: the old path ran an O(offset) collect per peek)."""
+    from wcm_spark.frontier import Frontier
+
+    q = Frontier(spark)
+    for i in range(6):
+        q.enqueue(f"http://example.com/{i}")
+    assert q.next(0)["url"] == "http://example.com/0"  # materializes head
+    real_df = q._df
+    q._df = None  # poison: any Spark access now raises
+    try:
+        for off in range(6):
+            assert q.next(off)["url"] == f"http://example.com/{off}"
+        assert q.next(6) is None  # head is complete: definitive answer
+        # single-row enqueue extends the cached head in place
+        assert q.enqueue("http://example.com/6")
+        assert q.next(6)["url"] == "http://example.com/6"
+    finally:
+        q._df = real_df
+    # dequeue drains through the same cache in FIFO order
+    assert [q.dequeue()["url"] for _ in range(3)] == [
+        f"http://example.com/{i}" for i in range(3)
+    ]
+    assert q.next(0)["url"] == "http://example.com/3"
+
+
 # -- distributed sequence assignment ----------------------------------------
 
 
