@@ -614,6 +614,57 @@ def test_selector_sibling_combinators_and_positional_pseudos():
     assert hrefs("#list a:nth-of-type(-n+2)") == ["/a1", "/a2"]
 
 
+def test_selector_round4_residue_forms():
+    """The round-3 verdict's remaining grammar residue, matching
+    Mojo::DOM/CSS semantics: :nth-last-child, :nth-last-of-type,
+    :only-child, :only-of-type, and the CSS4 case-insensitivity flag
+    [attr=v i] on every attribute operator."""
+    from wcm_spark.htmlkit import find, parse_html
+
+    html = """
+    <div id="list">
+      <h2>head</h2>
+      <a href="/a1">a1</a>
+      <p>between</p>
+      <a href="/a2">a2</a>
+      <a href="/a3">a3</a>
+    </div>
+    <div id="solo"><a href="/only" rel="ME NoFollow">only</a></div>
+    """
+    dom = parse_html(html)
+
+    def hrefs(sel):
+        return [n.attrs.get("href") for n in find(dom, sel)]
+
+    # children of #list: h2 a1 p a2 a3 at 1..5 (reverse 5..1)
+    assert hrefs("#list :nth-last-child(1)") == ["/a3"]
+    assert hrefs("#list :nth-last-child(2)") == ["/a2"]
+    # reverse positions: a3=1, a2=2, p=3, a1=4, h2=5
+    assert hrefs("#list a:nth-last-child(odd)") == ["/a3"]
+    assert hrefs("#list a:nth-last-child(even)") == ["/a1", "/a2"]
+    assert hrefs("#list a:nth-last-child(-n+2)") == ["/a2", "/a3"]
+    # a-of-type positions in #list: a1 a2 a3 (reverse a3 a2 a1)
+    assert hrefs("#list a:nth-last-of-type(2)") == ["/a2"]
+    assert hrefs("#list a:nth-last-of-type(2n+1)") == ["/a1", "/a3"]
+    assert hrefs(":only-child") == ["/only"]
+    assert hrefs("#list a:only-child") == []
+    assert hrefs("h2:only-of-type") != []  # single h2 among its siblings
+    assert hrefs("#list a:only-of-type") == []
+    assert hrefs("#solo a:only-of-type") == ["/only"]
+    # [attr=v i]: case-insensitive value compare, every operator
+    assert hrefs('[rel="me nofollow" i]') == ["/only"]
+    assert hrefs('[rel="me nofollow"]') == []
+    assert hrefs("[rel~=nofollow i]") == ["/only"]
+    assert hrefs("[rel~=nofollow]") == []
+    assert hrefs("[rel^=me i]") == ["/only"]
+    assert hrefs("[rel$=nofollow i]") == ["/only"]
+    assert hrefs("[rel*=FOLLOW i]") == ["/only"]
+    assert hrefs("[href=/ONLY i]") == ["/only"]
+    assert hrefs("[href=/ONLY]") == []
+    # unquoted value + flag must not swallow the flag into the value
+    assert hrefs("[rel~=ME i]") == ["/only"]
+
+
 def test_fast_preset_collection_equals_generic():
     """The tag-switch preset path must emit EXACTLY what the compiled
     selector path emits — same items, same order (forcing the generic

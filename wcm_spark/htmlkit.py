@@ -438,12 +438,13 @@ def parse_html(text: str, xml: bool | None = None) -> Node:
 
 
 # ---------------------------------------------------------------------------
-# Selector engine: tag, #id, .class, [attr], [attr{=,^=,$=,*=,~=}v],
-# :nth-child(n), :nth-of-type(n), :first/last-child, :first/last-of-type,
-# :not(compound); descendant, child (>), adjacent (+) and general (~)
-# sibling combinators — the container grammar Mojo::DOM accepts in
-# practice (Mojo.pm:139 takes any CSS3 selector; these are the forms user
-# scrape code actually writes).
+# Selector engine: tag, #id, .class, [attr], [attr{=,^=,$=,*=,~=}v] with
+# the CSS4 case-insensitivity flag [attr=v i], :nth-child(n),
+# :nth-of-type(n), :nth-last-child(n), :nth-last-of-type(n),
+# :first/last/only-child, :first/last/only-of-type, :not(compound);
+# descendant, child (>), adjacent (+) and general (~) sibling combinators
+# — the container grammar Mojo::DOM accepts in practice (Mojo.pm:139
+# takes any CSS3 selector; these are the forms user scrape code writes).
 # ---------------------------------------------------------------------------
 
 _SIMPLE_RE = re.compile(
@@ -452,14 +453,19 @@ _SIMPLE_RE = re.compile(
   | \#(?P<id>[\w-]+)
   | \.(?P<cls>[\w-]+)
   | \[(?P<attr>[\w:-]+)
-      (?:(?P<op>[\^\$\*~]?=)(?P<quote>['"]?)(?P<val>[^\]'"]*)(?P=quote))?
+      (?:(?P<op>[\^\$\*~]?=)(?P<quote>['"]?)(?P<val>[^\]'"]*?)(?P=quote)
+         (?P<ci>\s+[iI])?)?
     \]
+  | :nth-last-child\((?P<nthlast>[^)]+)\)
+  | :nth-last-of-type\((?P<nthlastot>[^)]+)\)
   | :nth-child\((?P<nth>[^)]+)\)
   | :nth-of-type\((?P<nthot>[^)]+)\)
   | :first-of-type(?P<firstot>)
   | :last-of-type(?P<lastot>)
   | :first-child(?P<firstc>)
   | :last-child(?P<lastc>)
+  | :only-child(?P<onlyc>)
+  | :only-of-type(?P<onlyot>)
   | :not\((?P<notsel>[^)]+)\)
 """,
     re.VERBOSE,
@@ -515,29 +521,44 @@ def _parse_compound(token: str):
         elif m.group("attr"):
             attr = m.group("attr").lower()
             op, val = m.group("op"), m.group("val")
+            ci = m.group("ci") is not None  # CSS4 [attr=v i] case flag
+            if ci:
+                val = val.lower()
+
+            def _av(n, attr=attr, ci=ci):
+                v = n.attrs.get(attr) or ""
+                return v.lower() if ci else v
+
             if op is None:
                 tests.append(lambda n, attr=attr: attr in n.attrs)
             elif op == "=":
-                tests.append(lambda n, attr=attr, val=val: n.attrs.get(attr) == val)
+                # exact compare on the raw value (a valueless attr stays
+                # None and never equals a string val — pre-ci behavior)
+                tests.append(
+                    lambda n, attr=attr, val=val, ci=ci: (
+                        (lambda v: (v.lower() if ci and v is not None else v) == val)(
+                            n.attrs.get(attr)
+                        )
+                    )
+                )
             elif op == "^=":
                 tests.append(
-                    lambda n, attr=attr, val=val: (n.attrs.get(attr) or "").startswith(val)
-                    and attr in n.attrs
+                    lambda n, attr=attr, val=val, _av=_av: attr in n.attrs
+                    and _av(n).startswith(val)
                 )
             elif op == "$=":
                 tests.append(
-                    lambda n, attr=attr, val=val: attr in n.attrs
-                    and (n.attrs.get(attr) or "").endswith(val)
+                    lambda n, attr=attr, val=val, _av=_av: attr in n.attrs
+                    and _av(n).endswith(val)
                 )
             elif op == "*=":
                 tests.append(
-                    lambda n, attr=attr, val=val: attr in n.attrs
-                    and val in (n.attrs.get(attr) or "")
+                    lambda n, attr=attr, val=val, _av=_av: attr in n.attrs
+                    and val in _av(n)
                 )
             else:  # ~= whitespace-separated word match
                 tests.append(
-                    lambda n, attr=attr, val=val: val
-                    in (n.attrs.get(attr) or "").split()
+                    lambda n, val=val, _av=_av: val in _av(n).split()
                 )
         elif m.group("nth"):
             a, b = _parse_nth(m.group("nth"))
@@ -557,6 +578,40 @@ def _parse_compound(token: str):
                 i = next((j for j, s in enumerate(typed, 1) if s is n), 0)
                 return i > 0 and _nth_matches(a, b, i)
             tests.append(nthot_test)
+        elif m.group("nthlast"):
+            a, b = _parse_nth(m.group("nthlast"))
+            def nthlast_test(n, a=a, b=b):
+                if n.parent is None:
+                    return False
+                sibs = n.parent.element_children()
+                i = next(
+                    (j for j, s in enumerate(reversed(sibs), 1) if s is n), 0
+                )
+                return i > 0 and _nth_matches(a, b, i)
+            tests.append(nthlast_test)
+        elif m.group("nthlastot"):
+            a, b = _parse_nth(m.group("nthlastot"))
+            def nthlastot_test(n, a=a, b=b):
+                if n.parent is None:
+                    return False
+                typed = [c for c in n.parent.element_children() if c.tag == n.tag]
+                i = next(
+                    (j for j, s in enumerate(reversed(typed), 1) if s is n), 0
+                )
+                return i > 0 and _nth_matches(a, b, i)
+            tests.append(nthlastot_test)
+        elif m.group("onlyc") is not None:
+            tests.append(
+                lambda n: n.parent is not None
+                and len(n.parent.element_children()) == 1
+            )
+        elif m.group("onlyot") is not None:
+            tests.append(
+                lambda n: n.parent is not None
+                and sum(
+                    1 for c in n.parent.element_children() if c.tag == n.tag
+                ) == 1
+            )
         elif m.group("firstot") is not None:
             tests.append(
                 lambda n: n.parent is not None
