@@ -39,6 +39,7 @@ __all__ = [
     "simulate_crawl_waves",
     "crawl_bfs_oracle_sql",
     "scrape_edges_oracle_sql",
+    "image_pipeline_oracle_sql",
     "multimodal_image_meta_oracle_sql",
     "multimodal_resize_oracle_sql",
     "multimodal_video_oracle_sql",
@@ -92,10 +93,13 @@ def fixture_corpus_path(n_sites: int, pages_per_site: int, with_images: bool = T
 def simulate_crawl_waves(n_sites: int, pages_per_site: int, with_images: bool = True):
     """Drain-mode BFS waves over the fixture corpus, pure Python.
 
-    Returns (n_waves, visits) where visits = [(url, status, depth), ...]
-    in pos order — the same engine semantics (scheduler.py drain path) but
-    single-threaded, used to size the oracle's wave unroll and to
-    cross-check the SQL oracle itself."""
+    Returns (n_waves, visits, fetches): visits = [(url, status, depth)]
+    in pos order; fetches = [(final_url, corpus_row_or_None, context)]
+    in the same order, where context is the winning (first-emit) scrape
+    context of the frontier row — the engine's Job._context analog the
+    image sink parses captions from. Same semantics as the scheduler's
+    drain path, single-threaded; sizes the oracle's wave unroll and
+    cross-checks the SQL oracle itself."""
     from ..corpus import corpus_rows, seed_urls
     from ..crawlcore import make_child
     from ..htmlkit import extract_links
@@ -120,15 +124,17 @@ def simulate_crawl_waves(n_sites: int, pages_per_site: int, with_images: bool = 
         d = job_digest(u, None, None)
         if d not in seen:
             seen.add(d)
-            frontier.append((u, None, None, 0))
+            frontier.append((u, None, None, 0, None))
     visits: list[tuple] = []
+    fetches: list[tuple] = []
     waves = 0
     while frontier:
         waves += 1
         children: list[tuple] = []
-        for url, method, tx, depth in frontier:
+        for url, method, tx, depth, ctx in frontier:
             final, page = fetch(url)
             visits.append((final, page["status"] if page else None, depth))
+            fetches.append((final, page, ctx))
             if page is None or page.get("status") is None:
                 continue
             for it in extract_links(
@@ -136,16 +142,18 @@ def simulate_crawl_waves(n_sites: int, pages_per_site: int, with_images: bool = 
             ):
                 ch = make_child(it["literal_uri"], it["base"], it["method"], it["params"])
                 if ch is not None:
-                    children.append((ch[3], ch[0], ch[1], ch[2], depth + 1))
+                    children.append(
+                        (ch[3], ch[0], ch[1], ch[2], depth + 1, it["context"])
+                    )
         nxt, wave_new = [], set()
-        for dig, curl, cm, ct, d in children:  # already (parent, emit) order
+        for dig, curl, cm, ct, d, ctx in children:  # already (parent, emit) order
             if dig in seen or dig in wave_new:
                 continue
             wave_new.add(dig)
-            nxt.append((curl, cm, ct, d))
+            nxt.append((curl, cm, ct, d, ctx))
         seen |= wave_new
         frontier = nxt
-    return waves, visits
+    return waves, visits, fetches
 
 
 # ---------------------------------------------------------------------------
@@ -259,7 +267,7 @@ def crawl_bfs_oracle_sql() -> str:
     (O1) — pos = seq in drain mode. Wave count from the pure-Python
     simulator + 1 margin wave."""
     path = fixture_corpus_path(*CRAWL_FIXTURE)
-    n_waves, _ = simulate_crawl_waves(*CRAWL_FIXTURE)
+    n_waves, _, _ = simulate_crawl_waves(*CRAWL_FIXTURE)
     waves = n_waves + 1
     from ..corpus import seed_urls
 
@@ -348,6 +356,39 @@ ORDER BY pos""")
 # ---------------------------------------------------------------------------
 # multimodal oracles: expected rows from the deterministic generators
 # ---------------------------------------------------------------------------
+
+
+def image_pipeline_oracle_sql() -> str:
+    """Expected S7 sink rows for the crawl-fixture image pipeline:
+    (image_id, w, h, fmt, caption, phash). The wave simulator supplies
+    which image URLs the crawl fetches and each one's winning scrape
+    context (first-emit lineage); dims/fmt/phash come from decoding the
+    corpus payload, captions from the same context-parse the sink runs
+    (alt of the enqueuing <img>; css/[style] emitters have none)."""
+    from ..images import decode_image, phash64
+    from ..operators.imagesink import _caption_from_context
+
+    _, _, fetches = simulate_crawl_waves(*CRAWL_FIXTURE)
+    rows = []
+    for final, page, ctx in fetches:
+        if (
+            page is None
+            or page.get("status") is None
+            or not (page.get("content_type") or "").startswith("image/")
+            or page.get("body") is None
+        ):
+            continue
+        arr, fmt = decode_image(page["body"])
+        cap = _caption_from_context(ctx) or ""  # '' = captionless (query side matches)
+        rows.append(
+            f"({_sql_str(final)}, {arr.shape[1]}, {arr.shape[0]}, {_sql_str(fmt)}, "
+            f"{_sql_str(cap)}, {phash64(arr)})"
+        )
+    return (
+        "SELECT image_id, CAST(w AS INT) AS w, CAST(h AS INT) AS h, fmt, "
+        "caption, CAST(phash AS BIGINT) AS phash "
+        f"FROM (VALUES {', '.join(rows)}) t(image_id, w, h, fmt, caption, phash)"
+    )
 
 
 def _corpus_images(n_sites: int, pages_per_site: int):

@@ -1603,15 +1603,28 @@ def _q_scrape(spark, sf_dir):
 
 @spark_only("image_pipeline")
 def _q_images(spark, sf_dir):
-    """S7 image+caption sink: decode, dimensions, phash, caption lineage."""
-    from ..corpus import corpus_df, seed_urls
-    from ..scheduler import CrawlConfig, Crawler
+    """S7 image+caption sink: decode, dimensions, phash, caption lineage.
 
-    corpus = corpus_df(spark, n_sites=2, pages_per_site=8).cache()
+    ORACLE-CHECKED since round 4: expected rows derived from the wave
+    simulator's lineage + the deterministic codecs
+    (fixtures.image_pipeline_oracle_sql) over the shared fixture parquet."""
+    from ..corpus import seed_urls
+    from ..scheduler import CrawlConfig, Crawler
+    from .fixtures import CRAWL_FIXTURE, fixture_corpus_path
+
+    from pyspark.sql import functions as F
+
+    corpus = spark.read.parquet(fixture_corpus_path(*CRAWL_FIXTURE)).cache()
     res = Crawler(
         spark, corpus, CrawlConfig(expected_urls=10_000, use_bloom=False, collect_images=True)
-    ).run(seed_urls(2))
-    return res.images.select("image_id", "w", "h", "fmt", "caption", "phash")
+    ).run(seed_urls(CRAWL_FIXTURE[0]))
+    # captionless sink rows (css/[style]-emitted images) project as ''
+    # so the oracle compare never sorts None against str — the sink
+    # itself keeps NULL captions
+    return res.images.select(
+        "image_id", "w", "h", "fmt",
+        F.coalesce(F.col("caption"), F.lit("")).alias("caption"), "phash",
+    )
 
 
 @spark_only("multimodal_image_meta")
@@ -1765,6 +1778,7 @@ def oracle_sqls() -> dict[str, str]:
     # parquet; the multimodal oracles pin generator-computed expectations
     from .fixtures import (
         crawl_bfs_oracle_sql,
+        image_pipeline_oracle_sql,
         multimodal_audio_oracle_sql,
         multimodal_image_meta_oracle_sql,
         multimodal_resize_oracle_sql,
@@ -1774,6 +1788,7 @@ def oracle_sqls() -> dict[str, str]:
 
     out["crawl_bfs_e2e"] = crawl_bfs_oracle_sql()
     out["scrape_edges_e2e"] = scrape_edges_oracle_sql()
+    out["image_pipeline"] = image_pipeline_oracle_sql()
     out["multimodal_image_meta"] = multimodal_image_meta_oracle_sql()
     out["multimodal_resize"] = multimodal_resize_oracle_sql()
     out["multimodal_video_frames"] = multimodal_video_oracle_sql()
