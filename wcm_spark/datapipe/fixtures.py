@@ -63,11 +63,19 @@ def fixture_corpus_path(n_sites: int, pages_per_site: int, with_images: bool = T
 
     d = os.path.join(tempfile.gettempdir(), "wcm_fixtures")
     os.makedirs(d, exist_ok=True)
-    name = f"corpus_{n_sites}x{pages_per_site}_{'img' if with_images else 'noimg'}.parquet"
+    rows = corpus_rows(n_sites, pages_per_site, with_images)
+    # content-addressed name: a generator change can never silently serve
+    # a stale fixture from an earlier run/round
+    h = hashlib.md5()
+    for r in rows:
+        h.update(repr(sorted(r.items())).encode())
+    name = (
+        f"corpus_{n_sites}x{pages_per_site}_"
+        f"{'img' if with_images else 'noimg'}_{h.hexdigest()[:10]}.parquet"
+    )
     path = os.path.join(d, name)
     if os.path.exists(path):
         return path
-    rows = corpus_rows(n_sites, pages_per_site, with_images)
     schema = pa.schema(
         [
             ("url", pa.string()),
