@@ -287,6 +287,24 @@ def _probe_bw(sec: float) -> float:
     return n * 64 / (time.monotonic() - t0)
 
 
+def _quick_bw(sec: float = 0.6) -> float:
+    """Cheap single-process copy-bandwidth spot probe (GB/s) — the phase
+    indicator that tracks this host's throttle (starved windows measure
+    0.01-0.03, healthy ones 2-3+)."""
+    return round(_probe_bw(sec) / 1000, 2)
+
+
+def _await_window(floor_gb_s: float, max_wait_sec: float = 120.0) -> float:
+    """Block (bounded) until the quick probe clears ``floor_gb_s``;
+    returns the last probe value either way."""
+    t0 = time.monotonic()
+    while True:
+        bw = _quick_bw()
+        if bw >= floor_gb_s or time.monotonic() - t0 >= max_wait_sec:
+            return bw
+        time.sleep(10.0)
+
+
 def _probe_gate(
     floor_gb_s: float | None = None,
     max_wait_sec: float | None = None,
@@ -379,13 +397,27 @@ def _child_main():
         print(json.dumps(_pipeline_run(cores, corpus_path)))
 
 
-def _spawn(cores: int, corpus_path: str, repeats: int = 3, mode: str = "pipeline") -> dict:
+def _spawn(
+    cores: int,
+    corpus_path: str,
+    repeats: int = 3,
+    mode: str = "pipeline",
+    await_floor: float | None = None,
+) -> dict:
     """Run the pipeline child ``repeats`` times, report the MEDIAN run —
     this box shows ±30% run-to-run variance (turbo/host noise); medians
     keep the scaling-efficiency ratio stable where best-of-N would pair a
-    lucky run at one level against an unlucky one at the other."""
+    lucky run at one level against an unlucky one at the other.
+
+    ``await_floor``: when set, each rep waits (bounded) for the quick
+    bandwidth probe to clear the floor and records a (pre, post) probe
+    bracket per rep — the crawl's per-rep analog of the pair rounds'
+    validity gate."""
     runs = []
+    brackets = []
     for _ in range(repeats):
+        if await_floor is not None:
+            pre = _await_window(await_floor)
         env = dict(
             os.environ, WCM_BENCH_CORES=str(cores), WCM_BENCH_CORPUS=corpus_path,
             WCM_BENCH_MODE=mode,
@@ -397,10 +429,14 @@ def _spawn(cores: int, corpus_path: str, repeats: int = 3, mode: str = "pipeline
         if out.returncode != 0:
             raise RuntimeError(f"bench child failed: {out.stderr[-2000:]}")
         runs.append(json.loads(out.stdout.strip().splitlines()[-1]))
+        if await_floor is not None:
+            brackets.append([pre, _quick_bw()])
     runs.sort(key=lambda r: r["urls_per_sec"])
     med = runs[len(runs) // 2]
     med["all_urls_per_sec"] = [r["urls_per_sec"] for r in runs]
     med["best_urls_per_sec"] = runs[-1]["urls_per_sec"]
+    if brackets:
+        med["rep_bw_brackets_gb_s"] = brackets
     return med
 
 
@@ -421,6 +457,8 @@ def main():
     corpus_df(spark, sites, pages_per_site).write.mode("overwrite").parquet(corpus_path)
     spark.stop()
 
+    quick_floor = float(os.environ.get("WCM_BENCH_QUICK_FLOOR_GB_S", "1.0"))
+
     def run_pair(lo_cores: int, hi_cores: int, rounds: int = 3, mode: str = "pipeline") -> dict:
         """One scaling pair, protocol identical for every pair and round:
         ``rounds`` back-to-back (lo, hi) rounds in alternating order (so
@@ -428,32 +466,53 @@ def main():
         BOTH estimators — per-level best-of-N (min-time rule: host
         throttling is one-sided, it only ever slows a run) and the median
         of per-round paired ratios (robust when a single member of a
-        round throttles). efficiency = ratio / (hi_cores / lo_cores)."""
-        lo_runs, hi_runs = [], []
+        round throttles). efficiency = ratio / (hi_cores / lo_cores).
+
+        Round-validity gating (round 4): the r4 run proved the host's
+        phase flips WITHIN a gated pair (pre-pair probe 9.8 GB/s, then
+        per-round ratios spread 0.43-1.71 as windows collapsed mid-round)
+        — so each round is bracketed by cheap 1-proc copy probes; a round
+        whose bracket dips under ``quick_floor`` is recorded but EXCLUDED
+        from the estimators (falling back to all rounds, flagged, if none
+        qualify). All raw runs and probe values stay in the artifact."""
+        lo_runs, hi_runs, brackets = [], [], []
         for k in range(rounds):
+            pre = _await_window(quick_floor)
             if k % 2 == 0:
                 lo_runs.append(_spawn(lo_cores, corpus_path, repeats=1, mode=mode))
                 hi_runs.append(_spawn(hi_cores, corpus_path, repeats=1, mode=mode))
             else:
                 hi_runs.append(_spawn(hi_cores, corpus_path, repeats=1, mode=mode))
                 lo_runs.append(_spawn(lo_cores, corpus_path, repeats=1, mode=mode))
-        lo = max(lo_runs, key=lambda r: r["urls_per_sec"])
-        hi = max(hi_runs, key=lambda r: r["urls_per_sec"])
+            post = _quick_bw()
+            brackets.append((pre, post))
+        valid = [
+            k for k, (pre, post) in enumerate(brackets)
+            if min(pre, post) >= quick_floor
+        ]
+        used = valid if valid else list(range(rounds))
+        lo = max((lo_runs[k] for k in used), key=lambda r: r["urls_per_sec"])
+        hi = max((hi_runs[k] for k in used), key=lambda r: r["urls_per_sec"])
         lo["all_urls_per_sec"] = [r["urls_per_sec"] for r in lo_runs]
         hi["all_urls_per_sec"] = [r["urls_per_sec"] for r in hi_runs]
         factor = hi_cores / lo_cores
         ratio_best = hi["urls_per_sec"] / max(lo["urls_per_sec"], 1e-9)
-        pair_ratios = sorted(
-            h["urls_per_sec"] / max(l["urls_per_sec"], 1e-9)
+        all_ratios = [
+            round(h["urls_per_sec"] / max(l["urls_per_sec"], 1e-9), 3)
             for l, h in zip(lo_runs, hi_runs)
-        )
-        ratio_median = pair_ratios[len(pair_ratios) // 2]
+        ]
+        used_ratios = sorted(all_ratios[k] for k in used)
+        ratio_median = used_ratios[len(used_ratios) // 2]
         return {
             f"local{lo_cores}": lo,
             f"local{hi_cores}": hi,
             "ratio_best": round(ratio_best, 3),
             "ratio_median_pairs": round(ratio_median, 3),
-            "all_pair_ratios": [round(r, 3) for r in pair_ratios],
+            "all_pair_ratios": sorted(all_ratios),
+            "round_bw_brackets_gb_s": [list(b) for b in brackets],
+            "rounds_in_window": used,
+            "window_floor_gb_s": quick_floor,
+            "all_rounds_starved": not valid,
             "efficiency_best": round(ratio_best / factor, 3),
             "efficiency_median_pairs": round(ratio_median / factor, 3),
         }
@@ -494,7 +553,9 @@ def main():
     crawl_gate = _probe_gate(max_wait_sec=min(
         300.0, float(os.environ.get("WCM_BENCH_BW_MAX_WAIT_SEC", "600"))
     ))
-    crawl = _spawn(CPUS, corpus_path, repeats=3, mode="crawl")
+    crawl = _spawn(
+        CPUS, corpus_path, repeats=3, mode="crawl", await_floor=quick_floor
+    )
     crawl["host_probe_after"] = _host_probe()
     crawl["probe_gate"] = crawl_gate
 
@@ -559,6 +620,8 @@ def main():
                 "lo": pair_main[f"local{lo_cores_main}"]["urls_per_sec"],
                 "hi": pair_main[f"local{hi_cores}"]["urls_per_sec"],
                 "pair_ratios": pair_main["all_pair_ratios"],
+                "rounds_in_window": pair_main["rounds_in_window"],
+                "all_rounds_starved": pair_main["all_rounds_starved"],
             },
             "eff_2to8": {
                 "best": pair_linear["efficiency_best"],
@@ -572,6 +635,7 @@ def main():
                 "all": crawl_all,
                 "sec": crawl["sec"],
                 "fetched": crawl.get("fetched"),
+                "rep_bw": crawl.get("rep_bw_brackets_gb_s"),
             },
             "probe_gate": {
                 "passed": gate["passed"],
