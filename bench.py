@@ -294,7 +294,22 @@ def _quick_bw(sec: float = 0.6) -> float:
     return round(_probe_bw(sec) / 1000, 2)
 
 
-def _await_window(floor_gb_s: float, max_wait_sec: float = 120.0) -> float:
+def _post_bw(floor_gb_s: float) -> float:
+    """Post-run bracket probe. A probe taken the instant a Spark child
+    exits reads 0.01-0.1 GB/s even in healthy phases (JVM teardown +
+    page reclaim of an 8g heap depress the copy transiently — measured
+    in the r4 smoke, post-brackets 0.01 behind pre-brackets 2.4-3.4).
+    Settle, probe, and re-probe once more if still under the floor; take
+    the max (host throttling is one-sided)."""
+    time.sleep(4.0)
+    bw = _quick_bw()
+    if bw >= floor_gb_s:
+        return bw
+    time.sleep(6.0)
+    return max(bw, _quick_bw())
+
+
+def _await_window(floor_gb_s: float, max_wait_sec: float = 180.0) -> float:
     """Block (bounded) until the quick probe clears ``floor_gb_s``;
     returns the last probe value either way."""
     t0 = time.monotonic()
@@ -430,7 +445,7 @@ def _spawn(
             raise RuntimeError(f"bench child failed: {out.stderr[-2000:]}")
         runs.append(json.loads(out.stdout.strip().splitlines()[-1]))
         if await_floor is not None:
-            brackets.append([pre, _quick_bw()])
+            brackets.append([pre, _post_bw(await_floor)])
     runs.sort(key=lambda r: r["urls_per_sec"])
     med = runs[len(runs) // 2]
     med["all_urls_per_sec"] = [r["urls_per_sec"] for r in runs]
@@ -484,7 +499,7 @@ def main():
             else:
                 hi_runs.append(_spawn(hi_cores, corpus_path, repeats=1, mode=mode))
                 lo_runs.append(_spawn(lo_cores, corpus_path, repeats=1, mode=mode))
-            post = _quick_bw()
+            post = _post_bw(quick_floor)
             brackets.append((pre, post))
         valid = [
             k for k, (pre, post) in enumerate(brackets)
