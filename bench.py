@@ -483,13 +483,18 @@ def main():
         of per-round paired ratios (robust when a single member of a
         round throttles). efficiency = ratio / (hi_cores / lo_cores).
 
-        Round-validity gating (round 4): the r4 run proved the host's
-        phase flips WITHIN a gated pair (pre-pair probe 9.8 GB/s, then
-        per-round ratios spread 0.43-1.71 as windows collapsed mid-round)
-        — so each round is bracketed by cheap 1-proc copy probes; a round
-        whose bracket dips under ``quick_floor`` is recorded but EXCLUDED
-        from the estimators (falling back to all rounds, flagged, if none
-        qualify). All raw runs and probe values stay in the artifact."""
+        Per-round bandwidth brackets (round 4) are DIAGNOSTIC ONLY: each
+        round waits (bounded) for the cheap 1-proc probe to clear
+        ``quick_floor`` and records a (pre, post) bracket, but the
+        estimators use ALL rounds — the pinned r3 basis. A gating variant
+        (estimators over in-bracket rounds only) was tried and MEASURED
+        to anti-select: the host phase flips faster than a round runs,
+        so a clean bracket can wrap a collapsed run (r4b: bracket
+        [2.75, 2.34] around ratio 0.30) and a collapsed post-bracket can
+        follow the best run of the day (bracket [3.45, 0.05] around
+        ratio 2.46, hi32 25.9k). Best-of-N across all rounds is exactly
+        the estimator that survives this: with enough rounds each level
+        eventually lands a healthy window."""
         lo_runs, hi_runs, brackets = [], [], []
         for k in range(rounds):
             pre = _await_window(quick_floor)
@@ -501,13 +506,8 @@ def main():
                 lo_runs.append(_spawn(lo_cores, corpus_path, repeats=1, mode=mode))
             post = _post_bw(quick_floor)
             brackets.append((pre, post))
-        valid = [
-            k for k, (pre, post) in enumerate(brackets)
-            if min(pre, post) >= quick_floor
-        ]
-        used = valid if valid else list(range(rounds))
-        lo = max((lo_runs[k] for k in used), key=lambda r: r["urls_per_sec"])
-        hi = max((hi_runs[k] for k in used), key=lambda r: r["urls_per_sec"])
+        lo = max(lo_runs, key=lambda r: r["urls_per_sec"])
+        hi = max(hi_runs, key=lambda r: r["urls_per_sec"])
         lo["all_urls_per_sec"] = [r["urls_per_sec"] for r in lo_runs]
         hi["all_urls_per_sec"] = [r["urls_per_sec"] for r in hi_runs]
         factor = hi_cores / lo_cores
@@ -516,18 +516,16 @@ def main():
             round(h["urls_per_sec"] / max(l["urls_per_sec"], 1e-9), 3)
             for l, h in zip(lo_runs, hi_runs)
         ]
-        used_ratios = sorted(all_ratios[k] for k in used)
+        used_ratios = sorted(all_ratios)
         ratio_median = used_ratios[len(used_ratios) // 2]
         return {
             f"local{lo_cores}": lo,
             f"local{hi_cores}": hi,
             "ratio_best": round(ratio_best, 3),
             "ratio_median_pairs": round(ratio_median, 3),
-            "all_pair_ratios": sorted(all_ratios),
+            "all_pair_ratios": used_ratios,
             "round_bw_brackets_gb_s": [list(b) for b in brackets],
-            "rounds_in_window": used,
             "window_floor_gb_s": quick_floor,
-            "all_rounds_starved": not valid,
             "efficiency_best": round(ratio_best / factor, 3),
             "efficiency_median_pairs": round(ratio_median / factor, 3),
         }
@@ -635,8 +633,7 @@ def main():
                 "lo": pair_main[f"local{lo_cores_main}"]["urls_per_sec"],
                 "hi": pair_main[f"local{hi_cores}"]["urls_per_sec"],
                 "pair_ratios": pair_main["all_pair_ratios"],
-                "rounds_in_window": pair_main["rounds_in_window"],
-                "all_rounds_starved": pair_main["all_rounds_starved"],
+                "round_bw": pair_main["round_bw_brackets_gb_s"],
             },
             "eff_2to8": {
                 "best": pair_linear["efficiency_best"],
