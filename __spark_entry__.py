@@ -4,8 +4,13 @@ entry()      — flagship: one politeness-cut frontier wave with digest dedup
                over a synthetic frontier derived from sf0.001 documents.
 queries()    — every implemented operator from SURVEY.md §2 + the
                training-data pipeline ops; see wcm_spark/datapipe/queries.py.
-oracle_sql() — DuckDB-equivalent SQL per query (engine-native ops — the
-               crawl loop, scrape, image decode — are rows-only checked).
+oracle_sql() — DuckDB-equivalent SQL per query. Since round 4 this covers
+               the engine-native queries too: the crawl loop (unrolled
+               wave-by-wave SQL BFS over a shared fixture parquet), scrape
+               (emit-ordered SQL re-extraction), the image sink and the
+               multimodal kernels (generator-computed expected values) —
+               see wcm_spark/datapipe/fixtures.py. Every queries() entry
+               has an oracle_sql() entry.
 """
 
 from __future__ import annotations
