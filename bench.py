@@ -446,9 +446,10 @@ def _spawn(
         runs.append(json.loads(out.stdout.strip().splitlines()[-1]))
         if await_floor is not None:
             brackets.append([pre, _post_bw(await_floor)])
-    runs.sort(key=lambda r: r["urls_per_sec"])
+    chron = [r["urls_per_sec"] for r in runs]  # aligned with brackets
+    runs = sorted(runs, key=lambda r: r["urls_per_sec"])
     med = runs[len(runs) // 2]
-    med["all_urls_per_sec"] = [r["urls_per_sec"] for r in runs]
+    med["all_urls_per_sec"] = chron
     med["best_urls_per_sec"] = runs[-1]["urls_per_sec"]
     if brackets:
         med["rep_bw_brackets_gb_s"] = brackets
@@ -516,14 +517,16 @@ def main():
             round(h["urls_per_sec"] / max(l["urls_per_sec"], 1e-9), 3)
             for l, h in zip(lo_runs, hi_runs)
         ]
-        used_ratios = sorted(all_ratios)
-        ratio_median = used_ratios[len(used_ratios) // 2]
+        ratio_median = sorted(all_ratios)[len(all_ratios) // 2]
         return {
             f"local{lo_cores}": lo,
             f"local{hi_cores}": hi,
             "ratio_best": round(ratio_best, 3),
             "ratio_median_pairs": round(ratio_median, 3),
-            "all_pair_ratios": used_ratios,
+            # CHRONOLOGICAL, aligned index-for-index with the brackets —
+            # sorting here would break the round->window attribution the
+            # brackets exist to record
+            "all_pair_ratios": all_ratios,
             "round_bw_brackets_gb_s": [list(b) for b in brackets],
             "window_floor_gb_s": quick_floor,
             "efficiency_best": round(ratio_best / factor, 3),

@@ -93,6 +93,27 @@ def test_frontier_peek_no_spark_job_after_first(spark):
     assert q.next(0)["url"] == "http://example.com/3"
 
 
+def test_frontier_dequeue_of_buffered_row_is_exactly_once(spark):
+    """Regression (round-4 review): a row enqueued AFTER the head cache
+    was warmed lives in the driver buffer and the cache; dequeueing it
+    must flush first, or the done-marking misses it and the row
+    resurrects as pending on the next bulk read (double dequeue,
+    negative length)."""
+    from wcm_spark.frontier import Frontier
+
+    q = Frontier(spark)
+    q.enqueue("http://a/")
+    assert q.next(0)["url"] == "http://a/"  # warms + flushes
+    q.enqueue("http://b/")                  # buffered AND cache-appended
+    assert q.dequeue()["url"] == "http://a/"
+    assert q.dequeue()["url"] == "http://b/"
+    assert q.length() == 0
+    wave = q.dequeue_wave()                 # bulk read: nothing resurrects
+    assert wave.count() == 0
+    assert q.length() == 0
+    assert q.dequeue() is None
+
+
 # -- distributed sequence assignment ----------------------------------------
 
 

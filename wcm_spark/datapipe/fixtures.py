@@ -30,6 +30,7 @@ the oracle in tests/test_oracle_parity.py.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import os
 import tempfile
@@ -53,6 +54,7 @@ CRAWL_FIXTURE = (2, 8, True)
 SCRAPE_FIXTURE = (1, 6, False)
 
 
+@functools.lru_cache(maxsize=None)
 def fixture_corpus_path(n_sites: int, pages_per_site: int, with_images: bool = True) -> str:
     """Write the deterministic corpus as ONE parquet file (pyarrow, no
     Spark) and return its path; both engines read this exact file."""
@@ -98,8 +100,13 @@ def fixture_corpus_path(n_sites: int, pages_per_site: int, with_images: bool = T
 # ---------------------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=None)
 def simulate_crawl_waves(n_sites: int, pages_per_site: int, with_images: bool = True):
     """Drain-mode BFS waves over the fixture corpus, pure Python.
+
+    lru_cached — oracle_sqls() calls this for both the BFS and the
+    image-pipeline oracles; callers must treat the returned lists as
+    read-only (they are shared across calls).
 
     Returns (n_waves, visits, fetches): visits = [(url, status, depth)]
     in pos order; fetches = [(final_url, corpus_row_or_None, context)]

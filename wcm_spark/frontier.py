@@ -146,21 +146,25 @@ class Frontier:
             (self._next_seq, url, method, params, digest, None, 0, "pending")
         )
         if self._head is not None:
-            if self._head_complete and len(self._head) < _HEAD_CACHE:
-                # FIFO append lands at the tail of a fully-cached head —
-                # extend in place (host_key via the same scalar the UDF
-                # wraps), no invalidation
-                from .urlkit import host_key as _hk
+            if self._head_complete:
+                if len(self._head) < _HEAD_CACHE * 16:
+                    # FIFO append lands at the tail of a fully-cached head
+                    # — extend in place (host_key via the same scalar the
+                    # UDF wraps); bounded growth, then fall back
+                    from .urlkit import host_key as _hk
 
-                self._head.append(
-                    dict(
-                        seq=self._next_seq, url=url, method=method,
-                        params=params, digest=digest, host_key=_hk(url),
-                        depth=0, state="pending",
+                    self._head.append(
+                        dict(
+                            seq=self._next_seq, url=url, method=method,
+                            params=params, digest=digest, host_key=_hk(url),
+                            depth=0, state="pending",
+                        )
                     )
-                )
-            else:
-                self._head = None
+                else:
+                    self._head = None
+            # incomplete window: the new row lands BEYOND the cached
+            # prefix, so cached offsets are unaffected — keep the cache
+            # (peeks past the window re-collect anyway)
         if self._digests is not None:
             self._digests.add(digest)
             if len(self._digests) > self.digest_cache_max:
@@ -242,6 +246,11 @@ class Frontier:
         head = self.next(0)
         if head is None:
             return None
+        # the head row may still be driver-buffered (next() served it from
+        # an in-place cache append without touching Spark) — flush before
+        # marking, or the seq-match below is a no-op and the buffered row
+        # resurrects as pending on the next bulk read
+        self._flush()
         self._set_df(
             self._df.withColumn(
                 "state",
