@@ -55,6 +55,8 @@ _SF_SIZES = {"sf0.001": (16, 40), "sf0.01": (96, 128), "sf0.1": (480, 320)}
 
 HEADLINE_QUERIES = [
     "wave_cut_politeness",
+    "robots_gate",
+    "credentials_attach",
     "frontier_digest",
     "seen_antijoin",
     "redirect_final_hop",

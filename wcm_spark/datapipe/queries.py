@@ -212,6 +212,115 @@ SELECT seq, url, host_id FROM ranked WHERE hr <= 2
 ORDER BY seq LIMIT 50"""
 
 
+# robots fixture shared by the SQL (both dialects) and the engine-path
+# Spark override: hosts with host_id % 3 == 1 serve this file; the
+# wcm-spark agent falls into the '*' group. Longest-path-prefix match,
+# Allow beats Disallow on ties (robots.py semantics).
+_ROBOTS_BODY = (
+    "User-agent: *\nDisallow: /doc/\nAllow: /doc/1\nDisallow: /doc/11\n"
+    "User-agent: evilbot\nDisallow: /\n"
+)
+
+
+@register("robots_gate")
+def _q_robots(d, sf):
+    """North-rule robots.txt gate over the synthetic frontier: hosts with
+    host_id % 3 == 1 serve _ROBOTS_BODY; the SQL hand-unrolls the
+    longest-prefix evaluation (most-specific LIKE first — /doc/11
+    disallow beats /doc/1 allow beats /doc/ disallow). The Spark side
+    runs the ENGINE's RobotsCache broadcast + pandas-UDF path instead
+    (_robots_spark override), so the driver compare pins the real rule
+    evaluator against an independent SQL restatement."""
+    return f"""WITH {_frontier_cte(d, sf)},
+gated AS (
+  SELECT seq, url, host_id,
+         regexp_replace(url, '^https?://[^/]+', '') AS path
+  FROM frontier
+)
+SELECT seq, url,
+       CASE WHEN host_id % 3 <> 1 THEN TRUE
+            WHEN path LIKE '/doc/11%' THEN FALSE
+            WHEN path LIKE '/doc/1%' THEN TRUE
+            WHEN path LIKE '/doc/%' THEN FALSE
+            ELSE TRUE END AS allowed
+FROM gated"""
+
+
+def _robots_spark(spark, sf_dir):
+    """Engine path for robots_gate: broadcast RobotsCache + the same
+    vectorized allowed() UDF the scheduler's gate uses
+    (scheduler.py::_robots_filter)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BooleanType
+
+    frontier = spark.sql(
+        f"WITH {_frontier_cte('spark', sf_dir)} "
+        "SELECT seq, url, host_id, host_key FROM frontier"
+    )
+    from ..robots import RobotsCache
+
+    hosts = [
+        r["host_key"]
+        for r in frontier.select("host_id", "host_key").distinct().collect()
+        if r["host_id"] % 3 == 1
+    ]
+    bc = spark.sparkContext.broadcast(
+        RobotsCache({h: _ROBOTS_BODY for h in hosts}, agent="wcm-spark").to_bodies_state()
+    )
+
+    @F.pandas_udf(BooleanType())
+    def allowed(host_keys, urls):
+        from ..robots import RobotsCache as RC
+
+        cache = RC.from_state(bc.value)
+        return pd.Series([cache.allowed(hk, u) for hk, u in zip(host_keys, urls)])
+
+    return frontier.select(
+        "seq", "url", allowed(F.col("host_key"), F.col("url")).alias("allowed")
+    )
+
+
+@register("credentials_attach")
+def _q_creds(d, sf):
+    """F8 (UserAgent.pm:17-31,58-63): stored per-host userinfo re-attaches
+    to every same-host request. Hosts with host_id % 5 == 2 hold
+    credentials 'u<host_id>:pw<host_id>'; the authorized URL splices the
+    userinfo after the scheme. The Spark side runs the ENGINE's
+    broadcast-dim credential join (Crawler._with_credentials) via the
+    _creds_spark override."""
+    f = _fn(d)
+    return f"""WITH {_frontier_cte(d, sf)}
+SELECT seq, url,
+       CASE WHEN host_id % 5 = 2
+            THEN 'http://' || 'u' || CAST(host_id AS {f['STR']}) || ':pw'
+                 || CAST(host_id AS {f['STR']}) || '@' || substr(url, 8)
+            ELSE url END AS fetch_auth_url
+FROM frontier"""
+
+
+def _creds_spark(spark, sf_dir):
+    """Engine path for credentials_attach: Crawler._with_credentials
+    (broadcast credential dimension + splice expression)."""
+    from ..scheduler import CrawlConfig, Crawler
+
+    frontier = spark.sql(
+        f"WITH {_frontier_cte('spark', sf_dir)} "
+        "SELECT seq, url, host_id, host_key FROM frontier"
+    )
+    creds = {
+        r["host_key"]: f"u{r['host_id']}:pw{r['host_id']}"
+        for r in frontier.select("host_id", "host_key").distinct().collect()
+        if r["host_id"] % 5 == 2
+    }
+    crawler = Crawler(
+        spark, None, CrawlConfig(fetch_mode="http", credentials=creds)
+    )
+    return crawler._with_credentials(frontier).select(
+        "seq", "url", "fetch_auth_url"
+    )
+
+
 @register("queue_fifo_topk")
 def _q_fifo(d, sf):
     """F2 (Queue/Memory.pm:12-14): dequeue = min-seq selection."""
@@ -1558,6 +1667,11 @@ _SPARK_OVERRIDES = {
     "dedup_ngram_jaccard": _jaccard_spark,
     "dedup_simhash": _simhash_spark,
     "doc_lang_pivot": _lang_pivot_spark,
+    # engine-path overrides: the SQL builder is the oracle, the Spark
+    # side runs the engine's own operator (robots broadcast gate, F8
+    # credential dimension join)
+    "robots_gate": _robots_spark,
+    "credentials_attach": _creds_spark,
 }
 
 
