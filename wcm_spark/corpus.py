@@ -264,6 +264,32 @@ def seed_urls(n_sites: int) -> list[str]:
     return [page_url(s, 0) for s in range(n_sites)]
 
 
+def write_bucketed_corpus(
+    df, table: str, buckets: int = 32, path: str | None = None
+) -> None:
+    """Cluster-scale fetch side: bucket the corpus by the join key.
+
+    The crawl joins every wave against the corpus on ``url``; locally the
+    engine pins an in-memory hash-partitioned cache (scheduler._fetch_side)
+    so bodies never re-shuffle. At 100 TB the corpus does not fit memory —
+    the equivalent is BUCKETED STORAGE: a table bucketed (and sorted) by
+    ``url`` makes the scan itself carry the hash partitioning, so the
+    fetch join plans ZERO exchange on the corpus side (only the narrow
+    wave shuffles, into the bucket count). Pair with
+    ``CrawlConfig.corpus_prepartitioned=True`` so the scheduler skips its
+    repartition+persist and leaves the bucketed scan's distribution
+    intact (plan-asserted in tests/test_bucketed.py)."""
+    w = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(buckets, "url")
+        .sortBy("url")
+    )
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
 def corpus_df(spark, n_sites: int, pages_per_site: int, with_images: bool = True, parts: int | None = None):
     """Distributed corpus materialization: one generator task per site."""
     import pandas as pd

@@ -85,6 +85,9 @@ class CrawlConfig:
     min_delay_waves: int = 0               # F6 politeness budget: waves a host rests between fetches
     broadcast_seen_max: int = 4_000_000    # D2 in-UDF probe while the exact digest set fits a broadcast
     fetch_mode: str = "corpus"             # "corpus" (test/bench join) | "http" (live network fetch)
+    corpus_prepartitioned: bool = False    # corpus is a bucketed-by-url table: skip the
+                                           # repartition+persist, let the bucketed scan
+                                           # carry the join distribution (100 TB path)
     html_handlers: dict | None = None      # selector->extractor override (Mojo.pm:14,253-261); None = presets
     on_wave: object = None                 # callable(wave_id, pages_df) -> pages_df|None ('res' event analog)
     on_error: object = None                # callable(wave_id, errors_df) ('error' event, Mojo.pm:306-393)
@@ -379,15 +382,23 @@ class Crawler:
         bucketed storage on url, or no join at all in real-fetch mode.)
         """
         if self._fetch_df is None:
-            n = self.spark.sparkContext.defaultParallelism
-            self._fetch_df = (
-                self.corpus.select(
-                    F.col("url").alias("c_url"), "status", "content_type",
-                    "content_length", "body",
+            cols = [
+                F.col("url").alias("c_url"), F.col("status"),
+                F.col("content_type"), F.col("content_length"), F.col("body"),
+            ]
+            if self.config.corpus_prepartitioned:
+                # bucketed-by-url table: the scan itself carries the hash
+                # partitioning (ProjectExec is alias-aware, so c_url keeps
+                # it); no repartition, no persist — the 100 TB shape where
+                # the corpus cannot live in memory
+                self._fetch_df = self.corpus.select(*cols)
+            else:
+                n = self.spark.sparkContext.defaultParallelism
+                self._fetch_df = (
+                    self.corpus.select(*cols)
+                    .repartition(n, F.col("c_url"))
+                    .persist()
                 )
-                .repartition(n, F.col("c_url"))
-                .persist()
-            )
         return self._fetch_df
 
     def _fetch_wave(self, wave: DataFrame) -> DataFrame:
@@ -423,9 +434,15 @@ class Crawler:
             F.coalesce(F.col("history"), F.array().cast("array<string>")).alias("redirect_history"),
         )
         c = self._fetch_side()
-        # repartition the (narrow) frontier side to the corpus partitioning
-        # so only the wave shuffles into the join
-        w = w.repartition(self.spark.sparkContext.defaultParallelism, F.col("fetch_url"))
+        if not self.config.corpus_prepartitioned:
+            # repartition the (narrow) frontier side to the corpus
+            # partitioning so only the wave shuffles into the join
+            w = w.repartition(
+                self.spark.sparkContext.defaultParallelism, F.col("fetch_url")
+            )
+        # prepartitioned (bucketed) corpus: no manual exchange — the
+        # planner shuffles the wave side into the bucket count, the
+        # bucketed scan side plans NO exchange
         fetched = w.join(c, w.fetch_url == c.c_url, "left")
         return fetched.select(
             wave["seq"], wave["wave"], wave["depth"], wave["retries"],
