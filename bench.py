@@ -289,6 +289,26 @@ def _probe_bw(sec: float) -> float:
     return n * 64 / (time.monotonic() - t0)
 
 
+# Global waiting budget shared by EVERY gate (whole-pair, per-round,
+# crawl): in a persistently starved phase (observed: 2.5 h continuous in
+# round 4) unbounded per-gate waits would inflate the bench by ~40 min
+# and risk the driver's own timeout killing the run — no artifact at
+# all. Once the budget drains, gates stop waiting and runs proceed with
+# their probes recorded as-is.
+_WAIT_BUDGET = {
+    "left": float(os.environ.get("WCM_BENCH_TOTAL_WAIT_BUDGET_SEC", "900"))
+}
+
+
+def _wait_from_budget(seconds: float) -> bool:
+    take = min(seconds, _WAIT_BUDGET["left"])
+    if take <= 0:
+        return False
+    _WAIT_BUDGET["left"] -= take
+    time.sleep(take)
+    return True
+
+
 def _quick_bw(sec: float = 0.6) -> float:
     """Cheap single-process copy-bandwidth spot probe (GB/s) — the phase
     indicator that tracks this host's throttle (starved windows measure
@@ -312,14 +332,15 @@ def _post_bw(floor_gb_s: float) -> float:
 
 
 def _await_window(floor_gb_s: float, max_wait_sec: float = 180.0) -> float:
-    """Block (bounded) until the quick probe clears ``floor_gb_s``;
-    returns the last probe value either way."""
+    """Block (bounded, budgeted) until the quick probe clears
+    ``floor_gb_s``; returns the last probe value either way."""
     t0 = time.monotonic()
     while True:
         bw = _quick_bw()
         if bw >= floor_gb_s or time.monotonic() - t0 >= max_wait_sec:
             return bw
-        time.sleep(10.0)
+        if not _wait_from_budget(10.0):
+            return bw
 
 
 def _probe_gate(
@@ -359,12 +380,13 @@ def _probe_gate(
                 "passed": True, "floor_gb_s": floor, "waited_sec": waited,
                 "attempts": attempts,
             }
-        if time.monotonic() - t0 >= max_wait:
+        if time.monotonic() - t0 >= max_wait or not _wait_from_budget(
+            recheck_sec
+        ):
             return {
                 "passed": False, "floor_gb_s": floor, "waited_sec": waited,
                 "attempts": attempts,
             }
-        time.sleep(recheck_sec)
 
 
 def _host_probe(seconds: float = 3.0) -> dict:
@@ -609,6 +631,7 @@ def main():
             f"null_control_{lo_cores_main}to{hi_cores}": null_pair,
             "efficiency_vs_host_ceiling": eff_vs_host,
             "probe_gate": gate,
+            "wait_budget_left_sec": round(_WAIT_BUDGET["left"], 1),
             "host_probe": {
                 "before_pairs": probe_before,
                 "after_pairs": probe_after,
@@ -662,6 +685,7 @@ def main():
                 "bw8_at_crawl_gb_s": crawl_gate["attempts"][-1][
                     "copy_bw_8proc_gb_s"
                 ],
+                "wait_budget_left_sec": round(_WAIT_BUDGET["left"], 1),
             },
         },
     }
