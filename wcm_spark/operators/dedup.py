@@ -10,10 +10,12 @@ the engine layers:
    join entirely. Hash indexes are derived from two JVM-side xxhash64
    columns (Kirsch–Mitzenmacher double hashing) so no Python touches the
    hot rows until the vectorized membership test.
-2. **per-partition cuckoo filter** — intra-wave duplicate suppression with
-   deletion support inside Arrow batches.
-3. **exact left-anti join backstop** against the ``seen(digest)`` table —
+2. **exact left-anti join backstop** against the ``seen(digest)`` table —
    the bloom only thins the probe side; correctness never depends on it.
+
+A deletable :class:`CuckooFilter` is provided as the second
+approximate-membership structure the north rule names; see its docstring
+for why the append-only crawl paths don't use it.
 
 PySpark exposes no bloom builder (DataFrameStatFunctions.bloomFilter is
 Scala-only), hence the numpy implementation.
@@ -76,9 +78,15 @@ class NumpyBloom:
 class CuckooFilter:
     """Bucketed cuckoo filter (4-slot buckets, 16-bit fingerprints).
 
-    Supports delete (unlike bloom) — used for intra-wave duplicate
-    suppression inside Arrow batches and as the per-partition prefilter the
-    north rule calls for. numpy storage, scalar kick loop (bounded)."""
+    The deletable approximate-membership building block the north rule
+    names alongside the counting bloom. Property-tested
+    (tests/test_properties.py, test_components.py) but deliberately NOT on
+    the crawl hot path: the URL-seen set is append-only (deletion support
+    buys nothing there), and intra-partition duplicate suppression before
+    the first-emit-wins shuffle already happens for free in Catalyst's
+    map-side partial aggregation of the digest groupBy. Reach for it when
+    a deployment needs membership WITH deletes (e.g. a recrawl frontier
+    that retires expired URLs). numpy storage, scalar kick loop (bounded)."""
 
     MAX_KICKS = 500
 
