@@ -133,6 +133,49 @@ def test_assign_seq_empty(spark):
     assert assign_seq(df, ["key"]).count() == 0
 
 
+def test_assign_seq_key_bounds_matches_sampled_path(spark):
+    """The arithmetic-bucket fast path must emit the EXACT seqs of the
+    sampled range-exchange path: same (parent, emit) ordering, dense from
+    `start`, duplicate first keys kept in one bucket, out-of-range keys
+    (the retry channel's parent_seq = -1) clamped but still ordered
+    first."""
+    from wcm_spark.operators.seq import assign_seq
+
+    rows = [
+        # (parent_seq, emit_idx) — parents 100..139, ~5 children each,
+        # plus retry rows with parent_seq = -1 below the bounds
+        (p, e) for p in range(100, 140) for e in range(p % 6 + 1)
+    ] + [(-1, 0), (-1, 1)]
+    df = spark.createDataFrame(rows, "parent_seq long, emit_idx int")
+    want = [
+        (p, e, 500 + i)
+        for i, (p, e) in enumerate(sorted(rows))
+    ]
+    out = assign_seq(
+        df, ["parent_seq", "emit_idx"], out_col="seq", start=500,
+        num_partitions=7, key_bounds=(100, 140), return_count=True,
+    )
+    got = sorted(tuple(r) for r in out[0].collect())
+    assert out[1] == len(rows)
+    assert got == want
+
+
+def test_assign_seq_key_bounds_degenerate_span(spark):
+    """hi == lo (single-parent wave) must not divide by zero and still
+    rank correctly in one bucket."""
+    from wcm_spark.operators.seq import assign_seq
+
+    df = spark.createDataFrame(
+        [(7, i) for i in range(25)], "parent_seq long, emit_idx int"
+    )
+    out = assign_seq(
+        df, ["parent_seq", "emit_idx"], out_col="seq", key_bounds=(7, 7)
+    )
+    assert [r["seq"] for r in out.orderBy("emit_idx").collect()] == list(
+        range(25)
+    )
+
+
 # -- bloom / cuckoo ----------------------------------------------------------
 
 

@@ -32,6 +32,7 @@ def assign_seq(
     num_partitions: int | None = None,
     return_count: bool = False,
     input_materialized: bool = False,
+    key_bounds: tuple[int, int] | None = None,
 ):
     """Add ``out_col`` = start + dense rank of the row under ``order_cols``.
 
@@ -39,8 +40,65 @@ def assign_seq(
     children use (parent_seq, emit_idx), seeds use input position).
     With ``return_count`` returns ``(df, n_rows)`` — the total falls out of
     the per-partition counts, so callers skip a separate count() job.
+
+    ``key_bounds=(lo, hi)``: when the FIRST ordering column is an integer
+    with a known value range (the crawl loop knows its wave's parent seqs
+    are exactly ``[next_seq - pending, next_seq)``), the sampled range
+    exchange is replaced by an ARITHMETIC bucket split: bucket =
+    clamp(floor((key - lo) · P / (hi - lo))). Monotonic in the key and
+    total on a per-key basis (equal keys share a bucket, so the
+    bucket-offset + local-rank math below is unchanged), it needs no
+    sampling job, no lineage barrier (deterministic under task retry by
+    construction — nothing to pin), and no persisted exchange: one fewer
+    full pass over the fresh rows per call. Out-of-range keys (the
+    retry channel's parent_seq = -1) clamp to the edge buckets, which
+    keeps the mapping monotonic. Skew bound: one key's rows can't split
+    across buckets — at web scale a parent's fan-out is bounded by links
+    per page, so a bucket holds many parents; callers whose first key is
+    genuinely skewed should keep the sampling path, which splits ties on
+    the remaining ordering columns.
     """
     cols = [F.col(c) for c in order_cols]
+    if key_bounds is not None:
+        lo, hi = key_bounds
+        span = max(1, int(hi) - int(lo))
+        n_parts = num_partitions or int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        n_parts = max(1, min(n_parts, span))
+        bucket = F.least(
+            F.lit(n_parts - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((cols[0] - F.lit(int(lo))) * n_parts / span),
+            ),
+        ).cast("int")
+        bucketed = df.withColumn("__pid", bucket)
+        counts = {
+            r["__pid"]: r["cnt"]
+            for r in bucketed.groupBy("__pid")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        offsets, acc = {}, start
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        spark = df.sparkSession
+        offsets_df = spark.createDataFrame(
+            [(int(pid), int(off)) for pid, off in offsets.items()],
+            "__pid int, __off long",
+        )
+        local = Window.partitionBy("__pid").orderBy(*cols)
+        out = (
+            bucketed.join(F.broadcast(offsets_df), "__pid")
+            .withColumn(
+                out_col,
+                (F.row_number().over(local) - 1 + F.col("__off")).cast("long"),
+            )
+            .drop("__pid", "__off")
+        )
+        return (out, acc - start) if return_count else out
     if num_partitions is not None:
         ranged = df.repartitionByRange(num_partitions, *cols)
     else:

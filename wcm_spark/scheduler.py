@@ -676,13 +676,31 @@ class Crawler:
         import os as _os
 
         trace = _os.environ.get("WCM_TRACE") == "1"
-        _tm = [time.monotonic()]
+        _tm = [time.monotonic(), 0]
+
+        def _next_job_id():
+            # DAGScheduler's internal next-job counter: deltas between
+            # trace points = Spark jobs launched by that phase. Internal
+            # API, so diagnostics only (guarded by WCM_TRACE).
+            try:
+                return int(spark.sparkContext._jsc.sc().dagScheduler().nextJobId())
+            except Exception:
+                return 0
+
+        if trace:
+            _tm[1] = _next_job_id()
 
         def _tr(label):
             if trace:
                 now = time.monotonic()
-                print(f"    [trace] {label}: {now - _tm[0]:.2f}s", flush=True)
+                jid = _next_job_id()
+                print(
+                    f"    [trace] {label}: {now - _tm[0]:.2f}s"
+                    f" jobs={jid - _tm[1]}",
+                    flush=True,
+                )
                 _tm[0] = now
+                _tm[1] = jid
 
         visit_frames: list[DataFrame] = []
         image_frames: list[DataFrame] = []
@@ -960,9 +978,22 @@ class Crawler:
                 enqueue = combined.filter("__src = 1").select(*_ecols)
             visit_frames.append(visits)
             _tr("heavy_pass_ckpt")
+            # Drain mode knows the wave's parent seqs exactly — they are
+            # the previous wave's assigned range [next_seq - pending,
+            # next_seq) (retries carry parent_seq = -1, which clamps into
+            # bucket 0 and still sorts first) — so assign_seq can split
+            # buckets ARITHMETICALLY: no range-sampling job, no persisted
+            # exchange, one fewer full pass over the fresh rows per wave.
+            # Politeness waves cut a seq-clustered subset of the frontier
+            # (bounds would be loose → skewed buckets), so they keep the
+            # sampled range exchange.
+            bounds = (
+                (next_seq - pending_count, next_seq) if drain_level else None
+            )
             enqueue, enq_count = assign_seq(
                 enqueue, ["parent_seq", "emit_idx"], out_col="seq",
                 start=next_seq, return_count=True, input_materialized=True,
+                key_bounds=bounds,
             )
             cached_exchange = getattr(enqueue, "_wcm_cached_exchange", None)
             enqueue = (
