@@ -537,7 +537,14 @@ class Crawler:
             .withColumn("host_salt", host_salt_col(F.col("host_key"), self.config.salts))
         )
         df = _dedup_min(df, "digest", ["seed_order"])
-        df = assign_seq(df, ["seed_order"], out_col="seq", start=0)
+        # seed_order is dense [0, n) by construction (list seeds: the
+        # enumerate above; DataFrame seeds: row_number - 1), so the
+        # arithmetic-bucket path applies — no sampling job at crawl start
+        n_seeds = len(seeds) if not isinstance(seeds, DataFrame) else None
+        df = assign_seq(
+            df, ["seed_order"], out_col="seq", start=0,
+            key_bounds=(0, n_seeds) if n_seeds else None,
+        )
         return df.select(
             "seq",
             F.lit(0).alias("wave"),
