@@ -190,10 +190,20 @@ def test_neardup_and_jaccard_have_no_pair_explosion(spark):
     from wcm_spark.plans.inspect import formatted_plan
 
     qs = spark_queries()
-    for name in ("embedding_neardup", "dedup_ngram_jaccard"):
+    for name in (
+        "embedding_neardup",
+        "dedup_ngram_jaccard",
+        "minhash_est_vs_exact",
+        "quality_repetition_signals",
+    ):
         plan = formatted_plan(qs[name](spark, SF))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+    # unigram_logprob_score deliberately cross-joins a ONE-ROW aggregate
+    # (the corpus token total) — a broadcast nested-loop against a scalar
+    # is the right plan; assert only that no unbounded cartesian exists
+    plan = formatted_plan(qs["unigram_logprob_score"](spark, SF))
+    assert "CartesianProduct" not in plan, "unigram_logprob_score"
 
 
 def test_stream_dedup_first_wins(spark, tmp_path):

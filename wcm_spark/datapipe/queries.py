@@ -1466,6 +1466,189 @@ FROM {_tbl('documents', d, sf)}
 GROUP BY {bucket}"""
 
 
+def _tok_rows(d: str) -> str:
+    """Exploded (doc_id, tok) rows from the toks CTE, dialect-split."""
+    if d == "spark":
+        return "SELECT doc_id, tok FROM toks LATERAL VIEW explode(tokens) x AS tok"
+    return "SELECT doc_id, unnest(tokens) AS tok FROM toks"
+
+
+@register("quality_repetition_signals")
+def _q_repetition(d, sf):
+    """Gopher-style repetition quality signals per document: duplicate-
+    token fraction (1 - distinct/total), most-frequent-unigram fraction,
+    most-frequent-bigram fraction. High values flag boilerplate/spam for
+    training-data filtering. 100 TB shape: two hash aggregates per n-gram
+    order (per-(doc, gram) count, then per-doc max/sum) — map-side
+    combinable, no window, no sort; all divisions are exact int/int
+    casts so the cross-engine hash compare is stable."""
+    f = _fn(d)
+    if d == "spark":
+        bigram = (
+            "transform(sequence(1, greatest(size(tokens) - 1, 0)), "
+            "i -> concat(element_at(tokens, i), ' ', element_at(tokens, i + 1)))"
+        )
+    else:
+        bigram = (
+            "[list_extract(tokens, i) || ' ' || list_extract(tokens, i + 1) "
+            "for i in generate_series(1, greatest(len(tokens) - 1, 0))]"
+        )
+    return f"""WITH {_tokens_cte(d, sf)},
+tok_rows AS ({_tok_rows(d)}),
+uni AS (SELECT doc_id, tok, count(*) AS c FROM tok_rows GROUP BY doc_id, tok),
+uni_agg AS (
+  SELECT doc_id, sum(c) AS n_toks, count(*) AS n_distinct, max(c) AS top_c
+  FROM uni GROUP BY doc_id
+),
+bigrammed AS (SELECT doc_id, {bigram} AS bigrams FROM toks WHERE {f['LEN']}(tokens) >= 2),
+bi_rows AS ({"SELECT doc_id, bg FROM bigrammed LATERAL VIEW explode(bigrams) x AS bg"
+             if d == "spark" else
+             "SELECT doc_id, unnest(bigrams) AS bg FROM bigrammed"}),
+bi AS (SELECT doc_id, bg, count(*) AS c FROM bi_rows GROUP BY doc_id, bg),
+bi_agg AS (SELECT doc_id, sum(c) AS n_bi, max(c) AS top_bc FROM bi GROUP BY doc_id)
+SELECT u.doc_id,
+  CAST(u.n_toks AS BIGINT) AS n_toks,
+  round(1.0 - CAST(u.n_distinct AS DOUBLE) / u.n_toks, 4) AS dup_tok_frac,
+  round(CAST(u.top_c AS DOUBLE) / u.n_toks, 4) AS top_tok_frac,
+  round(CAST(coalesce(b.top_bc, 0) AS DOUBLE) / coalesce(nullif(b.n_bi, 0), 1), 4)
+    AS top_bigram_frac
+FROM uni_agg u LEFT JOIN bi_agg b ON u.doc_id = b.doc_id"""
+
+
+@register("tfidf_top_terms")
+def _q_tfidf(d, sf):
+    """Per-source top-5 terms by TF-IDF (keyword extraction over a corpus
+    stratum): tf = term occurrences within the source, df = documents
+    containing the term, score = tf * ln(N/df). 100 TB shape: two hash
+    aggregates (per-(source, tok) and per-tok distinct-doc counts), one
+    shuffle-join on tok, then a per-source top-K window over the scored
+    term list (#sources * vocab rows, not corpus rows). Ranking uses the
+    ROUNDED score with term as total tie-break so both engines pick
+    identical rows."""
+    return f"""WITH srctoks AS (
+  {"SELECT source, doc_id, tok FROM (SELECT source, doc_id, "
+   "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '') AS tokens "
+   f"FROM {_tbl('documents', d, sf)}) t LATERAL VIEW explode(tokens) x AS tok"
+   if d == "spark" else
+   "SELECT source, doc_id, unnest(tokens) AS tok FROM (SELECT source, doc_id, "
+   "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS tokens "
+   f"FROM {_tbl('documents', d, sf)}) t"}
+),
+n_docs AS (SELECT count(DISTINCT doc_id) AS n FROM srctoks),
+df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM srctoks GROUP BY tok),
+tf AS (SELECT source, tok, count(*) AS tf FROM srctoks GROUP BY source, tok),
+scored AS (
+  SELECT t.source, t.tok, t.tf, f.df,
+         round(t.tf * ln(CAST(n.n AS DOUBLE) / f.df), 4) AS tfidf
+  FROM tf t JOIN df f ON t.tok = f.tok CROSS JOIN n_docs n
+)
+SELECT source, tok AS term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, tfidf
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY tfidf DESC, tok) AS rn
+  FROM scored
+) r WHERE rn <= 5"""
+
+
+@register("unigram_logprob_score")
+def _q_unigram_nll(d, sf):
+    """Perplexity-proxy quality score: average negative log-probability of
+    a document under the corpus's own unigram model (low = generic/
+    repetitive text, high = rare-token noise — both filter tails for LLM
+    training data). Per-token -ln p is quantized to integer MICRO-nats
+    before the per-doc sum, so both engines sum exact BIGINTs in any
+    partition order — no float-accumulation drift for the driver's value
+    hash. 100 TB shape: the unigram model is one hash aggregate; scoring
+    is a join on tok (the model side is vocabulary-sized) and a second
+    hash aggregate per doc."""
+    return f"""WITH {_tokens_cte(d, sf)},
+tok_rows AS ({_tok_rows(d)}),
+corpus AS (SELECT tok, count(*) AS c FROM tok_rows GROUP BY tok),
+tot AS (SELECT sum(c) AS n FROM corpus),
+tok_nll AS (
+  SELECT tok,
+         CAST(round(-ln(CAST(c AS DOUBLE) / n) * 1000000) AS BIGINT) AS nll_u
+  FROM corpus CROSS JOIN tot
+),
+doc_tok AS (SELECT doc_id, tok, count(*) AS dc FROM tok_rows GROUP BY doc_id, tok),
+doc_nll AS (
+  SELECT t.doc_id, sum(t.dc * m.nll_u) AS nll_sum, sum(t.dc) AS n_toks
+  FROM doc_tok t JOIN tok_nll m ON t.tok = m.tok
+  GROUP BY t.doc_id
+)
+SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+       round(CAST(nll_sum AS DOUBLE) / n_toks / 1000000, 4) AS avg_nll
+FROM doc_nll"""
+
+
+@register("minhash_est_vs_exact")
+def _q_minhash_eval(d, sf):
+    """Estimator-quality evaluation for the MinHash family: on every LSH
+    band candidate pair, the signature-agreement Jaccard estimate
+    (matching components / 8) side-by-side with the exact shingle
+    Jaccard and the absolute error. This is the query that justifies the
+    dedup_minhash_lsh gate choice on real data — the same role
+    ann_recall_at_k plays for the ANN family. Candidate-bounded exactly
+    like dedup_ngram_jaccard (no all-pairs join); every output value is
+    a small-integer ratio, so the cross-engine compare is exact."""
+    if d == "spark":
+        tok_rows = "SELECT doc_id, tok FROM shingled LATERAL VIEW explode(shingles) x AS tok"
+    else:
+        tok_rows = "SELECT doc_id, unnest(shingles) AS tok FROM shingled"
+    bands = ",\n       ".join(f"md5(mh{2*i} || mh{2*i+1}) AS band{i}" for i in range(4))
+    band_union = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {i} AS band_no, band{i} AS bucket FROM banded" for i in range(4)
+    )
+    n_match = " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(8)
+    )
+    return f"""WITH {_shingles_cte(d, sf)},
+tok_rows AS ({tok_rows}),
+tok_set AS (SELECT DISTINCT doc_id, tok FROM tok_rows),
+sizes AS (SELECT doc_id, count(*) AS n FROM tok_set GROUP BY doc_id),
+tok_hashed AS ({_MINHASH_HASHED}),
+sigs AS (
+  SELECT doc_id,
+       {_minhash_sig_select()}
+  FROM tok_hashed
+  GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id,
+       {bands}
+  FROM sigs
+),
+buckets AS ({band_union}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b
+    ON a.bucket = b.bucket AND a.band_no = b.band_no AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.doc_a, c.doc_b, {n_match} AS n_match
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.doc_a
+  JOIN sigs sb ON sb.doc_id = c.doc_b
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS both
+  FROM cand c
+  JOIN tok_set a ON a.doc_id = c.doc_a
+  JOIN tok_set b ON b.doc_id = c.doc_b AND b.tok = a.tok
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT e.doc_a, e.doc_b,
+  round(CAST(e.n_match AS DOUBLE) / 8, 4) AS est_jaccard,
+  round(CAST(coalesce(i.both, 0) AS DOUBLE)
+        / (sa.n + sb.n - coalesce(i.both, 0)), 4) AS jaccard,
+  round(abs(CAST(e.n_match AS DOUBLE) / 8
+            - CAST(coalesce(i.both, 0) AS DOUBLE)
+              / (sa.n + sb.n - coalesce(i.both, 0))), 4) AS abs_err
+FROM est e
+LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+JOIN sizes sa ON sa.doc_id = e.doc_a
+JOIN sizes sb ON sb.doc_id = e.doc_b"""
+
+
 # ---------------------------------------------------------------------------
 # optimized Spark-side implementations for the multi-reference queries.
 # Catalyst inlines CTEs, so the SQL forms above recompute the exploded
@@ -1741,6 +1924,49 @@ def _q_images(spark, sf_dir):
     )
 
 
+@spark_only("image_caption_stats")
+def _q_image_caption_stats(spark, sf_dir):
+    """North-rule rollup over the image+caption sink table: per format —
+    image count, captionless count, total caption tokens, mean pixel
+    count. The per-fmt dashboard a 100 TB image-caption ingest keeps
+    (one map-side-combinable hash aggregate over the sink; captions
+    tokenized JVM-side with split/filter, no Python in the loop).
+    Oracle: the same aggregation in DuckDB over the wave-simulator +
+    codec manifest that already pins image_pipeline row-for-row."""
+    from pyspark.sql import functions as F
+
+    from ..corpus import seed_urls
+    from ..scheduler import CrawlConfig, Crawler
+    from .fixtures import CRAWL_FIXTURE, fixture_corpus_path
+
+    corpus = spark.read.parquet(fixture_corpus_path(*CRAWL_FIXTURE)).cache()
+    res = Crawler(
+        spark, corpus,
+        CrawlConfig(expected_urls=10_000, use_bloom=False, collect_images=True),
+    ).run(seed_urls(CRAWL_FIXTURE[0]))
+    cap = F.coalesce(F.col("caption"), F.lit(""))
+    n_toks = F.size(F.filter(F.split(cap, " "), lambda x: x != ""))
+    return res.images.groupBy("fmt").agg(
+        F.count(F.lit(1)).cast("long").alias("n_images"),
+        F.sum((cap == "").cast("int")).cast("long").alias("n_captionless"),
+        F.sum(n_toks).cast("long").alias("caption_toks"),
+        F.round(F.avg(F.col("w").cast("double") * F.col("h")), 4).alias("avg_px"),
+    )
+
+
+def _image_caption_stats_oracle_sql() -> str:
+    from .fixtures import image_pipeline_oracle_sql
+
+    return f"""SELECT fmt,
+  CAST(count(*) AS BIGINT) AS n_images,
+  CAST(sum(CASE WHEN caption = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_captionless,
+  CAST(sum(len(list_filter(string_split(caption, ' '), x -> x != ''))) AS BIGINT)
+    AS caption_toks,
+  round(avg(CAST(w AS DOUBLE) * h), 4) AS avg_px
+FROM ({image_pipeline_oracle_sql()}) sink
+GROUP BY fmt"""
+
+
 @spark_only("multimodal_image_meta")
 def _q_mm_meta(spark, sf_dir):
     """Multimodal metadata pass: binary image column → (w, h, fmt) without
@@ -1903,6 +2129,7 @@ def oracle_sqls() -> dict[str, str]:
     out["crawl_bfs_e2e"] = crawl_bfs_oracle_sql()
     out["scrape_edges_e2e"] = scrape_edges_oracle_sql()
     out["image_pipeline"] = image_pipeline_oracle_sql()
+    out["image_caption_stats"] = _image_caption_stats_oracle_sql()
     out["multimodal_image_meta"] = multimodal_image_meta_oracle_sql()
     out["multimodal_resize"] = multimodal_resize_oracle_sql()
     out["multimodal_video_frames"] = multimodal_video_oracle_sql()
