@@ -1,0 +1,103 @@
+"""Link-graph operators: semantics vs a pure-Python reference, fixture
+convergence, and plan-shape assertions (no pair explosion, no collects)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from wcm_spark.operators.graph import (
+    BASE_MICRO,
+    DAMP_PCT,
+    INIT_MICRO,
+    connected_components,
+    degrees,
+    pagerank,
+)
+
+
+def _py_pagerank(nodes, edges, iters):
+    """Reference implementation with the operator's exact integer rules."""
+    from collections import Counter
+
+    outdeg = Counter(s for s, _ in edges)
+    rank = {u: INIT_MICRO for u in nodes}
+    for _ in range(iters):
+        sums = {u: 0 for u in nodes}
+        for s, d in edges:
+            sums[d] += rank[s] // outdeg[s]
+        rank = {u: BASE_MICRO + (DAMP_PCT * sums[u]) // 100 for u in nodes}
+    return rank
+
+
+def _toy(spark):
+    # a -> b -> c -> a cycle plus a hub d pointed at by everyone; e orphan
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"),
+        ("a", "d"), ("b", "d"), ("c", "d"),
+    ]
+    nodes = ["a", "b", "c", "d", "e"]
+    ndf = spark.createDataFrame([(u,) for u in nodes], "url string")
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    return nodes, edges, ndf, edf
+
+
+def test_pagerank_matches_integer_reference(spark):
+    nodes, edges, ndf, edf = _toy(spark)
+    got = {r["url"]: r["rank_micro"] for r in pagerank(ndf, edf, iters=4).collect()}
+    assert got == _py_pagerank(nodes, edges, 4)
+    # orphan e: never receives mass, settles at the damping base
+    assert got["e"] == BASE_MICRO
+    # the all-inlink hub outranks cycle members
+    assert got["d"] > got["a"]
+
+
+def test_components_and_degrees_toy(spark):
+    _, _, ndf, edf = _toy(spark)
+    comp = {r["url"]: r["component"] for r in connected_components(ndf, edf, iters=4).collect()}
+    assert comp == {"a": "a", "b": "a", "c": "a", "d": "a", "e": "e"}
+    deg = {r["url"]: (r["out_deg"], r["in_deg"]) for r in degrees(ndf, edf).collect()}
+    assert deg == {"a": (2, 1), "b": (2, 1), "c": (2, 1), "d": (0, 3), "e": (0, 0)}
+
+
+@pytest.fixture(scope="module")
+def fixture_graph(spark):
+    from wcm_spark.datapipe.linkgraph import graph_nodes_edges
+
+    nodes, edges = graph_nodes_edges(spark)
+    return nodes, edges.persist()
+
+
+def test_fixture_components_converged(spark, fixture_graph):
+    """COMP_ITERS covers the fixture diameter: two extra iterations must
+    not move any label, so the fixed-iteration output IS the true
+    component assignment (mirrored by the SQL-oracle check in
+    test_oracle_parity)."""
+    from wcm_spark.datapipe.linkgraph import COMP_ITERS
+
+    nodes, edges = fixture_graph
+    a = sorted(map(tuple, connected_components(nodes, edges, iters=COMP_ITERS).collect()))
+    b = sorted(map(tuple, connected_components(nodes, edges, iters=COMP_ITERS + 2).collect()))
+    assert a == b
+
+
+def test_fixture_pagerank_total_mass(spark, fixture_graph):
+    """Unnormalized formulation: total mass stays within [N*base, N*init]
+    (sink loss only ever removes mass; base re-injects it)."""
+    nodes, edges = fixture_graph
+    pr = pagerank(nodes, edges, iters=5)
+    n = nodes.count()
+    total = pr.agg(F.sum("rank_micro")).collect()[0][0]
+    assert n * BASE_MICRO <= total <= n * INIT_MICRO
+
+
+def test_graph_plans_have_no_pair_explosion(spark, fixture_graph):
+    from wcm_spark.plans.inspect import formatted_plan
+
+    nodes, edges = fixture_graph
+    for df in (
+        pagerank(nodes, edges, iters=3),
+        connected_components(nodes, edges, iters=3),
+        degrees(nodes, edges),
+    ):
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

@@ -1,0 +1,190 @@
+"""Crawl link graph: engine-derived page graph + DuckDB graph oracles.
+
+Chains the engine's own extraction pipeline into graph analytics: the
+fixture corpus → `scrape_edges` (P1-P9) → `resolve_children` (R1-R5) →
+5-hop redirect closure (F9) → the distinct page-to-page link graph,
+restricted to HTML/XML page nodes. `operators/graph.py` then computes
+PageRank, components and degrees over it.
+
+The oracles rebuild the SAME graph independently in DuckDB — reusing
+fixtures._edges_sql's regex extraction over the shared pyarrow parquet,
+the crawl oracle's resolution CASE and redirect closure — and unroll
+the fixed-iteration algorithms as SQL CTE chains. All graph arithmetic
+is integral (see operators/graph.py), so the driver's value-hash
+compare is exact.
+"""
+
+from __future__ import annotations
+
+from .fixtures import _edges_sql, fixture_corpus_path
+
+__all__ = [
+    "GRAPH_FIXTURE",
+    "graph_nodes_edges",
+    "pagerank_oracle_sql",
+    "components_oracle_sql",
+    "degree_oracle_sql",
+    "PR_ITERS",
+    "COMP_ITERS",
+]
+
+# (n_sites, pages_per_site, with_images) — 3 sites x 10 pages, no image
+# payloads: ~33 nodes with per-site nav structure, cross-site links,
+# redirect chains and sitemap fan-out.
+GRAPH_FIXTURE = (3, 10, False)
+PR_ITERS = 5
+COMP_ITERS = 8
+
+_HTML_RE = "^(text|application)/(html|xml|xhtml)"
+
+
+def graph_nodes_edges(spark):
+    """(nodes, edges) DataFrames of the fixture link graph, engine-built.
+
+    nodes: every corpus page DuckDB's ``htmlsrc`` admits (markup content
+    type, non-empty body). edges: distinct (src, dst) where src is a
+    node, dst is the redirect-closed resolution of a non-form extracted
+    link, and dst is also a node. The edge frame is the per-iteration
+    probe side of the graph loops — persist() so scrape+resolve run
+    once, not once per iteration.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.scrape import resolve_children, scrape_edges
+
+    corpus = spark.read.parquet(fixture_corpus_path(*GRAPH_FIXTURE))
+    html = corpus.filter(
+        F.col("content_type").rlike(_HTML_RE)
+        & (F.col("content_length") > 0)
+        & F.col("body").isNotNull()
+        & (F.length("body") > 0)
+    ).cache()
+    nodes = html.select("url")
+
+    links = resolve_children(
+        scrape_edges(html).filter(F.col("method").isNull())
+    ).select(F.col("referrer_url").alias("src"), F.col("url").alias("ru"))
+
+    red = corpus.filter(F.col("redirect_to").isNotNull()).select(
+        F.col("url").alias("rsrc"), F.col("redirect_to").alias("final")
+    )
+    clos = red
+    for _ in range(4):  # 5 hops total, matching the scheduler's cap (F9)
+        clos = (
+            clos.alias("c")
+            .join(
+                red.select(
+                    F.col("rsrc").alias("nsrc"), F.col("final").alias("nfin")
+                ),
+                F.col("c.final") == F.col("nsrc"),
+                "left",
+            )
+            .select(
+                F.col("c.rsrc").alias("rsrc"),
+                F.coalesce("nfin", F.col("c.final")).alias("final"),
+            )
+        )
+
+    edges = (
+        links.join(clos, links["ru"] == clos["rsrc"], "left")
+        .select("src", F.coalesce("final", "ru").alias("dst"))
+        .join(nodes.select(F.col("url").alias("dst")), "dst", "leftsemi")
+        .distinct()
+    )
+    return nodes, edges
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles: same graph, same fixed-point iterations, unrolled SQL
+# ---------------------------------------------------------------------------
+
+
+def _graph_sql_prefix() -> str:
+    """CTE chain ending in gnodes(url) / gedges(src, dst)."""
+    path = fixture_corpus_path(*GRAPH_FIXTURE)
+    return f"""WITH {_edges_sql(path)},
+red AS (SELECT url AS src, redirect_to AS dst FROM corpus WHERE redirect_to IS NOT NULL),
+clos AS (
+  SELECT r0.src, coalesce(r4.dst, r3.dst, r2.dst, r1.dst, r0.dst) AS final
+  FROM red r0
+  LEFT JOIN red r1 ON r1.src = r0.dst
+  LEFT JOIN red r2 ON r2.src = r1.dst
+  LEFT JOIN red r3 ON r3.src = r2.dst
+  LEFT JOIN red r4 ON r4.src = r3.dst
+),
+gnodes AS MATERIALIZED (SELECT page_url AS url FROM htmlsrc),
+rawlinks AS (
+  SELECT page_url AS src,
+         CASE WHEN t LIKE 'http://%' OR t LIKE 'https://%' THEN t
+              WHEN t LIKE '/%' THEN regexp_extract(page_url, '^(https?://[^/]+)', 1) || t
+         END AS ru
+  FROM (SELECT page_url, trim(lit) AS t FROM edges WHERE method IS NULL)
+),
+gedges AS MATERIALIZED (
+  SELECT DISTINCT l.src, coalesce(cl.final, l.ru) AS dst
+  FROM rawlinks l
+  JOIN gnodes ns ON l.src = ns.url
+  LEFT JOIN clos cl ON l.ru = cl.src
+  JOIN gnodes nd ON coalesce(cl.final, l.ru) = nd.url
+  WHERE l.ru IS NOT NULL
+)"""
+
+
+def pagerank_oracle_sql(iters: int = PR_ITERS) -> str:
+    from ..operators.graph import BASE_MICRO, DAMP_PCT, INIT_MICRO
+
+    parts = [
+        _graph_sql_prefix(),
+        ",\noutdeg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM gedges GROUP BY src)",
+        f",\npr_0 AS (SELECT url, CAST({INIT_MICRO} AS BIGINT) AS rank_micro FROM gnodes)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+pr_{k} AS MATERIALIZED (
+  SELECT n.url,
+         CAST({BASE_MICRO} + ({DAMP_PCT} * coalesce(s.s, 0)) // 100 AS BIGINT) AS rank_micro
+  FROM gnodes n LEFT JOIN (
+    SELECT e.dst AS url, sum(p.rank_micro // d.outdeg) AS s
+    FROM gedges e
+    JOIN pr_{k - 1} p ON p.url = e.src
+    JOIN outdeg d ON d.src = e.src
+    GROUP BY e.dst
+  ) s ON s.url = n.url
+)""")
+    parts.append(f"\nSELECT url, rank_micro FROM pr_{iters}")
+    return "".join(parts)
+
+
+def components_oracle_sql(iters: int = COMP_ITERS) -> str:
+    parts = [
+        _graph_sql_prefix(),
+        """,
+und AS MATERIALIZED (
+  SELECT src AS a, dst AS b FROM gedges
+  UNION
+  SELECT dst, src FROM gedges
+)""",
+        ",\nlbl_0 AS (SELECT url, url AS component FROM gnodes)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+lbl_{k} AS MATERIALIZED (
+  SELECT n.url, least(n.component, coalesce(m.ml, n.component)) AS component
+  FROM lbl_{k - 1} n LEFT JOIN (
+    SELECT u.a AS url, min(l.component) AS ml
+    FROM und u JOIN lbl_{k - 1} l ON l.url = u.b
+    GROUP BY u.a
+  ) m ON m.url = n.url
+)""")
+    parts.append(f"\nSELECT url, component FROM lbl_{iters}")
+    return "".join(parts)
+
+
+def degree_oracle_sql() -> str:
+    return f"""{_graph_sql_prefix()}
+SELECT n.url,
+       CAST(coalesce(o.c, 0) AS BIGINT) AS out_deg,
+       CAST(coalesce(i.c, 0) AS BIGINT) AS in_deg
+FROM gnodes n
+LEFT JOIN (SELECT src, count(*) AS c FROM gedges GROUP BY src) o ON o.src = n.url
+LEFT JOIN (SELECT dst, count(*) AS c FROM gedges GROUP BY dst) i ON i.dst = n.url"""

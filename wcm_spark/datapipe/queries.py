@@ -1967,6 +1967,56 @@ FROM ({image_pipeline_oracle_sql()}) sink
 GROUP BY fmt"""
 
 
+def _graph(spark):
+    """(nodes, persisted edges) of the fixture link graph — shared by the
+    three link_graph_* queries; edges persist so scrape+resolve run once
+    per query, not once per PageRank/label iteration."""
+    from .linkgraph import graph_nodes_edges
+
+    nodes, edges = graph_nodes_edges(spark)
+    return nodes, edges.persist()
+
+
+@spark_only("link_graph_pagerank")
+def _q_lg_pagerank(spark, sf_dir):
+    """PageRank over the engine-built crawl link graph (scrape → resolve
+    → redirect closure → distinct page edges), 5 fixed iterations in
+    integer micro-units — the crawl-priority / quality prior a 100 TB
+    crawl keeps per page. Per iteration: edges⋈ranks shuffle join on
+    src + one hash aggregate on dst; ranks stay node-sized, nothing is
+    collected. Oracle: DuckDB rebuilds the same graph via the fixture
+    regex-extraction SQL and unrolls the same integer iterations
+    (linkgraph.pagerank_oracle_sql)."""
+    from ..operators.graph import pagerank
+    from .linkgraph import PR_ITERS
+
+    nodes, edges = _graph(spark)
+    return pagerank(nodes, edges, iters=PR_ITERS)
+
+
+@spark_only("link_graph_components")
+def _q_lg_components(spark, sf_dir):
+    """Connected components (site clustering) of the link graph by
+    min-label propagation, 8 fixed iterations over the undirected edge
+    set — join + hash-aggregate per hop, labels order-independent via
+    string min. tests assert the fixture converges within the budget."""
+    from ..operators.graph import connected_components
+    from .linkgraph import COMP_ITERS
+
+    nodes, edges = _graph(spark)
+    return connected_components(nodes, edges, iters=COMP_ITERS)
+
+
+@spark_only("link_graph_degree")
+def _q_lg_degree(spark, sf_dir):
+    """Per-page in/out degree over the distinct link-graph edge set —
+    the hub/orphan dashboard; two hash aggregates + node-sized joins."""
+    from ..operators.graph import degrees
+
+    nodes, edges = _graph(spark)
+    return degrees(nodes, edges)
+
+
 @spark_only("multimodal_image_meta")
 def _q_mm_meta(spark, sf_dir):
     """Multimodal metadata pass: binary image column → (w, h, fmt) without
@@ -2134,4 +2184,13 @@ def oracle_sqls() -> dict[str, str]:
     out["multimodal_resize"] = multimodal_resize_oracle_sql()
     out["multimodal_video_frames"] = multimodal_video_oracle_sql()
     out["multimodal_audio_features"] = multimodal_audio_oracle_sql()
+    from .linkgraph import (
+        components_oracle_sql,
+        degree_oracle_sql,
+        pagerank_oracle_sql,
+    )
+
+    out["link_graph_pagerank"] = pagerank_oracle_sql()
+    out["link_graph_components"] = components_oracle_sql()
+    out["link_graph_degree"] = degree_oracle_sql()
     return out

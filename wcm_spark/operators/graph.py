@@ -1,0 +1,150 @@
+"""Link-graph analytics operators: PageRank, components, degrees.
+
+The reference engine stops at extraction — it emits the link edges
+(Mojo.pm:125-159) but never aggregates them into graph-level signals.
+At 100 TB those signals are exactly what a crawl corpus is FOR: PageRank
+as a crawl-priority / quality prior, connected components for site
+clustering, degree stats for spam/hub detection. These operators take
+any (src, dst) edge DataFrame — the engine's scrape output, or any edge
+table — and run fixed-iteration algorithms built purely from joins and
+hash aggregates.
+
+Determinism across engines (the driver compares value hashes against a
+DuckDB oracle): floating-point PageRank sums depend on partition order,
+so ranks are kept in integer MICRO-units (BIGINT) and every per-node
+update is integer arithmetic — `rank div outdeg` contributions,
+`150000 + (85 * sum) div 100` damping. Integer sums commute, so any
+shuffle order yields bit-identical ranks. Component labels use string
+`min()`, also order-independent.
+
+100 TB shape per iteration: one shuffle join of ranks (node-sized)
+against edges on src, one hash aggregate on dst, one left join back to
+the node set — no windows, no driver collects, no broadcast of
+node-sized state. The edge frame is reused every iteration: callers
+should `.persist()` it (the registry queries do). For hundreds of
+iterations, re-materialize `ranks` every ~10 iterations
+(`localCheckpoint`) to truncate plan lineage; the fixed small iteration
+counts here keep the whole loop a single Catalyst plan instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["pagerank", "connected_components", "degrees"]
+
+#: PageRank damping in percent and the per-node base in micro-units:
+#: rank' = BASE_MICRO + (DAMP_PCT * sum(contribs)) div 100, with the
+#: conventional d=0.85 and per-node base (1-d) = 0.15 in the
+#: unnormalized (total mass ~= N) formulation.
+DAMP_PCT = 85
+BASE_MICRO = 150_000
+INIT_MICRO = 1_000_000
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iters: int = 5,
+    node_col: str = "url",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration integerized PageRank → (url, rank_micro BIGINT).
+
+    Unnormalized variant: every node starts at 1.0 (10^6 micro) and
+    keeps a constant 0.15 base, so total mass stays ~N and ranks are
+    comparable across graph sizes. Dangling-node mass is dropped (the
+    standard sink-loss simplification) — identical on the SQL-oracle
+    side. All arithmetic is integral, so results are independent of
+    partitioning and join order.
+    """
+    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("__outdeg"))
+    ed = edges.select(
+        F.col(src).alias("__src"), F.col(dst).alias("__dst")
+    ).join(deg.select(F.col(src).alias("__src"), "__outdeg"), "__src")
+    node_urls = nodes.select(F.col(node_col).alias("url"))
+    ranks = node_urls.select(
+        "url", F.lit(INIT_MICRO).cast("long").alias("rank_micro")
+    )
+    for _ in range(iters):
+        contrib = ed.join(ranks, ed["__src"] == ranks["url"]).select(
+            F.col("__dst").alias("url"),
+            F.expr("rank_micro div __outdeg").alias("__c"),
+        )
+        sums = contrib.groupBy("url").agg(F.sum("__c").alias("__s"))
+        ranks = node_urls.join(sums, "url", "left").select(
+            "url",
+            (
+                F.lit(BASE_MICRO)
+                + F.expr(
+                    f"({DAMP_PCT} * coalesce(__s, CAST(0 AS BIGINT))) div 100"
+                )
+            ).cast("long").alias("rank_micro"),
+        )
+    return ranks
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iters: int = 8,
+    node_col: str = "url",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration min-label propagation → (url, component).
+
+    Treats the edge set as undirected; each iteration every node takes
+    the min of its own label and its neighbors' labels, so after k
+    iterations labels have propagated k hops — ``iters`` must cover the
+    largest component's diameter for true components (the fixture tests
+    assert convergence by comparing against iters+2). String min is
+    order-independent, so the result is partition-deterministic.
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    lbl = nodes.select(
+        F.col(node_col).alias("url"), F.col(node_col).alias("component")
+    )
+    for _ in range(iters):
+        nb = und.join(lbl, und["b"] == lbl["url"]).groupBy("a").agg(
+            F.min("component").alias("__m")
+        )
+        lbl = lbl.join(nb, lbl["url"] == nb["a"], "left").select(
+            lbl["url"],
+            F.least(
+                F.col("component"), F.coalesce(F.col("__m"), F.col("component"))
+            ).alias("component"),
+        )
+    return lbl
+
+
+def degrees(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "url",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node (url, out_deg, in_deg) over the distinct edge set — two
+    hash aggregates and two node-sized left joins."""
+    out_d = edges.groupBy(F.col(src).alias("url")).agg(
+        F.count(F.lit(1)).alias("__o")
+    )
+    in_d = edges.groupBy(F.col(dst).alias("url")).agg(
+        F.count(F.lit(1)).alias("__i")
+    )
+    return (
+        nodes.select(F.col(node_col).alias("url"))
+        .join(out_d, "url", "left")
+        .join(in_d, "url", "left")
+        .select(
+            "url",
+            F.coalesce("__o", F.lit(0)).cast("long").alias("out_deg"),
+            F.coalesce("__i", F.lit(0)).cast("long").alias("in_deg"),
+        )
+    )
