@@ -82,6 +82,7 @@ HEADLINE_QUERIES = [
     "doclen_percentiles",
     "doclen_histogram",
     "status_histogram",
+    "trade_graph_pagerank",
 ]
 
 

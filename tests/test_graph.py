@@ -101,3 +101,18 @@ def test_graph_plans_have_no_pair_explosion(spark, fixture_graph):
         plan = formatted_plan(df)
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_trade_graph_plan(spark):
+    import os
+
+    from wcm_spark.datapipe.queries import spark_queries
+    from wcm_spark.plans.inspect import formatted_plan
+
+    sf = os.environ.get("WCM_TEST_SF_DIR", "/root/testdata/sf0.001")
+    plan = formatted_plan(spark_queries()["trade_graph_pagerank"](spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the orderkey join must prune both scans to the two join columns
+    assert "o_orderstatus" not in plan
+    assert "l_extendedprice" not in plan

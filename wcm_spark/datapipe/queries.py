@@ -2017,6 +2017,96 @@ def _q_lg_degree(spark, sf_dir):
     return degrees(nodes, edges)
 
 
+TRADE_SUPP_OFFSET = 10_000_000  # disjoins supplier ids from customer ids
+TRADE_PR_ITERS = 4
+
+
+@spark_only("trade_graph_pagerank")
+def _q_trade_pagerank(spark, sf_dir):
+    """The graph operator at table scale: PageRank over the bipartite
+    customer↔supplier trade graph (an edge per distinct (customer,
+    supplier) trading pair via orders⋈lineitem, walked in both
+    directions so mass circulates). Runs in the bench sweep at sf0.1
+    (~600k lineitem rows → the orderkey shuffle join dominates, then 4
+    node-sized iterations). Supplier ids are offset into a disjoint
+    range for the shared node-id space — at real scale you'd carry a
+    (kind, id) struct instead; the offset keeps the oracle's integer
+    arithmetic trivial. Ranks in integer micro-units as everywhere
+    (operators/graph.py), so the value-hash compare is exact."""
+    from pyspark.sql import functions as F
+
+    from ..operators.graph import pagerank
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey", "o_custkey")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_suppkey")
+    fwd = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_suppkey") + TRADE_SUPP_OFFSET).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    # the two directions live in disjoint id ranges — union stays distinct
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).persist()
+    nodes = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(F.col("c_custkey").cast("long").alias("url"))
+        .union(
+            spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+                (F.col("s_suppkey") + TRADE_SUPP_OFFSET).cast("long").alias("url")
+            )
+        )
+    )
+    pr = pagerank(nodes, edges, iters=TRADE_PR_ITERS)
+    return pr.select(
+        F.col("url").alias("node_id"),
+        F.when(F.col("url") >= TRADE_SUPP_OFFSET, "supplier")
+        .otherwise("customer")
+        .alias("kind"),
+        "rank_micro",
+    )
+
+
+def _trade_pagerank_oracle_sql() -> str:
+    from ..operators.graph import BASE_MICRO, DAMP_PCT, INIT_MICRO
+
+    parts = [
+        f"""WITH fwd AS MATERIALIZED (
+  SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS src,
+         CAST(l.l_suppkey + {TRADE_SUPP_OFFSET} AS BIGINT) AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+gedges AS MATERIALIZED (SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd),
+gnodes AS MATERIALIZED (
+  SELECT CAST(c_custkey AS BIGINT) AS url FROM customer
+  UNION ALL
+  SELECT CAST(s_suppkey + {TRADE_SUPP_OFFSET} AS BIGINT) FROM supplier
+),
+outdeg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM gedges GROUP BY src),
+pr_0 AS (SELECT url, CAST({INIT_MICRO} AS BIGINT) AS rank_micro FROM gnodes)"""
+    ]
+    for k in range(1, TRADE_PR_ITERS + 1):
+        parts.append(f""",
+pr_{k} AS MATERIALIZED (
+  SELECT n.url,
+         CAST({BASE_MICRO} + ({DAMP_PCT} * coalesce(s.s, 0)) // 100 AS BIGINT) AS rank_micro
+  FROM gnodes n LEFT JOIN (
+    SELECT e.dst AS url, sum(p.rank_micro // d.outdeg) AS s
+    FROM gedges e
+    JOIN pr_{k - 1} p ON p.url = e.src
+    JOIN outdeg d ON d.src = e.src
+    GROUP BY e.dst
+  ) s ON s.url = n.url
+)""")
+    parts.append(f"""
+SELECT url AS node_id,
+       CASE WHEN url >= {TRADE_SUPP_OFFSET} THEN 'supplier' ELSE 'customer' END AS kind,
+       rank_micro
+FROM pr_{TRADE_PR_ITERS}""")
+    return "".join(parts)
+
+
 @spark_only("multimodal_image_meta")
 def _q_mm_meta(spark, sf_dir):
     """Multimodal metadata pass: binary image column → (w, h, fmt) without
@@ -2193,4 +2283,5 @@ def oracle_sqls() -> dict[str, str]:
     out["link_graph_pagerank"] = pagerank_oracle_sql()
     out["link_graph_components"] = components_oracle_sql()
     out["link_graph_degree"] = degree_oracle_sql()
+    out["trade_graph_pagerank"] = _trade_pagerank_oracle_sql()
     return out
