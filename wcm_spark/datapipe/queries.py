@@ -1845,11 +1845,128 @@ def _lang_pivot_spark(spark, sf_dir):
     )
 
 
+def _ivf_final_asg_df(spark, sf_dir):
+    """The fitted IVF assignment (vec_id, cell) as a DataFrame — the same
+    2-iteration Lloyd chain as _ivf_kmeans_ctes, but with the iterative
+    state MATERIALIZED between steps: Catalyst inlines CTEs, so the SQL
+    form re-explodes the embeddings and re-runs every earlier iteration
+    once per downstream reference. Here `elems` checkpoints once,
+    centroids (k*dim <= 512 rows) checkpoint per iteration and BROADCAST
+    into the dot-product join — the plan a production iterative fit
+    runs. Ranking and centroid updates round to 6 decimals exactly like
+    the SQL dialects, so the fitted cells are identical."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    elems = (
+        emb.select("vec_id", F.posexplode("embedding").alias("dim", "x0"))
+        .select("vec_id", "dim", F.col("x0").cast("double").alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    vnorm = (
+        elems.groupBy("vec_id")
+        .agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nv"))
+        .localCheckpoint(eager=True)
+    )
+    cent = elems.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), "dim", F.col("x").alias("cx")
+    )
+    asg = None
+    for it in range(3):  # asg under cent0, cent1, cent2 (2 recomputes)
+        cent = cent.localCheckpoint(eager=True)
+        dot = (
+            elems.join(F.broadcast(cent), "dim")
+            .groupBy("vec_id", "cell")
+            .agg(F.sum(F.col("x") * F.col("cx")).alias("dp"))
+        )
+        cnorm = cent.groupBy("cell").agg(
+            F.sqrt(F.sum(F.col("cx") * F.col("cx"))).alias("nc")
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.round(F.col("dp") / (F.col("nv") * F.col("nc")), 6).desc(),
+            F.col("cell"),
+        )
+        asg = (
+            dot.join(vnorm, "vec_id")
+            .join(F.broadcast(cnorm), "cell")
+            .withColumn("rk", F.row_number().over(w))
+            .filter("rk = 1")
+            .select("vec_id", "cell")
+        )
+        if it < 2:
+            asg = asg.localCheckpoint(eager=True)
+            cent = (
+                asg.join(elems, "vec_id")
+                .groupBy("cell", "dim")
+                .agg(F.round(F.avg("x"), 6).alias("cx"))
+            )
+    return asg.localCheckpoint(eager=True)
+
+
+def _ivf_kmeans_spark(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    return (
+        _ivf_final_asg_df(spark, sf_dir)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+    )
+
+
+def _ivf_fitted_spark(spark, sf_dir):
+    """Fitted-cell probe in DataFrame form over the materialized
+    assignment: queries join ONLY their own cell's inverted list; cosine
+    on the array column JVM-side (aggregate/zip_with), ranked on the
+    6-decimal rounding like the SQL dialects."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    asg = _ivf_final_asg_df(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = (
+        asg.filter(F.col("vec_id") < 3)
+        .join(emb, "vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("cell"),
+            F.col("embedding").alias("q_emb"),
+        )
+    )
+    x = asg.join(emb, "vec_id").select(
+        F.col("vec_id").alias("cand_id"), "cell", F.col("embedding").alias("x_emb")
+    )
+    dot = (
+        "aggregate(zip_with(q_emb, x_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    def norm(c):
+        return (
+            f"sqrt(aggregate({c}, CAST(0.0 AS DOUBLE), "
+            "(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+        )
+
+    cos = F.expr(f"{dot} / ({norm('q_emb')} * {norm('x_emb')})")
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("__cos"), 6).desc(), F.col("cand_id")
+    )
+    return (
+        q.join(x, "cell")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("__cos", cos)
+        .withColumn("rk", F.row_number().over(w))
+        .filter("rk <= 3")
+        .select("query_id", "cand_id", F.round(F.col("__cos"), 4).alias("cosine"))
+    )
+
+
 _SPARK_OVERRIDES = {
     "dedup_minhash_lsh": _minhash_spark,
     "dedup_ngram_jaccard": _jaccard_spark,
     "dedup_simhash": _simhash_spark,
     "doc_lang_pivot": _lang_pivot_spark,
+    "ann_ivf_kmeans": _ivf_kmeans_spark,
+    "ann_ivf_fitted": _ivf_fitted_spark,
     # engine-path overrides: the SQL builder is the oracle, the Spark
     # side runs the engine's own operator (robots broadcast gate, F8
     # credential dimension join)
