@@ -21,7 +21,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["assign_seq"]
+__all__ = ["assign_seq", "arith_bucket_col", "arith_n_parts"]
+
+
+def arith_n_parts(spark, span: int, num_partitions: int | None = None) -> int:
+    """Bucket count for the arithmetic split — shared with callers that
+    pre-compute the bucket column (scheduler's observe piggyback)."""
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(1, min(n, max(1, span)))
+
+
+def arith_bucket_col(key_col, lo: int, hi: int, n_parts: int):
+    """clamp(floor((key - lo) * P / span)) as a Column — THE bucket
+    mapping of the key_bounds path; callers that attach the column
+    themselves must use this exact formula so counts line up."""
+    span = max(1, int(hi) - int(lo))
+    return F.least(
+        F.lit(n_parts - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((key_col - F.lit(int(lo))) * n_parts / span),
+        ),
+    ).cast("int")
 
 
 def assign_seq(
@@ -33,6 +54,7 @@ def assign_seq(
     return_count: bool = False,
     input_materialized: bool = False,
     key_bounds: tuple[int, int] | None = None,
+    bucket_counts: dict[int, int] | None = None,
 ):
     """Add ``out_col`` = start + dense rank of the row under ``order_cols``.
 
@@ -61,42 +83,52 @@ def assign_seq(
     cols = [F.col(c) for c in order_cols]
     if key_bounds is not None:
         lo, hi = key_bounds
-        span = max(1, int(hi) - int(lo))
-        n_parts = num_partitions or int(
-            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        )
-        n_parts = max(1, min(n_parts, span))
-        bucket = F.least(
-            F.lit(n_parts - 1),
-            F.greatest(
-                F.lit(0),
-                F.floor((cols[0] - F.lit(int(lo))) * n_parts / span),
-            ),
-        ).cast("int")
-        bucketed = df.withColumn("__pid", bucket)
-        counts = {
-            r["__pid"]: r["cnt"]
-            for r in bucketed.groupBy("__pid")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .collect()
-        }
+        n_parts = arith_n_parts(df.sparkSession, int(hi) - int(lo), num_partitions)
+        if "__pid" in df.columns:
+            # caller pre-attached the bucket column (arith_bucket_col)
+            bucketed = df
+        else:
+            bucketed = df.withColumn(
+                "__pid", arith_bucket_col(cols[0], lo, hi, n_parts)
+            )
+        if bucket_counts is not None:
+            # caller piggybacked the per-bucket counts on an action it
+            # already pays for (Observation during its checkpoint) — the
+            # counting job disappears from this call entirely
+            counts = bucket_counts
+        else:
+            counts = {
+                r["__pid"]: r["cnt"]
+                for r in bucketed.groupBy("__pid")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            }
         offsets, acc = {}, start
         for pid in sorted(counts):
             offsets[pid] = acc
             acc += counts[pid]
-        spark = df.sparkSession
-        offsets_df = spark.createDataFrame(
-            [(int(pid), int(off)) for pid, off in offsets.items()],
-            "__pid int, __off long",
-        )
+        # offsets as a LITERAL map lookup, not a broadcast join: the
+        # bucket→offset table is at most #partitions entries, so it
+        # belongs in the expression itself — no join node, no broadcast
+        # exchange in the plan
+        if offsets:
+            off_map = F.create_map(
+                *[
+                    F.lit(v)
+                    for pid, off in offsets.items()
+                    for v in (int(pid), int(off))
+                ]
+            )
+            off_col = F.element_at(off_map, F.col("__pid"))
+        else:
+            off_col = F.lit(start)
         local = Window.partitionBy("__pid").orderBy(*cols)
         out = (
-            bucketed.join(F.broadcast(offsets_df), "__pid")
-            .withColumn(
+            bucketed.withColumn(
                 out_col,
-                (F.row_number().over(local) - 1 + F.col("__off")).cast("long"),
+                (F.row_number().over(local) - 1 + off_col).cast("long"),
             )
-            .drop("__pid", "__off")
+            .drop("__pid")
         )
         return (out, acc - start) if return_count else out
     if num_partitions is not None:

@@ -953,8 +953,43 @@ class Crawler:
             # dedup window) executes exactly once here. Without this,
             # repartitionByRange's sampling job inside assign_seq re-runs
             # the whole chain a second time just to pick range boundaries.
+            # Drain mode additionally knows the wave's parent-seq range
+            # (see the assign_seq comment below), so the arithmetic
+            # bucket column attaches HERE and an Observation counts the
+            # buckets DURING this same checkpoint job — assign_seq then
+            # needs no counting job of its own (one fewer job per wave).
+            bounds = (
+                (next_seq - pending_count, next_seq) if drain_level else None
+            )
+            bucket_counts = None
             if lazy_visits:
+                obs = None
+                if bounds is not None:
+                    from pyspark.sql import Observation
+
+                    from .operators.seq import arith_bucket_col, arith_n_parts
+
+                    n_parts = arith_n_parts(spark, bounds[1] - bounds[0])
+                    enqueue = enqueue.withColumn(
+                        "__pid",
+                        arith_bucket_col(
+                            F.col("parent_seq"), bounds[0], bounds[1], n_parts
+                        ),
+                    )
+                    obs = Observation(f"wave{wave_id}_buckets")
+                    enqueue = enqueue.observe(
+                        obs,
+                        *[
+                            F.sum((F.col("__pid") == i).cast("long")).alias(f"c{i}")
+                            for i in range(n_parts)
+                        ],
+                    )
                 enqueue = enqueue.localCheckpoint(eager=True)
+                if obs is not None:
+                    m = obs.get
+                    bucket_counts = {
+                        i: m[f"c{i}"] for i in range(n_parts) if m[f"c{i}"]
+                    }
             else:
                 # Fold the visits materialization INTO the heavy pass: the
                 # two frames union into one checkpoint (discriminator
@@ -994,13 +1029,10 @@ class Crawler:
             # Politeness waves cut a seq-clustered subset of the frontier
             # (bounds would be loose → skewed buckets), so they keep the
             # sampled range exchange.
-            bounds = (
-                (next_seq - pending_count, next_seq) if drain_level else None
-            )
             enqueue, enq_count = assign_seq(
                 enqueue, ["parent_seq", "emit_idx"], out_col="seq",
                 start=next_seq, return_count=True, input_materialized=True,
-                key_bounds=bounds,
+                key_bounds=bounds, bucket_counts=bucket_counts,
             )
             cached_exchange = getattr(enqueue, "_wcm_cached_exchange", None)
             enqueue = (
