@@ -54,7 +54,6 @@ def assign_seq(
     return_count: bool = False,
     input_materialized: bool = False,
     key_bounds: tuple[int, int] | None = None,
-    bucket_counts: dict[int, int] | None = None,
 ):
     """Add ``out_col`` = start + dense rank of the row under ``order_cols``.
 
@@ -91,18 +90,12 @@ def assign_seq(
             bucketed = df.withColumn(
                 "__pid", arith_bucket_col(cols[0], lo, hi, n_parts)
             )
-        if bucket_counts is not None:
-            # caller piggybacked the per-bucket counts on an action it
-            # already pays for (Observation during its checkpoint) — the
-            # counting job disappears from this call entirely
-            counts = bucket_counts
-        else:
-            counts = {
-                r["__pid"]: r["cnt"]
-                for r in bucketed.groupBy("__pid")
-                .agg(F.count(F.lit(1)).alias("cnt"))
-                .collect()
-            }
+        counts = {
+            r["__pid"]: r["cnt"]
+            for r in bucketed.groupBy("__pid")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
         offsets, acc = {}, start
         for pid in sorted(counts):
             offsets[pid] = acc

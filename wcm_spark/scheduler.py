@@ -953,43 +953,79 @@ class Crawler:
             # dedup window) executes exactly once here. Without this,
             # repartitionByRange's sampling job inside assign_seq re-runs
             # the whole chain a second time just to pick range boundaries.
-            # Drain mode additionally knows the wave's parent-seq range
-            # (see the assign_seq comment below), so the arithmetic
-            # bucket column attaches HERE and an Observation counts the
-            # buckets DURING this same checkpoint job — assign_seq then
-            # needs no counting job of its own (one fewer job per wave).
             bounds = (
                 (next_seq - pending_count, next_seq) if drain_level else None
             )
-            bucket_counts = None
+            seq_done = False
             if lazy_visits:
-                obs = None
-                if bounds is not None:
-                    from pyspark.sql import Observation
+                # FUSED drain-wave materialization — the whole per-wave
+                # Spark side is ONE checkpoint job. Drain mode knows the
+                # wave's parent-seq range ([next_seq - pending, next_seq);
+                # retries carry parent_seq = -1, clamping into bucket 0
+                # and still sorting first), so the arithmetic bucket
+                # column + the PER-BUCKET local rank ride inside the heavy
+                # checkpoint (the rank's __pid exchange replaces the
+                # former second materialization), and an Observation
+                # counts the buckets during the same job. The global seq
+                # is then pure arithmetic over the pinned rows: local rank
+                # + a literal bucket→offset map — a projection, not a
+                # job. Downstream consumers (digest collect, next-wave
+                # fetch, visits pos) read narrow projections of the
+                # pinned blocks.
+                from pyspark.sql import Observation
 
-                    from .operators.seq import arith_bucket_col, arith_n_parts
+                from .operators.seq import arith_bucket_col, arith_n_parts
 
-                    n_parts = arith_n_parts(spark, bounds[1] - bounds[0])
-                    enqueue = enqueue.withColumn(
-                        "__pid",
-                        arith_bucket_col(
-                            F.col("parent_seq"), bounds[0], bounds[1], n_parts
-                        ),
-                    )
-                    obs = Observation(f"wave{wave_id}_buckets")
-                    enqueue = enqueue.observe(
-                        obs,
+                n_parts = arith_n_parts(spark, bounds[1] - bounds[0])
+                enqueue = enqueue.withColumn(
+                    "__pid",
+                    arith_bucket_col(
+                        F.col("parent_seq"), bounds[0], bounds[1], n_parts
+                    ),
+                )
+                obs = Observation(f"wave{wave_id}_buckets")
+                enqueue = enqueue.observe(
+                    obs,
+                    *[
+                        F.sum((F.col("__pid") == i).cast("long")).alias(f"c{i}")
+                        for i in range(n_parts)
+                    ],
+                )
+                local_w = Window.partitionBy("__pid").orderBy(
+                    "parent_seq", "emit_idx"
+                )
+                enqueue = enqueue.withColumn(
+                    "__rk", F.row_number().over(local_w)
+                ).localCheckpoint(eager=True)
+                m = obs.get
+                counts = {i: m[f"c{i}"] for i in range(n_parts) if m[f"c{i}"]}
+                offsets, acc = {}, next_seq
+                for pid in sorted(counts):
+                    offsets[pid] = acc
+                    acc += counts[pid]
+                enq_count = acc - next_seq
+                if offsets:
+                    off_map = F.create_map(
                         *[
-                            F.sum((F.col("__pid") == i).cast("long")).alias(f"c{i}")
-                            for i in range(n_parts)
-                        ],
+                            F.lit(v)
+                            for pid, off in offsets.items()
+                            for v in (int(pid), int(off))
+                        ]
                     )
-                enqueue = enqueue.localCheckpoint(eager=True)
-                if obs is not None:
-                    m = obs.get
-                    bucket_counts = {
-                        i: m[f"c{i}"] for i in range(n_parts) if m[f"c{i}"]
-                    }
+                    off_col = F.element_at(off_map, F.col("__pid"))
+                else:
+                    off_col = F.lit(next_seq)
+                enqueue = (
+                    enqueue.withColumn(
+                        "seq", (F.col("__rk") - 1 + off_col).cast("long")
+                    )
+                    .withColumn("wave", F.lit(wave_id))
+                    .withColumn(
+                        "host_salt", host_salt_col(F.col("host_key"), cfg.salts)
+                    )
+                    .select(*PENDING_COLS)
+                )
+                seq_done = True
             else:
                 # Fold the visits materialization INTO the heavy pass: the
                 # two frames union into one checkpoint (discriminator
@@ -1020,32 +1056,29 @@ class Crawler:
                 enqueue = combined.filter("__src = 1").select(*_ecols)
             visit_frames.append(visits)
             _tr("heavy_pass_ckpt")
-            # Drain mode knows the wave's parent seqs exactly — they are
-            # the previous wave's assigned range [next_seq - pending,
-            # next_seq) (retries carry parent_seq = -1, which clamps into
-            # bucket 0 and still sorts first) — so assign_seq can split
-            # buckets ARITHMETICALLY: no range-sampling job, no persisted
-            # exchange, one fewer full pass over the fresh rows per wave.
-            # Politeness waves cut a seq-clustered subset of the frontier
-            # (bounds would be loose → skewed buckets), so they keep the
-            # sampled range exchange.
-            enqueue, enq_count = assign_seq(
-                enqueue, ["parent_seq", "emit_idx"], out_col="seq",
-                start=next_seq, return_count=True, input_materialized=True,
-                key_bounds=bounds, bucket_counts=bucket_counts,
-            )
-            cached_exchange = getattr(enqueue, "_wcm_cached_exchange", None)
-            enqueue = (
-                enqueue.withColumn("wave", F.lit(wave_id))
-                .withColumn("host_salt", host_salt_col(F.col("host_key"), cfg.salts))
-                .select(*PENDING_COLS)
-                .localCheckpoint(eager=True)
-            )
-            if cached_exchange is not None:
-                # assign_seq persisted its range exchange so its two
-                # actions shared one shuffle; the final checkpoint above
-                # was the last reader — release the blocks now
-                cached_exchange.unpersist()
+            if not seq_done:
+                # Non-drain paths: politeness waves cut a seq-clustered
+                # subset of the frontier (arithmetic bounds would be
+                # loose → skewed buckets), so they keep assign_seq's
+                # sampled range exchange; http/store drain waves know
+                # bounds and use the arithmetic split inside assign_seq.
+                enqueue, enq_count = assign_seq(
+                    enqueue, ["parent_seq", "emit_idx"], out_col="seq",
+                    start=next_seq, return_count=True, input_materialized=True,
+                    key_bounds=bounds,
+                )
+                cached_exchange = getattr(enqueue, "_wcm_cached_exchange", None)
+                enqueue = (
+                    enqueue.withColumn("wave", F.lit(wave_id))
+                    .withColumn("host_salt", host_salt_col(F.col("host_key"), cfg.salts))
+                    .select(*PENDING_COLS)
+                    .localCheckpoint(eager=True)
+                )
+                if cached_exchange is not None:
+                    # assign_seq persisted its range exchange so its two
+                    # actions shared one shuffle; the final checkpoint
+                    # above was the last reader — release the blocks now
+                    cached_exchange.unpersist()
             _tr("assign_seq+final_ckpt")
             next_seq += enq_count
             digests_collected = False
