@@ -133,6 +133,22 @@ def test_assign_seq_empty(spark):
     assert assign_seq(df, ["key"]).count() == 0
 
 
+def test_assign_seq_key_bounds_big_start(spark):
+    """Offsets past 2^31 must assign exactly (the literal offset map is
+    long-typed; an int32 map value would overflow the rank+offset sum)."""
+    from pyspark.sql import functions as F
+
+    from wcm_spark.operators.seq import assign_seq
+
+    big = 5_000_000_000
+    df = spark.range(100).select(F.col("id").alias("k"), (F.col("id") % 7).alias("sub"))
+    out, n = assign_seq(
+        df, ["k", "sub"], start=big, return_count=True, key_bounds=(0, 100)
+    )
+    assert n == 100
+    assert sorted(r["seq"] for r in out.collect()) == list(range(big, big + 100))
+
+
 def test_assign_seq_key_bounds_matches_sampled_path(spark):
     """The arithmetic-bucket fast path must emit the EXACT seqs of the
     sampled range-exchange path: same (parent, emit) ordering, dense from

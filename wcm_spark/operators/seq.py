@@ -105,16 +105,18 @@ def assign_seq(
         # belongs in the expression itself — no join node, no broadcast
         # exchange in the plan
         if offsets:
+            # LONG offset literals: int32 map values would overflow the
+            # rank+offset sum past 2^31 assigned seqs
             off_map = F.create_map(
                 *[
-                    F.lit(v)
+                    c
                     for pid, off in offsets.items()
-                    for v in (int(pid), int(off))
+                    for c in (F.lit(int(pid)), F.lit(int(off)).cast("long"))
                 ]
             )
             off_col = F.element_at(off_map, F.col("__pid"))
         else:
-            off_col = F.lit(start)
+            off_col = F.lit(start).cast("long")
         local = Window.partitionBy("__pid").orderBy(*cols)
         out = (
             bucketed.withColumn(

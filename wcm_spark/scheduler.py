@@ -1005,16 +1005,21 @@ class Crawler:
                     acc += counts[pid]
                 enq_count = acc - next_seq
                 if offsets:
+                    # offsets as LONG literals: at 10^10 seqs an int32
+                    # map value (and the rank+offset sum) would overflow
                     off_map = F.create_map(
                         *[
-                            F.lit(v)
+                            c
                             for pid, off in offsets.items()
-                            for v in (int(pid), int(off))
+                            for c in (
+                                F.lit(int(pid)),
+                                F.lit(int(off)).cast("long"),
+                            )
                         ]
                     )
                     off_col = F.element_at(off_map, F.col("__pid"))
                 else:
-                    off_col = F.lit(next_seq)
+                    off_col = F.lit(next_seq).cast("long")
                 enqueue = (
                     enqueue.withColumn(
                         "seq", (F.col("__rk") - 1 + off_col).cast("long")
