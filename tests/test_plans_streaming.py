@@ -244,3 +244,35 @@ def test_stream_dedup_first_wins(spark, tmp_path):
         for r in spark.sql("select * from dedup_stream").collect()
     }
     assert set(got) == {"d1", "d2", "d3"}  # one survivor per digest
+
+
+def test_stream_scrape_edges_matches_batch(spark, tmp_path):
+    """Streaming scrape == batch scrape on the same pages: the fixture
+    corpus split across several files streams through the SAME extract +
+    resolve operators (availableNow, memory sink) and must yield exactly
+    the batch edge set — micro-batching is invisible to the stateless
+    parse tier."""
+    from wcm_spark.datapipe.fixtures import SCRAPE_FIXTURE, fixture_corpus_path
+    from wcm_spark.operators.scrape import resolve_children, scrape_edges
+    from wcm_spark.streaming.metrics import pages_stream, stream_scrape_edges
+
+    src = str(tmp_path / "pages")
+    pages = spark.read.parquet(fixture_corpus_path(*SCRAPE_FIXTURE))
+    pages.repartition(3).write.mode("overwrite").parquet(src)
+
+    cols = ["referrer_url", "emit_idx", "url", "method", "digest"]
+    q = (
+        stream_scrape_edges(pages_stream(spark, src, max_files_per_trigger=1))
+        .select(*cols)
+        .writeStream.format("memory")
+        .queryName("scrape_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(map(tuple, spark.sql("select * from scrape_stream").collect()))
+    want = sorted(
+        map(tuple, resolve_children(scrape_edges(spark.read.parquet(src))).select(*cols).collect())
+    )
+    assert got == want and len(got) > 0

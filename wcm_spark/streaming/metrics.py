@@ -18,13 +18,45 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "visits_stream", "host_rate_metrics", "event_window_rollup",
-    "stream_dedup_first_wins",
+    "stream_dedup_first_wins", "pages_stream", "stream_scrape_edges",
 ]
 
 VISITS_SCHEMA = (
     "wave int, seq long, url string, request_url string, original_url string, "
     "redirect_history array<string>, status int, depth int, host_key string"
 )
+
+PAGES_SCHEMA = (
+    "url string, status int, content_type string, content_length bigint, "
+    "body binary, redirect_to string"
+)
+
+
+def pages_stream(
+    spark: SparkSession, pages_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Fetched-pages directory as a micro-batch file source (the landing
+    zone of a continuous fetch tier). ``max_files_per_trigger`` bounds
+    per-batch page bytes — the streaming analog of the batch loop's
+    payload-budget partitioning."""
+    r = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger is not None:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    return r.parquet(pages_dir)
+
+
+def stream_scrape_edges(pages: DataFrame) -> DataFrame:
+    """P1-P9 + R1-R5 under Structured Streaming: the SAME Arrow-batched
+    extraction + vectorized resolve operators the batch loop runs
+    (operators/scrape — mapInPandas and pandas_udf are micro-batch
+    transparent), applied to a page stream. Stateless, so no watermark
+    here; chain ``stream_dedup_first_wins`` for the D2/D3 stage and an
+    append sink for the frontier — the continuous-ingest decomposition
+    of the batch wave. Batch/stream equivalence is pinned by test
+    (same fixture, availableNow vs batch, identical edge rows)."""
+    from ..operators.scrape import resolve_children, scrape_edges
+
+    return resolve_children(scrape_edges(pages))
 
 
 def visits_stream(spark: SparkSession, visits_dir: str) -> DataFrame:
