@@ -268,6 +268,31 @@ edges AS (
 )"""
 
 
+def redirect_closure_sql() -> str:
+    """``red``/``clos`` CTE text: the 5-hop redirect closure (F9 cap,
+    Mojo.pm:50) over the ``corpus`` CTE — SHARED by the crawl BFS oracle
+    and the link-graph oracle so the two cannot drift."""
+    return """red AS (SELECT url AS src, redirect_to AS dst FROM corpus WHERE redirect_to IS NOT NULL),
+clos AS (
+  SELECT r0.src, coalesce(r4.dst, r3.dst, r2.dst, r1.dst, r0.dst) AS final
+  FROM red r0
+  LEFT JOIN red r1 ON r1.src = r0.dst
+  LEFT JOIN red r2 ON r2.src = r1.dst
+  LEFT JOIN red r3 ON r3.src = r2.dst
+  LEFT JOIN red r4 ON r4.src = r3.dst
+)"""
+
+
+def resolve_case_sql(lit: str = "t", base: str = "page_url") -> str:
+    """R1 resolution over the corpus's literal shapes (absolute http(s) +
+    site-absolute; everything else — scheme noise — resolves to NULL) —
+    SHARED by the crawl BFS oracle and the link-graph oracle."""
+    return (
+        f"CASE WHEN {lit} LIKE 'http://%' OR {lit} LIKE 'https://%' THEN {lit} "
+        f"WHEN {lit} LIKE '/%' THEN regexp_extract({base}, '^(https?://[^/]+)', 1) || {lit} END"
+    )
+
+
 def scrape_edges_oracle_sql() -> str:
     path = fixture_corpus_path(*SCRAPE_FIXTURE)
     return f"""WITH {_edges_sql(path)}
@@ -293,15 +318,7 @@ def crawl_bfs_oracle_sql() -> str:
     )
     parts = [
         f"""WITH {_edges_sql(path)},
-red AS (SELECT url AS src, redirect_to AS dst FROM corpus WHERE redirect_to IS NOT NULL),
-clos AS (
-  SELECT r0.src, coalesce(r4.dst, r3.dst, r2.dst, r1.dst, r0.dst) AS final
-  FROM red r0
-  LEFT JOIN red r1 ON r1.src = r0.dst
-  LEFT JOIN red r2 ON r2.src = r1.dst
-  LEFT JOIN red r3 ON r3.src = r2.dst
-  LEFT JOIN red r4 ON r4.src = r3.dst
-),
+{redirect_closure_sql()},
 redges AS (
   SELECT page_url, emit_idx,
          CASE WHEN method = 'GET' AND params IS NOT NULL
@@ -311,9 +328,7 @@ redges AS (
          CASE WHEN method = 'POST' THEN params END AS tx
   FROM (
     SELECT page_url, emit_idx, method, params,
-           CASE WHEN t LIKE 'http://%' OR t LIKE 'https://%' THEN t
-                WHEN t LIKE '/%' THEN regexp_extract(page_url, '^(https?://[^/]+)', 1) || t
-           END AS ru
+           {resolve_case_sql()} AS ru
     FROM (SELECT page_url, emit_idx, trim(lit) AS t, method, params FROM edges)
   ) WHERE ru IS NOT NULL
 ),

@@ -16,7 +16,12 @@ compare is exact.
 
 from __future__ import annotations
 
-from .fixtures import _edges_sql, fixture_corpus_path
+from .fixtures import (
+    _edges_sql,
+    fixture_corpus_path,
+    redirect_closure_sql,
+    resolve_case_sql,
+)
 
 __all__ = [
     "GRAPH_FIXTURE",
@@ -103,21 +108,11 @@ def _graph_sql_prefix() -> str:
     """CTE chain ending in gnodes(url) / gedges(src, dst)."""
     path = fixture_corpus_path(*GRAPH_FIXTURE)
     return f"""WITH {_edges_sql(path)},
-red AS (SELECT url AS src, redirect_to AS dst FROM corpus WHERE redirect_to IS NOT NULL),
-clos AS (
-  SELECT r0.src, coalesce(r4.dst, r3.dst, r2.dst, r1.dst, r0.dst) AS final
-  FROM red r0
-  LEFT JOIN red r1 ON r1.src = r0.dst
-  LEFT JOIN red r2 ON r2.src = r1.dst
-  LEFT JOIN red r3 ON r3.src = r2.dst
-  LEFT JOIN red r4 ON r4.src = r3.dst
-),
+{redirect_closure_sql()},
 gnodes AS MATERIALIZED (SELECT page_url AS url FROM htmlsrc),
 rawlinks AS (
   SELECT page_url AS src,
-         CASE WHEN t LIKE 'http://%' OR t LIKE 'https://%' THEN t
-              WHEN t LIKE '/%' THEN regexp_extract(page_url, '^(https?://[^/]+)', 1) || t
-         END AS ru
+         {resolve_case_sql()} AS ru
   FROM (SELECT page_url, trim(lit) AS t FROM edges WHERE method IS NULL)
 ),
 gedges AS MATERIALIZED (

@@ -1846,6 +1846,12 @@ def _lang_pivot_spark(spark, sf_dir):
 
 
 def _ivf_final_asg_df(spark, sf_dir):
+    """Per-application memoized fitted IVF assignment (see _ivf_fit_df):
+    ann_ivf_kmeans and ann_ivf_fitted share one deterministic fit."""
+    return _app_cached(spark, f"ivf_asg:{sf_dir}", lambda: _ivf_fit_df(spark, sf_dir))
+
+
+def _ivf_fit_df(spark, sf_dir):
     """The fitted IVF assignment (vec_id, cell) as a DataFrame — the same
     2-iteration Lloyd chain as _ivf_kmeans_ctes, but with the iterative
     state MATERIALIZED between steps: Catalyst inlines CTEs, so the SQL
@@ -2022,16 +2028,9 @@ def _q_images(spark, sf_dir):
     ORACLE-CHECKED since round 4: expected rows derived from the wave
     simulator's lineage + the deterministic codecs
     (fixtures.image_pipeline_oracle_sql) over the shared fixture parquet."""
-    from ..corpus import seed_urls
-    from ..scheduler import CrawlConfig, Crawler
-    from .fixtures import CRAWL_FIXTURE, fixture_corpus_path
-
     from pyspark.sql import functions as F
 
-    corpus = spark.read.parquet(fixture_corpus_path(*CRAWL_FIXTURE)).cache()
-    res = Crawler(
-        spark, corpus, CrawlConfig(expected_urls=10_000, use_bloom=False, collect_images=True)
-    ).run(seed_urls(CRAWL_FIXTURE[0]))
+    res = _image_crawl(spark)
     # captionless sink rows (css/[style]-emitted images) project as ''
     # so the oracle compare never sorts None against str — the sink
     # itself keeps NULL captions
@@ -2052,15 +2051,7 @@ def _q_image_caption_stats(spark, sf_dir):
     codec manifest that already pins image_pipeline row-for-row."""
     from pyspark.sql import functions as F
 
-    from ..corpus import seed_urls
-    from ..scheduler import CrawlConfig, Crawler
-    from .fixtures import CRAWL_FIXTURE, fixture_corpus_path
-
-    corpus = spark.read.parquet(fixture_corpus_path(*CRAWL_FIXTURE)).cache()
-    res = Crawler(
-        spark, corpus,
-        CrawlConfig(expected_urls=10_000, use_bloom=False, collect_images=True),
-    ).run(seed_urls(CRAWL_FIXTURE[0]))
+    res = _image_crawl(spark)
     cap = F.coalesce(F.col("caption"), F.lit(""))
     n_toks = F.size(F.filter(F.split(cap, " "), lambda x: x != ""))
     return res.images.groupBy("fmt").agg(
@@ -2084,23 +2075,51 @@ FROM ({image_pipeline_oracle_sql()}) sink
 GROUP BY fmt"""
 
 
-_GRAPH_CACHE: dict[str, tuple] = {}
+_APP_CACHE: dict[tuple, object] = {}
+
+
+def _app_cached(spark, key: str, builder):
+    """Memoize an expensive deterministic frame per Spark application —
+    a driver/parity run evaluating several queries that share a fit,
+    crawl or graph pays the shared stage once. Entries from dead
+    applications are dropped (one live session at a time)."""
+    k = (spark.sparkContext.applicationId, key)
+    for stale in [x for x in _APP_CACHE if x[0] != k[0]]:
+        _APP_CACHE.pop(stale)
+    if k not in _APP_CACHE:
+        _APP_CACHE[k] = builder()
+    return _APP_CACHE[k]
 
 
 def _graph(spark):
     """(nodes, checkpointed edges) of the fixture link graph — shared by
-    the three link_graph_* queries. Memoized per Spark application so a
-    driver run evaluating all three pays the scrape→resolve chain once;
-    edges are eagerly checkpointed so no query re-runs it per
-    PageRank/label iteration either."""
+    the three link_graph_* queries; edges are eagerly checkpointed so no
+    query re-runs scrape→resolve per PageRank/label iteration either."""
     from .linkgraph import graph_nodes_edges
 
-    key = spark.sparkContext.applicationId
-    if key not in _GRAPH_CACHE:
+    def build():
         nodes, edges = graph_nodes_edges(spark)
-        _GRAPH_CACHE.clear()  # one live session at a time; drop stale refs
-        _GRAPH_CACHE[key] = (nodes, edges.localCheckpoint(eager=True))
-    return _GRAPH_CACHE[key]
+        return nodes, edges.localCheckpoint(eager=True)
+
+    return _app_cached(spark, "link_graph", build)
+
+
+def _image_crawl(spark):
+    """The image-collecting fixture crawl result — shared by
+    image_pipeline and image_caption_stats (identical CrawlConfig), so
+    evaluating both pays ONE multi-wave crawl."""
+    from ..corpus import seed_urls
+    from ..scheduler import CrawlConfig, Crawler
+    from .fixtures import CRAWL_FIXTURE, fixture_corpus_path
+
+    def build():
+        corpus = spark.read.parquet(fixture_corpus_path(*CRAWL_FIXTURE)).cache()
+        return Crawler(
+            spark, corpus,
+            CrawlConfig(expected_urls=10_000, use_bloom=False, collect_images=True),
+        ).run(seed_urls(CRAWL_FIXTURE[0]))
+
+    return _app_cached(spark, "image_crawl", build)
 
 
 @spark_only("link_graph_pagerank")

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["assign_seq", "arith_bucket_col", "arith_n_parts"]
+__all__ = ["assign_seq", "arith_bucket_col", "arith_n_parts", "offsets_to_col"]
 
 
 def arith_n_parts(spark, span: int, num_partitions: int | None = None) -> int:
@@ -29,6 +29,25 @@ def arith_n_parts(spark, span: int, num_partitions: int | None = None) -> int:
     pre-compute the bucket column (scheduler's observe piggyback)."""
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     return max(1, min(n, max(1, span)))
+
+
+def offsets_to_col(offsets: dict[int, int], default: int):
+    """bucket→offset dict as a literal map lookup over ``__pid`` — shared
+    by assign_seq and the scheduler's fused drain wave so the two paths
+    (which tests assert emit EXACT-matching seqs) cannot drift. Values
+    are LONG literals: an int32 map value would overflow the rank+offset
+    sum past 2^31 assigned seqs. Empty dict (zero rows) falls back to a
+    constant."""
+    if not offsets:
+        return F.lit(default).cast("long")
+    off_map = F.create_map(
+        *[
+            c
+            for pid, off in offsets.items()
+            for c in (F.lit(int(pid)), F.lit(int(off)).cast("long"))
+        ]
+    )
+    return F.element_at(off_map, F.col("__pid"))
 
 
 def arith_bucket_col(key_col, lo: int, hi: int, n_parts: int):
@@ -83,13 +102,9 @@ def assign_seq(
     if key_bounds is not None:
         lo, hi = key_bounds
         n_parts = arith_n_parts(df.sparkSession, int(hi) - int(lo), num_partitions)
-        if "__pid" in df.columns:
-            # caller pre-attached the bucket column (arith_bucket_col)
-            bucketed = df
-        else:
-            bucketed = df.withColumn(
-                "__pid", arith_bucket_col(cols[0], lo, hi, n_parts)
-            )
+        bucketed = df.withColumn(
+            "__pid", arith_bucket_col(cols[0], lo, hi, n_parts)
+        )
         counts = {
             r["__pid"]: r["cnt"]
             for r in bucketed.groupBy("__pid")
@@ -104,19 +119,7 @@ def assign_seq(
         # bucket→offset table is at most #partitions entries, so it
         # belongs in the expression itself — no join node, no broadcast
         # exchange in the plan
-        if offsets:
-            # LONG offset literals: int32 map values would overflow the
-            # rank+offset sum past 2^31 assigned seqs
-            off_map = F.create_map(
-                *[
-                    c
-                    for pid, off in offsets.items()
-                    for c in (F.lit(int(pid)), F.lit(int(off)).cast("long"))
-                ]
-            )
-            off_col = F.element_at(off_map, F.col("__pid"))
-        else:
-            off_col = F.lit(start).cast("long")
+        off_col = offsets_to_col(offsets, start)
         local = Window.partitionBy("__pid").orderBy(*cols)
         out = (
             bucketed.withColumn(

@@ -974,7 +974,11 @@ class Crawler:
                 # pinned blocks.
                 from pyspark.sql import Observation
 
-                from .operators.seq import arith_bucket_col, arith_n_parts
+                from .operators.seq import (
+                    arith_bucket_col,
+                    arith_n_parts,
+                    offsets_to_col,
+                )
 
                 n_parts = arith_n_parts(spark, bounds[1] - bounds[0])
                 enqueue = enqueue.withColumn(
@@ -1004,22 +1008,7 @@ class Crawler:
                     offsets[pid] = acc
                     acc += counts[pid]
                 enq_count = acc - next_seq
-                if offsets:
-                    # offsets as LONG literals: at 10^10 seqs an int32
-                    # map value (and the rank+offset sum) would overflow
-                    off_map = F.create_map(
-                        *[
-                            c
-                            for pid, off in offsets.items()
-                            for c in (
-                                F.lit(int(pid)),
-                                F.lit(int(off)).cast("long"),
-                            )
-                        ]
-                    )
-                    off_col = F.element_at(off_map, F.col("__pid"))
-                else:
-                    off_col = F.lit(next_seq).cast("long")
+                off_col = offsets_to_col(offsets, next_seq)
                 enqueue = (
                     enqueue.withColumn(
                         "seq", (F.col("__rk") - 1 + off_col).cast("long")
