@@ -654,31 +654,28 @@ _MINHASH_HASHED = (
 )
 
 
-@register("dedup_minhash_lsh")
-def _q_minhash(d, sf):
-    """MinHash+LSH near-dup candidates: 8 minhashes over the shingle set
-    (two md5s per shingle sliced into 32-bit chunks — see
-    _minhash_sig_select), 4 bands of 2 -> bucket ids; pairs sharing a
-    bucket are candidates. Hex-string min is engine-portable (no integer
-    hash divergence)."""
-    f = _fn(d)
+def _minhash_chain_ctes(d, sf) -> str:
+    """shingles → distinct shingle set (+ sizes) → 2-md5 hashes → 8-col
+    signatures → 4 bands of 2 → exploded (doc_id, band_no, bucket) rows:
+    THE one LSH scheme every minhash-family query builds on
+    (dedup_minhash_lsh, dedup_ngram_jaccard, minhash_est_vs_exact) — a
+    band/signature change lands in all three at once. Unused CTEs are
+    pruned by both engines."""
     if d == "spark":
-        tok_rows = """tok_rows AS (
-  SELECT doc_id, tok FROM shingled LATERAL VIEW explode(shingles) x AS tok
-)"""
+        tok_rows = "SELECT doc_id, tok FROM shingled LATERAL VIEW explode(shingles) x AS tok"
     else:
-        tok_rows = """tok_rows AS (
-  SELECT doc_id, unnest(shingles) AS tok FROM shingled
-)"""
+        tok_rows = "SELECT doc_id, unnest(shingles) AS tok FROM shingled"
     bands = ",\n       ".join(
         f"md5(mh{2*i} || mh{2*i+1}) AS band{i}" for i in range(4)
     )
     band_union = "\nUNION ALL\n".join(
-        f"SELECT doc_id, {i} AS band_no, band{i} AS bucket FROM banded" for i in range(4)
+        f"SELECT doc_id, {i} AS band_no, band{i} AS bucket FROM banded"
+        for i in range(4)
     )
-    return f"""WITH {_shingles_cte(d, sf)},
-{tok_rows},
+    return f"""{_shingles_cte(d, sf)},
+tok_rows AS ({tok_rows}),
 tok_set AS (SELECT DISTINCT doc_id, tok FROM tok_rows),
+sizes AS (SELECT doc_id, count(*) AS n FROM tok_set GROUP BY doc_id),
 tok_hashed AS ({_MINHASH_HASHED}),
 sigs AS (
   SELECT doc_id,
@@ -691,7 +688,32 @@ banded AS (
        {bands}
   FROM sigs
 ),
-buckets AS ({band_union})
+buckets AS ({band_union})"""
+
+
+_MINHASH_CAND_CTE = """cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b
+    ON a.bucket = b.bucket AND a.band_no = b.band_no AND a.doc_id < b.doc_id
+)"""
+
+_MINHASH_INTER_CTE = """inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS both
+  FROM cand c
+  JOIN tok_set a ON a.doc_id = c.doc_a
+  JOIN tok_set b ON b.doc_id = c.doc_b AND b.tok = a.tok
+  GROUP BY c.doc_a, c.doc_b
+)"""
+
+
+@register("dedup_minhash_lsh")
+def _q_minhash(d, sf):
+    """MinHash+LSH near-dup candidates: 8 minhashes over the shingle set
+    (two md5s per shingle sliced into 32-bit chunks — see
+    _minhash_sig_select), 4 bands of 2 -> bucket ids; pairs sharing a
+    bucket are candidates. Hex-string min is engine-portable (no integer
+    hash divergence)."""
+    return f"""WITH {_minhash_chain_ctes(d, sf)}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(count(DISTINCT a.band_no) AS BIGINT) AS shared_bands
 FROM buckets a JOIN buckets b
@@ -710,43 +732,9 @@ def _q_jaccard(d, sf):
     high-doc-frequency shingle). Miss probability for a true J>=0.8 pair:
     (1 - 0.8^2)^4 ≈ 1.7%. Both dialects express the identical candidate
     restriction, so the oracle compare stays exact."""
-    if d == "spark":
-        tok_rows = "SELECT doc_id, tok FROM shingled LATERAL VIEW explode(shingles) x AS tok"
-    else:
-        tok_rows = "SELECT doc_id, unnest(shingles) AS tok FROM shingled"
-    bands = ",\n       ".join(f"md5(mh{2*i} || mh{2*i+1}) AS band{i}" for i in range(4))
-    band_union = "\nUNION ALL\n".join(
-        f"SELECT doc_id, {i} AS band_no, band{i} AS bucket FROM banded" for i in range(4)
-    )
-    return f"""WITH {_shingles_cte(d, sf)},
-tok_rows AS ({tok_rows}),
-tok_set AS (SELECT DISTINCT doc_id, tok FROM tok_rows),
-sizes AS (SELECT doc_id, count(*) AS n FROM tok_set GROUP BY doc_id),
-tok_hashed AS ({_MINHASH_HASHED}),
-sigs AS (
-  SELECT doc_id,
-       {_minhash_sig_select()}
-  FROM tok_hashed
-  GROUP BY doc_id
-),
-banded AS (
-  SELECT doc_id,
-       {bands}
-  FROM sigs
-),
-buckets AS ({band_union}),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM buckets a JOIN buckets b
-    ON a.bucket = b.bucket AND a.band_no = b.band_no AND a.doc_id < b.doc_id
-),
-inter AS (
-  SELECT c.doc_a, c.doc_b, count(*) AS both
-  FROM cand c
-  JOIN tok_set a ON a.doc_id = c.doc_a
-  JOIN tok_set b ON b.doc_id = c.doc_b AND b.tok = a.tok
-  GROUP BY c.doc_a, c.doc_b
-)
+    return f"""WITH {_minhash_chain_ctes(d, sf)},
+{_MINHASH_CAND_CTE},
+{_MINHASH_INTER_CTE}
 SELECT doc_a, doc_b, jaccard FROM (
   SELECT i.doc_a, i.doc_b,
          round(CAST(i.both AS DOUBLE) / (sa.n + sb.n - i.both), 4) AS jaccard
@@ -1590,52 +1578,18 @@ def _q_minhash_eval(d, sf):
     ann_recall_at_k plays for the ANN family. Candidate-bounded exactly
     like dedup_ngram_jaccard (no all-pairs join); every output value is
     a small-integer ratio, so the cross-engine compare is exact."""
-    if d == "spark":
-        tok_rows = "SELECT doc_id, tok FROM shingled LATERAL VIEW explode(shingles) x AS tok"
-    else:
-        tok_rows = "SELECT doc_id, unnest(shingles) AS tok FROM shingled"
-    bands = ",\n       ".join(f"md5(mh{2*i} || mh{2*i+1}) AS band{i}" for i in range(4))
-    band_union = "\nUNION ALL\n".join(
-        f"SELECT doc_id, {i} AS band_no, band{i} AS bucket FROM banded" for i in range(4)
-    )
     n_match = " + ".join(
         f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(8)
     )
-    return f"""WITH {_shingles_cte(d, sf)},
-tok_rows AS ({tok_rows}),
-tok_set AS (SELECT DISTINCT doc_id, tok FROM tok_rows),
-sizes AS (SELECT doc_id, count(*) AS n FROM tok_set GROUP BY doc_id),
-tok_hashed AS ({_MINHASH_HASHED}),
-sigs AS (
-  SELECT doc_id,
-       {_minhash_sig_select()}
-  FROM tok_hashed
-  GROUP BY doc_id
-),
-banded AS (
-  SELECT doc_id,
-       {bands}
-  FROM sigs
-),
-buckets AS ({band_union}),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM buckets a JOIN buckets b
-    ON a.bucket = b.bucket AND a.band_no = b.band_no AND a.doc_id < b.doc_id
-),
+    return f"""WITH {_minhash_chain_ctes(d, sf)},
+{_MINHASH_CAND_CTE},
 est AS (
   SELECT c.doc_a, c.doc_b, {n_match} AS n_match
   FROM cand c
   JOIN sigs sa ON sa.doc_id = c.doc_a
   JOIN sigs sb ON sb.doc_id = c.doc_b
 ),
-inter AS (
-  SELECT c.doc_a, c.doc_b, count(*) AS both
-  FROM cand c
-  JOIN tok_set a ON a.doc_id = c.doc_a
-  JOIN tok_set b ON b.doc_id = c.doc_b AND b.tok = a.tok
-  GROUP BY c.doc_a, c.doc_b
-)
+{_MINHASH_INTER_CTE}
 SELECT e.doc_a, e.doc_b,
   round(CAST(e.n_match AS DOUBLE) / 8, 4) AS est_jaccard,
   round(CAST(coalesce(i.both, 0) AS DOUBLE)
