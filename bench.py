@@ -83,6 +83,7 @@ HEADLINE_QUERIES = [
     "doclen_histogram",
     "status_histogram",
     "trade_graph_pagerank",
+    "passage_dedup_rate",
 ]
 
 

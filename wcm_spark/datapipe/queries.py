@@ -152,6 +152,7 @@ SYNTHETIC_GATES: dict[str, dict] = {
     "image_phash_neardup": {"max_hamming": 24},
     "embedding_neardup": {"min_cosine": 0.35},
     "ann_lsh_bucketed": {"min_cosine": 0.25},
+    "passage_dedup_rate": {"chunk": 3},
 }
 
 
@@ -1459,6 +1460,57 @@ def _tok_rows(d: str) -> str:
     if d == "spark":
         return "SELECT doc_id, tok FROM toks LATERAL VIEW explode(tokens) x AS tok"
     return "SELECT doc_id, unnest(tokens) AS tok FROM toks"
+
+
+@register("passage_dedup_rate")
+def _q_passage_dedup(d, sf, chunk: int = 10):
+    """Cross-document passage-level dedup rate (the substring-dedup
+    modality of LLM data pipelines, Lee et al. 2022 approximated with
+    fixed-alignment windows): each doc's token stream splits into
+    consecutive ``chunk``-token passages, passages hash with md5, and an
+    occurrence is DUPLICATE if the same hash appeared at a smaller
+    (doc_id, chunk_idx) — first-wins, like the crawl's D3. Output: per
+    doc, total/duplicate passage counts and the duplicate fraction.
+    100 TB shape: one explode + two hash aggregates (per-hash min packed
+    position, then per-doc counts) — no self-join, no window over the
+    corpus; the first-occurrence rule is min() over an integer-packed
+    position, so both engines agree exactly in any partition order.
+    ``chunk=10`` is the real operating point; the registry overrides to
+    3 on the synthetic word-soup fixtures (SYNTHETIC_GATES) where
+    10-token windows never repeat."""
+    if d == "spark":
+        chunks = (
+            f"transform(sequence(1, CAST(floor(size(tokens) / {chunk}) AS INT)), "
+            f"i -> concat_ws(' ', slice(tokens, (i - 1) * {chunk} + 1, {chunk})))"
+        )
+        chunk_rows = (
+            "SELECT doc_id, pos, md5(c) AS h FROM "
+            "(SELECT doc_id, chunklist FROM chunked) t "
+            "LATERAL VIEW posexplode(chunklist) x AS pos, c"
+        )
+    else:
+        chunks = (
+            f"[array_to_string(list_slice(tokens, (i - 1) * {chunk} + 1, i * {chunk}), ' ') "
+            f"for i in generate_series(1, CAST(floor(len(tokens) / {chunk}) AS INT))]"
+        )
+        chunk_rows = (
+            "SELECT doc_id, generate_subscripts(chunklist, 1) - 1 AS pos, "
+            "md5(unnest(chunklist)) AS h FROM chunked"
+        )
+    return f"""WITH {_tokens_cte(d, sf)},
+chunked AS (SELECT doc_id, {chunks} AS chunklist FROM toks),
+chunk_rows AS ({chunk_rows}),
+packed AS (
+  SELECT doc_id, h, doc_id * 1000000 + pos AS pk FROM chunk_rows
+),
+firsts AS (SELECT h, min(pk) AS first_pk FROM packed GROUP BY h)
+SELECT p.doc_id,
+  CAST(count(*) AS BIGINT) AS n_passages,
+  CAST(sum(CASE WHEN p.pk > f.first_pk THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+  round(CAST(sum(CASE WHEN p.pk > f.first_pk THEN 1 ELSE 0 END) AS DOUBLE)
+        / count(*), 4) AS dup_frac
+FROM packed p JOIN firsts f ON f.h = p.h
+GROUP BY p.doc_id"""
 
 
 @register("quality_repetition_signals")
