@@ -68,6 +68,20 @@ def test_oracle_parity(name, spark, duck):
     )
 
 
+def test_neardup_cluster_convergence(duck):
+    """NEARDUP_CC_ITERS must cover the fixture's largest cluster diameter:
+    the fixed-depth propagation equals a 2-hops-deeper run."""
+    from wcm_spark.datapipe.queries import NEARDUP_CC_ITERS, _q_neardup_clusters
+
+    base = sorted(duck.execute(_q_neardup_clusters("duck", None)).fetchall())
+    deeper = sorted(
+        duck.execute(
+            _q_neardup_clusters("duck", None, iters=NEARDUP_CC_ITERS + 2)
+        ).fetchall()
+    )
+    assert base == deeper
+
+
 def test_spark_only_queries_run(spark):
     for name, fn in QUERIES.items():
         if name in ORACLES:

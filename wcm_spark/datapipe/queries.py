@@ -1655,6 +1655,68 @@ JOIN sizes sa ON sa.doc_id = e.doc_a
 JOIN sizes sb ON sb.doc_id = e.doc_b"""
 
 
+#: fixed min-label-propagation depth for near-dup clustering. LSH
+#: candidate components are near-cliques (every pair sharing a bucket is
+#: an edge), so the component diameter is tiny; the convergence test
+#: pins iters vs iters+2 equality on the fixture
+#: (tests/test_oracle_parity.py::test_neardup_cluster_convergence).
+NEARDUP_CC_ITERS = 6
+
+
+@register("near_dup_clusters")
+def _q_neardup_clusters(d, sf, iters: int = NEARDUP_CC_ITERS):
+    """The dedup ENDGAME: near-dup CLUSTERS, not just candidate pairs.
+
+    MinHash-LSH candidate pairs (the same 4-bands-of-2 scheme as
+    dedup_minhash_lsh) are treated as undirected edges and resolved into
+    connected components by fixed-iteration min-label propagation —
+    cluster_id = min doc_id reachable, cluster_size = docs per cluster.
+    Keeping exactly one doc per cluster (doc_id == cluster_id) is the
+    standard corpus-dedup policy; pair lists alone can't express it
+    (near-dup is not transitive per-pair, clusters make the keep/drop
+    decision global).
+
+    100 TB shape: edges are LSH-bounded (never all-pairs), each
+    propagation step is one shuffle join of node-sized labels against
+    the edge set + one hash aggregate — the identical loop as
+    link_graph_components, just over document space. Only docs that
+    appear in >=1 candidate pair enter the graph (the untouched
+    long tail never shuffles)."""
+    # DuckDB inlines CTEs per reference — without MATERIALIZED each
+    # unrolled hop would re-run the whole shingle->LSH chain (hangs even
+    # at sf0.001). Spark SQL has no such keyword, but the engine path is
+    # the DataFrame override (_neardup_clusters_spark), which checkpoints
+    # the edge set explicitly.
+    mat = "MATERIALIZED " if d == "duck" else ""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f""",
+lbl_{k} AS {mat}(
+  SELECT l.doc_id,
+         least(l.component, coalesce(min(n.component), l.component)) AS component
+  FROM lbl_{k - 1} l
+  LEFT JOIN und e ON e.a = l.doc_id
+  LEFT JOIN lbl_{k - 1} n ON n.doc_id = e.b
+  GROUP BY l.doc_id, l.component
+)""")
+    return f"""WITH {_minhash_chain_ctes(d, sf)},
+{_MINHASH_CAND_CTE},
+und AS {mat}(
+  SELECT doc_a AS a, doc_b AS b FROM cand
+  UNION
+  SELECT doc_b, doc_a FROM cand
+),
+nd_nodes AS (SELECT DISTINCT a AS doc_id FROM und),
+lbl_0 AS (SELECT doc_id, doc_id AS component FROM nd_nodes){''.join(steps)},
+final AS (SELECT doc_id, component AS cluster_id FROM lbl_{iters}),
+csizes AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM final GROUP BY cluster_id
+)
+SELECT f.doc_id, f.cluster_id, s.cluster_size
+FROM final f JOIN csizes s ON s.cluster_id = f.cluster_id"""
+
+
 # ---------------------------------------------------------------------------
 # optimized Spark-side implementations for the multi-reference queries.
 # Catalyst inlines CTEs, so the SQL forms above recompute the exploded
@@ -1834,6 +1896,51 @@ def _simhash_spark(spark, sf_dir):
     )
 
 
+def _neardup_clusters_spark(spark, sf_dir):
+    """near_dup_clusters on the engine path: the SAME shared bucket frame
+    as the other two LSH queries (one shingle->signature pass per
+    application) feeding the graph module's connected_components — the
+    SQL builder stays the independent DuckDB oracle."""
+    from pyspark.sql import functions as F
+
+    from ..operators.graph import connected_components
+
+    buckets = _minhash_buckets_df(spark, sf_dir)
+    b = buckets.select(
+        F.col("doc_id").alias("doc_b_id"),
+        F.col("band_no").alias("band_no_b"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    # eager checkpoint: the edge set is the probe side of every
+    # propagation iteration — never re-derive the LSH self-join per hop
+    edges = (
+        buckets.join(
+            b,
+            (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("band_no") == F.col("band_no_b"))
+            & (F.col("doc_id") < F.col("doc_b_id")),
+        )
+        .select(F.col("doc_id").alias("a"), F.col("doc_b_id").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = edges.select(F.col("a").alias("doc_id")).union(
+        edges.select(F.col("b").alias("doc_id"))
+    ).distinct()
+    lbl = connected_components(
+        nodes, edges, iters=NEARDUP_CC_ITERS, node_col="doc_id", src="a", dst="b"
+    )
+    final = lbl.select(
+        F.col("url").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    sizes = final.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return final.join(sizes, "cluster_id").select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+
+
 def _lang_pivot_spark(spark, sf_dir):
     """Native DataFrame pivot with a pinned value list: no extra distinct
     scan for pivot values, one hash aggregate, stable column order."""
@@ -1975,6 +2082,7 @@ def _ivf_fitted_spark(spark, sf_dir):
 _SPARK_OVERRIDES = {
     "dedup_minhash_lsh": _minhash_spark,
     "dedup_ngram_jaccard": _jaccard_spark,
+    "near_dup_clusters": _neardup_clusters_spark,
     "dedup_simhash": _simhash_spark,
     "doc_lang_pivot": _lang_pivot_spark,
     "ann_ivf_kmeans": _ivf_kmeans_spark,
