@@ -1114,6 +1114,63 @@ SELECT query_id, cand_id, cosine FROM (
 ) t WHERE rk <= 3"""
 
 
+@register("ann_ivf_multiprobe")
+def _q_ann_ivf_multiprobe(d, sf, probes: int = 2):
+    """IVF MULTIPROBE: the recall knob of the fitted index. Queries
+    (vec_id < 3) rank the fitted centroids by the SAME final_dot
+    similarity the assignment used and search their ``probes`` nearest
+    cells (not just their own), exact cosine top-3 among the probed
+    inverted lists. Candidates live in exactly one cell (final_asg is
+    rk=1), so probing two cells can never duplicate a candidate. At
+    cluster scale the probe join still shuffles on cell id — cost grows
+    linearly with ``probes`` (each query touches ``probes`` inverted
+    lists) while recall approaches the exhaustive ann_cosine_topk; the
+    query->centroid ranking itself is k*dim, broadcast-trivial."""
+    if d == "spark":
+        def dot(a, b):
+            return (
+                f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            )
+
+        def norm(a):
+            return f"sqrt(aggregate({a}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    else:
+        def dot(a, b):
+            return f"list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+
+        def norm(a):
+            return f"sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+    emb = _tbl("embeddings", d, sf)
+    cos_qx = f"{dot('q.embedding', 'x.embedding')} / ({norm('q.embedding')} * {norm('x.embedding')})"
+    return f"""WITH {_ivf_kmeans_ctes(d, sf)},
+qcells AS (
+  SELECT vec_id, cell FROM (
+    SELECT dt.vec_id, dt.cell,
+           row_number() OVER (
+             PARTITION BY dt.vec_id
+             ORDER BY round(dt.dp / (v.nv * n.nc), 6) DESC, dt.cell
+           ) AS pr
+    FROM final_dot dt
+    JOIN vnorm v ON v.vec_id = dt.vec_id
+    JOIN final_cnorm n ON n.cell = dt.cell
+    WHERE dt.vec_id < 3
+  ) t WHERE pr <= {probes}
+)
+SELECT query_id, cand_id, cosine FROM (
+  SELECT q.vec_id AS query_id, x.vec_id AS cand_id,
+         round({cos_qx}, 4) AS cosine,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round({cos_qx}, 6) DESC, x.vec_id
+         ) AS rk
+  FROM qcells aq
+  JOIN {emb} q ON q.vec_id = aq.vec_id
+  JOIN final_asg ax ON ax.cell = aq.cell AND ax.vec_id != q.vec_id
+  JOIN {emb} x ON x.vec_id = ax.vec_id
+) t WHERE rk <= 3"""
+
+
 @register("ann_recall_at_k")
 def _q_ann_recall(d, sf):
     """Recall-vs-exact evaluation chaining the ANN family (the reason
@@ -1960,12 +2017,26 @@ def _lang_pivot_spark(spark, sf_dir):
 
 def _ivf_final_asg_df(spark, sf_dir):
     """Per-application memoized fitted IVF assignment (see _ivf_fit_df):
-    ann_ivf_kmeans and ann_ivf_fitted share one deterministic fit."""
-    return _app_cached(spark, f"ivf_asg:{sf_dir}", lambda: _ivf_fit_df(spark, sf_dir))
+    ann_ivf_kmeans, ann_ivf_fitted and ann_ivf_multiprobe share one
+    deterministic fit."""
+    return _app_cached(
+        spark, f"ivf_asg:{sf_dir}", lambda: _ivf_fit_df(spark, sf_dir)
+    )[0]
+
+
+def _ivf_final_cent_df(spark, sf_dir):
+    """The fit's FINAL centroids (cell, dim, cx) — the cent2 the last
+    assignment ranked under; ann_ivf_multiprobe re-ranks query->cell
+    against exactly these, so probe order matches the SQL dialects'
+    final_dot."""
+    return _app_cached(
+        spark, f"ivf_asg:{sf_dir}", lambda: _ivf_fit_df(spark, sf_dir)
+    )[1]
 
 
 def _ivf_fit_df(spark, sf_dir):
-    """The fitted IVF assignment (vec_id, cell) as a DataFrame — the same
+    """The fitted IVF state — (assignment (vec_id, cell), final
+    centroids (cell, dim, cx)) DataFrames — via the same
     2-iteration Lloyd chain as _ivf_kmeans_ctes, but with the iterative
     state MATERIALIZED between steps: Catalyst inlines CTEs, so the SQL
     form re-explodes the embeddings and re-runs every earlier iteration
@@ -2020,7 +2091,9 @@ def _ivf_fit_df(spark, sf_dir):
                 .groupBy("cell", "dim")
                 .agg(F.round(F.avg("x"), 6).alias("cx"))
             )
-    return asg.localCheckpoint(eager=True)
+    # cent is the final (cent2) frame the last assignment ranked under —
+    # already checkpointed at the top of the it=2 pass
+    return asg.localCheckpoint(eager=True), cent
 
 
 def _ivf_kmeans_spark(spark, sf_dir):
@@ -2079,6 +2152,77 @@ def _ivf_fitted_spark(spark, sf_dir):
     )
 
 
+def _ivf_multiprobe_spark(spark, sf_dir):
+    """Multiprobe in DataFrame form: query->centroid ranking recomputed
+    from the memoized final centroids via the SAME exploded-sum shape as
+    the SQL final_dot (so 6-decimal rank parity holds), then the probe
+    join over the materialized assignment — the centroid frame is
+    k*dim rows and broadcasts."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    asg = _ivf_final_asg_df(spark, sf_dir)
+    cent = _ivf_final_cent_df(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q_elems = (
+        emb.filter(F.col("vec_id") < 3)
+        .select("vec_id", F.posexplode("embedding").alias("dim", "x0"))
+        .select("vec_id", "dim", F.col("x0").cast("double").alias("x"))
+    )
+    dot = (
+        q_elems.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "cell")
+        .agg(F.sum(F.col("x") * F.col("cx")).alias("dp"))
+    )
+    vnorm = q_elems.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nv")
+    )
+    cnorm = cent.groupBy("cell").agg(
+        F.sqrt(F.sum(F.col("cx") * F.col("cx"))).alias("nc")
+    )
+    wq = Window.partitionBy("vec_id").orderBy(
+        F.round(F.col("dp") / (F.col("nv") * F.col("nc")), 6).desc(),
+        F.col("cell"),
+    )
+    qcells = (
+        dot.join(vnorm, "vec_id")
+        .join(F.broadcast(cnorm), "cell")
+        .withColumn("pr", F.row_number().over(wq))
+        .filter("pr <= 2")
+        .select(F.col("vec_id").alias("query_id"), "cell")
+    )
+    q = qcells.join(
+        emb.select("vec_id", F.col("embedding").alias("q_emb")),
+        qcells["query_id"] == F.col("vec_id"),
+    ).select("query_id", "cell", "q_emb")
+    x = asg.join(emb, "vec_id").select(
+        F.col("vec_id").alias("cand_id"), "cell", F.col("embedding").alias("x_emb")
+    )
+    dot_qx = (
+        "aggregate(zip_with(q_emb, x_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+    def norm(c):
+        return (
+            f"sqrt(aggregate({c}, CAST(0.0 AS DOUBLE), "
+            "(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+        )
+
+    cos = F.expr(f"{dot_qx} / ({norm('q_emb')} * {norm('x_emb')})")
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("__cos"), 6).desc(), F.col("cand_id")
+    )
+    return (
+        q.join(x, "cell")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("__cos", cos)
+        .withColumn("rk", F.row_number().over(w))
+        .filter("rk <= 3")
+        .select("query_id", "cand_id", F.round(F.col("__cos"), 4).alias("cosine"))
+    )
+
+
 _SPARK_OVERRIDES = {
     "dedup_minhash_lsh": _minhash_spark,
     "dedup_ngram_jaccard": _jaccard_spark,
@@ -2087,6 +2231,7 @@ _SPARK_OVERRIDES = {
     "doc_lang_pivot": _lang_pivot_spark,
     "ann_ivf_kmeans": _ivf_kmeans_spark,
     "ann_ivf_fitted": _ivf_fitted_spark,
+    "ann_ivf_multiprobe": _ivf_multiprobe_spark,
     # engine-path overrides: the SQL builder is the oracle, the Spark
     # side runs the engine's own operator (robots broadcast gate, F8
     # credential dimension join)
