@@ -1350,24 +1350,35 @@ SELECT doc_id, lang,
 FROM feat"""
 
 
-@register("quality_score")
-def _q_quality(d, sf):
-    """Quality scoring: length/punctuation/stopword-ratio features + score."""
+def _quality_feat_cte(d, sf) -> str:
+    """``feat(doc_id, n_chars, punct, n_tokens, stop_hits)`` CTE text —
+    the per-doc quality features shared by quality_score and
+    corpus_curation_pipeline (one definition, both gates agree)."""
     f = _fn(d)
-    return f"""WITH feat AS (
+    return f"""feat AS (
   SELECT doc_id, n_chars,
     CAST({f['LEN']}(regexp_extract_all(text, '([.!?,;:])', 1)) AS BIGINT) AS punct,
     CAST({f['LEN']}({f['LFILTER']}({f['SPLIT']}(lower(text), '[^a-z0-9]+'), x -> x != '')) AS BIGINT) AS n_tokens,
     CAST({f['LEN']}(regexp_extract_all(lower(text), {_rx(_STOPWORD_RAW, d)}, 1)) AS BIGINT) AS stop_hits
   FROM {_tbl('documents', d, sf)}
-)
-SELECT doc_id, n_tokens, punct,
-  round(CAST(stop_hits AS DOUBLE) / CASE WHEN n_tokens = 0 THEN 1 ELSE n_tokens END, 4) AS stop_ratio,
-  round(CAST(
+)"""
+
+
+#: the weighted quality score over _quality_feat_cte columns (0, .3-1.0)
+_QUALITY_EXPR = """CAST(
     0.4 * CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 1.0 ELSE 0.0 END
     + 0.3 * CASE WHEN CAST(stop_hits AS DOUBLE) / CASE WHEN n_tokens = 0 THEN 1 ELSE n_tokens END
                  BETWEEN 0.01 AND 0.5 THEN 1.0 ELSE 0.0 END
-    + 0.3 * CASE WHEN n_tokens >= 10 THEN 1.0 ELSE 0.0 END AS DOUBLE), 4) AS quality
+    + 0.3 * CASE WHEN n_tokens >= 10 THEN 1.0 ELSE 0.0 END AS DOUBLE)"""
+
+
+@register("quality_score")
+def _q_quality(d, sf):
+    """Quality scoring: length/punctuation/stopword-ratio features + score."""
+    return f"""WITH {_quality_feat_cte(d, sf)}
+SELECT doc_id, n_tokens, punct,
+  round(CAST(stop_hits AS DOUBLE) / CASE WHEN n_tokens = 0 THEN 1 ELSE n_tokens END, 4) AS stop_ratio,
+  round({_QUALITY_EXPR}, 4) AS quality
 FROM feat"""
 
 
@@ -1720,6 +1731,41 @@ JOIN sizes sb ON sb.doc_id = e.doc_b"""
 NEARDUP_CC_ITERS = 6
 
 
+def _neardup_cluster_ctes(d, sf, iters: int = NEARDUP_CC_ITERS) -> str:
+    """WITH-fragment ending in ``nd_final(doc_id, cluster_id)`` — the
+    near-dup component labels shared by near_dup_clusters and
+    corpus_curation_pipeline. cluster_id = min doc_id reachable through
+    MinHash-LSH candidate edges under fixed-depth min-label
+    propagation."""
+    # DuckDB inlines CTEs per reference — without MATERIALIZED each
+    # unrolled hop would re-run the whole shingle->LSH chain (hangs even
+    # at sf0.001). Spark SQL has no such keyword, but the engine path is
+    # the DataFrame override (_neardup_clusters_spark), which checkpoints
+    # the edge set explicitly.
+    mat = "MATERIALIZED " if d == "duck" else ""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f""",
+lbl_{k} AS {mat}(
+  SELECT l.doc_id,
+         least(l.component, coalesce(min(n.component), l.component)) AS component
+  FROM lbl_{k - 1} l
+  LEFT JOIN und e ON e.a = l.doc_id
+  LEFT JOIN lbl_{k - 1} n ON n.doc_id = e.b
+  GROUP BY l.doc_id, l.component
+)""")
+    return f"""{_minhash_chain_ctes(d, sf)},
+{_MINHASH_CAND_CTE},
+und AS {mat}(
+  SELECT doc_a AS a, doc_b AS b FROM cand
+  UNION
+  SELECT doc_b, doc_a FROM cand
+),
+nd_nodes AS (SELECT DISTINCT a AS doc_id FROM und),
+lbl_0 AS (SELECT doc_id, doc_id AS component FROM nd_nodes){''.join(steps)},
+nd_final AS (SELECT doc_id, component AS cluster_id FROM lbl_{iters})"""
+
+
 @register("near_dup_clusters")
 def _q_neardup_clusters(d, sf, iters: int = NEARDUP_CC_ITERS):
     """The dedup ENDGAME: near-dup CLUSTERS, not just candidate pairs.
@@ -1739,39 +1785,53 @@ def _q_neardup_clusters(d, sf, iters: int = NEARDUP_CC_ITERS):
     link_graph_components, just over document space. Only docs that
     appear in >=1 candidate pair enter the graph (the untouched
     long tail never shuffles)."""
-    # DuckDB inlines CTEs per reference — without MATERIALIZED each
-    # unrolled hop would re-run the whole shingle->LSH chain (hangs even
-    # at sf0.001). Spark SQL has no such keyword, but the engine path is
-    # the DataFrame override (_neardup_clusters_spark), which checkpoints
-    # the edge set explicitly.
-    mat = "MATERIALIZED " if d == "duck" else ""
-    steps = []
-    for k in range(1, iters + 1):
-        steps.append(f""",
-lbl_{k} AS {mat}(
-  SELECT l.doc_id,
-         least(l.component, coalesce(min(n.component), l.component)) AS component
-  FROM lbl_{k - 1} l
-  LEFT JOIN und e ON e.a = l.doc_id
-  LEFT JOIN lbl_{k - 1} n ON n.doc_id = e.b
-  GROUP BY l.doc_id, l.component
-)""")
-    return f"""WITH {_minhash_chain_ctes(d, sf)},
-{_MINHASH_CAND_CTE},
-und AS {mat}(
-  SELECT doc_a AS a, doc_b AS b FROM cand
-  UNION
-  SELECT doc_b, doc_a FROM cand
-),
-nd_nodes AS (SELECT DISTINCT a AS doc_id FROM und),
-lbl_0 AS (SELECT doc_id, doc_id AS component FROM nd_nodes){''.join(steps)},
-final AS (SELECT doc_id, component AS cluster_id FROM lbl_{iters}),
+    return f"""WITH {_neardup_cluster_ctes(d, sf, iters)},
 csizes AS (
   SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
-  FROM final GROUP BY cluster_id
+  FROM nd_final GROUP BY cluster_id
 )
 SELECT f.doc_id, f.cluster_id, s.cluster_size
-FROM final f JOIN csizes s ON s.cluster_id = f.cluster_id"""
+FROM nd_final f JOIN csizes s ON s.cluster_id = f.cluster_id"""
+
+
+@register("corpus_curation_pipeline")
+def _q_corpus_curation(d, sf, min_quality: float = 0.7):
+    """The end-to-end curation funnel a training-data pipeline runs,
+    composed from the engine's own pieces with ONE definition each:
+    near-dup keep-one (the _neardup_cluster_ctes labels — drop every doc
+    whose cluster canonical is another doc), then the quality gate (the
+    _quality_feat_cte features + _QUALITY_EXPR score shared with
+    quality_score), rolled up per language: docs in, dup-dropped,
+    quality-dropped, docs kept, tokens kept. This is the query that
+    turns the dedup/quality family from diagnostics into a corpus cut.
+
+    100 TB shape: the funnel adds ONE node-sized left join (cluster
+    labels) and one hash aggregate on top of the LSH chain — the
+    untouched long tail of docs never enters the component graph, and
+    nothing here is driver-side."""
+    return f"""WITH {_neardup_cluster_ctes(d, sf)},
+{_quality_feat_cte(d, sf)},
+judged AS (
+  SELECT f.doc_id, f.n_tokens,
+         CASE WHEN {_QUALITY_EXPR} >= {min_quality} THEN 1 ELSE 0 END AS is_quality
+  FROM feat f
+),
+funnel AS (
+  SELECT doc.lang, j.n_tokens, j.is_quality,
+         CASE WHEN nd.doc_id IS NOT NULL AND nd.cluster_id != doc.doc_id
+              THEN 1 ELSE 0 END AS is_dup
+  FROM {_tbl('documents', d, sf)} doc
+  JOIN judged j ON j.doc_id = doc.doc_id
+  LEFT JOIN nd_final nd ON nd.doc_id = doc.doc_id
+)
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(is_dup) AS BIGINT) AS dup_dropped,
+  CAST(sum(CASE WHEN is_dup = 0 AND is_quality = 0 THEN 1 ELSE 0 END) AS BIGINT) AS quality_dropped,
+  CAST(sum(CASE WHEN is_dup = 0 AND is_quality = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+  CAST(sum(CASE WHEN is_dup = 0 AND is_quality = 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+FROM funnel
+GROUP BY lang"""
 
 
 # ---------------------------------------------------------------------------
@@ -1953,48 +2013,106 @@ def _simhash_spark(spark, sf_dir):
     )
 
 
+def _neardup_labels_df(spark, sf_dir):
+    """(doc_id, cluster_id) near-dup component labels on the engine path:
+    the SAME shared bucket frame as the other LSH queries (one
+    shingle->signature pass per application) feeding the graph module's
+    connected_components. Per-application memoized — near_dup_clusters
+    and corpus_curation_pipeline share one propagation."""
+
+    def build():
+        from pyspark.sql import functions as F
+
+        from ..operators.graph import connected_components
+
+        buckets = _minhash_buckets_df(spark, sf_dir)
+        b = buckets.select(
+            F.col("doc_id").alias("doc_b_id"),
+            F.col("band_no").alias("band_no_b"),
+            F.col("bucket").alias("bucket_b"),
+        )
+        # eager checkpoint: the edge set is the probe side of every
+        # propagation iteration — never re-derive the LSH self-join per hop
+        edges = (
+            buckets.join(
+                b,
+                (F.col("bucket") == F.col("bucket_b"))
+                & (F.col("band_no") == F.col("band_no_b"))
+                & (F.col("doc_id") < F.col("doc_b_id")),
+            )
+            .select(F.col("doc_id").alias("a"), F.col("doc_b_id").alias("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        nodes = edges.select(F.col("a").alias("doc_id")).union(
+            edges.select(F.col("b").alias("doc_id"))
+        ).distinct()
+        lbl = connected_components(
+            nodes, edges, iters=NEARDUP_CC_ITERS, node_col="doc_id", src="a", dst="b"
+        )
+        return lbl.select(
+            F.col("url").alias("doc_id"), F.col("component").alias("cluster_id")
+        ).localCheckpoint(eager=True)
+
+    return _app_cached(spark, f"neardup_labels:{sf_dir}", build)
+
+
 def _neardup_clusters_spark(spark, sf_dir):
-    """near_dup_clusters on the engine path: the SAME shared bucket frame
-    as the other two LSH queries (one shingle->signature pass per
-    application) feeding the graph module's connected_components — the
-    SQL builder stays the independent DuckDB oracle."""
+    """near_dup_clusters on the engine path — see _neardup_labels_df;
+    the SQL builder stays the independent DuckDB oracle."""
     from pyspark.sql import functions as F
 
-    from ..operators.graph import connected_components
-
-    buckets = _minhash_buckets_df(spark, sf_dir)
-    b = buckets.select(
-        F.col("doc_id").alias("doc_b_id"),
-        F.col("band_no").alias("band_no_b"),
-        F.col("bucket").alias("bucket_b"),
-    )
-    # eager checkpoint: the edge set is the probe side of every
-    # propagation iteration — never re-derive the LSH self-join per hop
-    edges = (
-        buckets.join(
-            b,
-            (F.col("bucket") == F.col("bucket_b"))
-            & (F.col("band_no") == F.col("band_no_b"))
-            & (F.col("doc_id") < F.col("doc_b_id")),
-        )
-        .select(F.col("doc_id").alias("a"), F.col("doc_b_id").alias("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    nodes = edges.select(F.col("a").alias("doc_id")).union(
-        edges.select(F.col("b").alias("doc_id"))
-    ).distinct()
-    lbl = connected_components(
-        nodes, edges, iters=NEARDUP_CC_ITERS, node_col="doc_id", src="a", dst="b"
-    )
-    final = lbl.select(
-        F.col("url").alias("doc_id"), F.col("component").alias("cluster_id")
-    )
+    final = _neardup_labels_df(spark, sf_dir)
     sizes = final.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("long").alias("cluster_size")
     )
     return final.join(sizes, "cluster_id").select(
         "doc_id", "cluster_id", "cluster_size"
+    )
+
+
+def _corpus_curation_spark(spark, sf_dir):
+    """corpus_curation_pipeline on the engine path: the memoized near-dup
+    labels (one propagation per application) left-joined onto the
+    documents scan, quality judged by the SAME feat CTE text as
+    quality_score (single-pass SQL — no recursion, Catalyst-safe)."""
+    from pyspark.sql import functions as F
+
+    labels = _neardup_labels_df(spark, sf_dir)
+    judged = spark.sql(f"""WITH {_quality_feat_cte('spark', sf_dir)}
+SELECT doc_id, n_tokens,
+       CASE WHEN {_QUALITY_EXPR} >= 0.7 THEN 1 ELSE 0 END AS is_quality
+FROM feat""")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    funnel = (
+        docs.join(judged, "doc_id")
+        .join(
+            labels.select(
+                F.col("doc_id"), F.col("cluster_id").alias("__cl")
+            ),
+            "doc_id",
+            "left",
+        )
+        .withColumn(
+            "is_dup",
+            F.when(
+                F.col("__cl").isNotNull() & (F.col("__cl") != F.col("doc_id")), 1
+            ).otherwise(0),
+        )
+    )
+    kept = (F.col("is_dup") == 0) & (F.col("is_quality") == 1)
+    return funnel.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("is_dup").cast("long").alias("dup_dropped"),
+        F.sum(
+            F.when((F.col("is_dup") == 0) & (F.col("is_quality") == 0), 1).otherwise(0)
+        ).cast("long").alias("quality_dropped"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("kept_docs"),
+        F.sum(F.when(kept, F.col("n_tokens")).otherwise(0)).cast("long").alias(
+            "kept_tokens"
+        ),
     )
 
 
@@ -2227,6 +2345,7 @@ _SPARK_OVERRIDES = {
     "dedup_minhash_lsh": _minhash_spark,
     "dedup_ngram_jaccard": _jaccard_spark,
     "near_dup_clusters": _neardup_clusters_spark,
+    "corpus_curation_pipeline": _corpus_curation_spark,
     "dedup_simhash": _simhash_spark,
     "doc_lang_pivot": _lang_pivot_spark,
     "ann_ivf_kmeans": _ivf_kmeans_spark,
