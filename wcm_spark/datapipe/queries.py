@@ -1887,8 +1887,17 @@ def _shingle_set_df(spark, sf_dir):
 def _minhash_buckets_df(spark, sf_dir):
     """(doc_id, band_no, bucket) rows under the SAME signature scheme as
     the SQL dialects (_minhash_sig_select: two md5s per shingle sliced
-    into 32-bit chunks) — shared by the minhash and jaccard overrides so
-    the DataFrame path can never drift from the oracle's candidates."""
+    into 32-bit chunks) — shared by the minhash/jaccard/near-dup-cluster
+    overrides so the DataFrame path can never drift from the oracle's
+    candidates. Per-application memoized: the shingle->signature chain
+    (the dominant cost of every LSH-family query) materializes once per
+    sweep, not once per query."""
+    return _app_cached(
+        spark, f"minhash_buckets:{sf_dir}", lambda: _minhash_buckets_build(spark, sf_dir)
+    )
+
+
+def _minhash_buckets_build(spark, sf_dir):
     from pyspark.sql import functions as F
 
     tok_set = _shingle_set_df(spark, sf_dir)

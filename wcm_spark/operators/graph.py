@@ -120,6 +120,12 @@ def connected_components(
                 F.col("component"), F.coalesce(F.col("__m"), F.col("component"))
             ).alias("component"),
         )
+        # lbl feeds the NEXT iteration twice (neighbor side + own side):
+        # without truncation the plan doubles per hop — 2^iters
+        # re-evaluations of the base scan (measured 58s -> 4s at 1.5k
+        # nodes / 8 hops). Lazy checkpoint: computed once inside the
+        # final action, no extra driver jobs.
+        lbl = lbl.localCheckpoint(eager=False)
     return lbl
 
 
