@@ -1897,23 +1897,49 @@ def _minhash_buckets_df(spark, sf_dir):
     )
 
 
-def _minhash_buckets_build(spark, sf_dir):
+def _shingle_tokset_df(spark, sf_dir):
+    """Per-application memoized EAGER checkpoint of the distinct shingle
+    set — the base frame of the signature chain AND the exact-Jaccard
+    verifiers (jaccard / est-vs-exact), which would otherwise each pay
+    the tokenize+shingle explode again."""
+    return _app_cached(
+        spark,
+        f"shingle_tokset:{sf_dir}",
+        lambda: _shingle_set_df(spark, sf_dir).localCheckpoint(eager=True),
+    )
+
+
+def _minhash_sigs_df(spark, sf_dir):
+    """Memoized (doc_id, mh0..mh7) signature frame — shared by the bucket
+    builder and the est-vs-exact override's signature-agreement columns."""
+    return _app_cached(
+        spark, f"minhash_sigs:{sf_dir}", lambda: _minhash_sigs_build(spark, sf_dir)
+    )
+
+
+def _minhash_sigs_build(spark, sf_dir):
     from pyspark.sql import functions as F
 
-    tok_set = _shingle_set_df(spark, sf_dir)
+    tok_set = _shingle_tokset_df(spark, sf_dir)
     hashed = tok_set.select(
         "doc_id",
         F.md5(F.concat(F.lit("a"), F.col("tok"))).alias("ha"),
         F.md5(F.concat(F.lit("b"), F.col("tok"))).alias("hb"),
     )
-    sigs = hashed.groupBy("doc_id").agg(
+    return hashed.groupBy("doc_id").agg(
         *[
             F.min(
                 F.substring(F.col("ha" if i < 4 else "hb"), (i % 4) * 8 + 1, 8)
             ).alias(f"mh{i}")
             for i in range(8)
         ]
-    )
+    ).localCheckpoint(eager=True)
+
+
+def _minhash_buckets_build(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    sigs = _minhash_sigs_df(spark, sf_dir)
     banded = sigs.select(
         "doc_id",
         *[F.md5(F.concat(F.col(f"mh{2*i}"), F.col(f"mh{2*i+1}"))).alias(f"band{i}") for i in range(4)],
@@ -1927,6 +1953,35 @@ def _minhash_buckets_build(spark, sf_dir):
             "stack(4, 0, band0, 1, band1, 2, band2, 3, band3) AS (band_no, bucket)"
         ),
     ).localCheckpoint(eager=True)
+
+
+def _minhash_cand_df(spark, sf_dir):
+    """Memoized distinct (doc_a, doc_b) LSH candidate pairs — the shared
+    edge set of jaccard / est-vs-exact / near-dup clustering (the
+    band-count variant in _minhash_spark keeps its own aggregate)."""
+
+    def build():
+        from pyspark.sql import functions as F
+
+        buckets = _minhash_buckets_df(spark, sf_dir)
+        b = buckets.select(
+            F.col("doc_id").alias("doc_b_id"),
+            F.col("band_no").alias("band_no_b"),
+            F.col("bucket").alias("bucket_b"),
+        )
+        return (
+            buckets.join(
+                b,
+                (F.col("bucket") == F.col("bucket_b"))
+                & (F.col("band_no") == F.col("band_no_b"))
+                & (F.col("doc_id") < F.col("doc_b_id")),
+            )
+            .select(F.col("doc_id").alias("doc_a"), F.col("doc_b_id").alias("doc_b"))
+            .dropDuplicates()
+            .localCheckpoint(eager=True)
+        )
+
+    return _app_cached(spark, f"minhash_cand:{sf_dir}", build)
 
 
 def _minhash_spark(spark, sf_dir):
@@ -1959,24 +2014,9 @@ def _jaccard_spark(spark, sf_dir):
     equi-join, a superset that merely happened to agree on fixtures.)"""
     from pyspark.sql import functions as F
 
-    tok_set = _shingle_set_df(spark, sf_dir).localCheckpoint(eager=True)
+    tok_set = _shingle_tokset_df(spark, sf_dir)
     sizes = tok_set.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    buckets = _minhash_buckets_df(spark, sf_dir)
-    b = buckets.select(
-        F.col("doc_id").alias("doc_b_id"),
-        F.col("band_no").alias("band_no_b"),
-        F.col("bucket").alias("bucket_b"),
-    )
-    cand = (
-        buckets.join(
-            b,
-            (F.col("bucket") == F.col("bucket_b"))
-            & (F.col("band_no") == F.col("band_no_b"))
-            & (F.col("doc_id") < F.col("doc_b_id")),
-        )
-        .select(F.col("doc_id").alias("doc_a"), F.col("doc_b_id").alias("doc_b"))
-        .dropDuplicates()
-    )
+    cand = _minhash_cand_df(spark, sf_dir)
     a_t = tok_set.select(F.col("doc_id").alias("doc_a"), "tok")
     b_t = tok_set.select(F.col("doc_id").alias("doc_b2"), F.col("tok").alias("tok_b"))
     inter = (
@@ -1996,6 +2036,63 @@ def _jaccard_spark(spark, sf_dir):
         .join(F.broadcast(sb), "doc_b")
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= 0.8)
+    )
+
+
+def _minhash_est_spark(spark, sf_dir):
+    """minhash_est_vs_exact on the shared frames: candidate pairs +
+    signature-agreement columns from the memoized sigs, exact Jaccard
+    from the memoized shingle set — the whole query adds two
+    broadcast-sized joins and one aggregate to work the sweep already
+    paid for."""
+    from pyspark.sql import functions as F
+
+    cand = _minhash_cand_df(spark, sf_dir)
+    sigs = _minhash_sigs_df(spark, sf_dir)
+    sa_sig = sigs.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(8)]
+    )
+    sb_sig = sigs.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(8)]
+    )
+    n_match = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(8)
+    )
+    est = (
+        cand.join(sa_sig, "doc_a")
+        .join(sb_sig, "doc_b")
+        .select("doc_a", "doc_b", n_match.alias("n_match"))
+    )
+    tok_set = _shingle_tokset_df(spark, sf_dir)
+    sizes = tok_set.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a_t = tok_set.select(F.col("doc_id").alias("doc_a"), "tok")
+    b_t = tok_set.select(F.col("doc_id").alias("doc_b2"), F.col("tok").alias("tok_b"))
+    inter = (
+        cand.join(a_t, "doc_a")
+        .join(
+            b_t,
+            (F.col("doc_b") == F.col("doc_b2")) & (F.col("tok") == F.col("tok_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("both"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.coalesce(F.col("both"), F.lit(0)).cast("double") / (
+        F.col("na") + F.col("nb") - F.coalesce(F.col("both"), F.lit(0))
+    )
+    est_j = F.col("n_match").cast("double") / 8
+    return (
+        est.join(inter, ["doc_a", "doc_b"], "left")
+        .join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(est_j, 4).alias("est_jaccard"),
+            F.round(jac, 4).alias("jaccard"),
+            F.round(F.abs(est_j - jac), 4).alias("abs_err"),
+        )
     )
 
 
@@ -2034,24 +2131,10 @@ def _neardup_labels_df(spark, sf_dir):
 
         from ..operators.graph import connected_components
 
-        buckets = _minhash_buckets_df(spark, sf_dir)
-        b = buckets.select(
-            F.col("doc_id").alias("doc_b_id"),
-            F.col("band_no").alias("band_no_b"),
-            F.col("bucket").alias("bucket_b"),
-        )
-        # eager checkpoint: the edge set is the probe side of every
-        # propagation iteration — never re-derive the LSH self-join per hop
-        edges = (
-            buckets.join(
-                b,
-                (F.col("bucket") == F.col("bucket_b"))
-                & (F.col("band_no") == F.col("band_no_b"))
-                & (F.col("doc_id") < F.col("doc_b_id")),
-            )
-            .select(F.col("doc_id").alias("a"), F.col("doc_b_id").alias("b"))
-            .distinct()
-            .localCheckpoint(eager=True)
+        # the memoized candidate frame IS the (checkpointed) edge set —
+        # the probe side of every propagation iteration
+        edges = _minhash_cand_df(spark, sf_dir).select(
+            F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
         )
         nodes = edges.select(F.col("a").alias("doc_id")).union(
             edges.select(F.col("b").alias("doc_id"))
@@ -2353,6 +2436,7 @@ def _ivf_multiprobe_spark(spark, sf_dir):
 _SPARK_OVERRIDES = {
     "dedup_minhash_lsh": _minhash_spark,
     "dedup_ngram_jaccard": _jaccard_spark,
+    "minhash_est_vs_exact": _minhash_est_spark,
     "near_dup_clusters": _neardup_clusters_spark,
     "corpus_curation_pipeline": _corpus_curation_spark,
     "dedup_simhash": _simhash_spark,
