@@ -70,6 +70,10 @@ HEADLINE_QUERIES = [
     "ann_ivf_kmeans",
     "ann_ivf_fitted",
     "ann_recall_at_k",
+    "ann_ivf_multiprobe",
+    "near_dup_clusters",
+    "corpus_curation_pipeline",
+    "minhash_est_vs_exact",
     "embedding_neardup",
     "image_phash_neardup",
     "stratified_sample",
@@ -426,6 +430,46 @@ def _host_probe(seconds: float = 3.0) -> dict:
     }
 
 
+def _kernel_probe(corpus_path: str, n_pages: int = 400) -> dict:
+    """Host-robust kernel microbench: extract_links ms/page and
+    resolve_href µs/item over a deterministic slice of the bench corpus,
+    pure in-process Python (no Spark, no bandwidth-heavy scans — these
+    numbers survive host weather and are the round-over-round signal for
+    the parse/resolve hot path). Best-of-3 passes: one-sided host noise
+    only ever slows a pass."""
+    import pyarrow.parquet as pq
+
+    from wcm_spark.htmlkit import extract_links
+    from wcm_spark.urlkit import resolve_href
+
+    tbl = pq.read_table(corpus_path, columns=["url", "content_type", "body"])
+    rows = sorted(
+        (r for r in tbl.to_pylist() if r["body"]), key=lambda r: r["url"]
+    )[:n_pages]
+    pages = [(r["url"], r["content_type"], r["body"]) for r in rows]
+    # warm + gather resolve inputs
+    resolve_items = []
+    for url, ct, body in pages:
+        for it in extract_links(url, ct, len(body), body):
+            resolve_items.append((url, it.get("literal_uri") or ""))
+    ex_best = rs_best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for url, ct, body in pages:
+            extract_links(url, ct, len(body), body)
+        ex_best = min(ex_best, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        for base, href in resolve_items:
+            resolve_href(base, href)
+        rs_best = min(rs_best, time.perf_counter() - t0)
+    return {
+        "pages": len(pages),
+        "links": len(resolve_items),
+        "extract_ms_per_page": round(ex_best / max(len(pages), 1) * 1e3, 4),
+        "resolve_us_per_item": round(rs_best / max(len(resolve_items), 1) * 1e6, 3),
+    }
+
+
 def _child_main():
     cores = int(os.environ["WCM_BENCH_CORES"])
     corpus_path = os.environ["WCM_BENCH_CORPUS"]
@@ -647,12 +691,15 @@ def main():
         query_secs[name] = round(time.monotonic() - t0, 3)
     qspark.stop()
 
+    kernels = _kernel_probe(corpus_path)
+
     total = round(sum(query_secs.values()) + lo["sec"] + hi["sec"] + peak["sec"], 3)
     full = {
         "metric": "bench_total_sec",
         "value": total,
         "unit": "sec",
         "queries": query_secs,
+        "kernels": kernels,
         "sf": sf_name,
         "throughput": {
             "local2": lo,
@@ -687,6 +734,7 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in query_secs.items()},
+        "kernels": kernels,
         "sf": sf_name,
         "throughput": {
             "urls_per_sec": peak["urls_per_sec"],
