@@ -2039,6 +2039,52 @@ def _jaccard_spark(spark, sf_dir):
     )
 
 
+def _ann_exact_spark(spark, sf_dir):
+    """ann_cosine_topk with per-vector norms computed ONCE (the SQL form
+    re-derives both norms inside every pair expression — O(pairs*dim)
+    extra work). Same doubles, same 4-dp rounding, so parity is exact;
+    the 3-row query side broadcasts and the candidate side streams one
+    dot product per pair — still the disclosed exhaustive baseline, just
+    not gratuitously so."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    norm_expr = (
+        "sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), "
+        "(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.expr(norm_expr).alias("nq"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        F.expr(norm_expr).alias("nc"),
+    )
+    dot = (
+        "aggregate(zip_with(q_emb, c_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    return (
+        F.broadcast(q)
+        .join(c, F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(F.expr(dot) / (F.col("nq") * F.col("nc")), 4).alias("cosine"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter("rk <= 5")
+        .select("query_id", "cand_id", "cosine")
+    )
+
+
 def _minhash_est_spark(spark, sf_dir):
     """minhash_est_vs_exact on the shared frames: candidate pairs +
     signature-agreement columns from the memoized sigs, exact Jaccard
@@ -2437,6 +2483,7 @@ _SPARK_OVERRIDES = {
     "dedup_minhash_lsh": _minhash_spark,
     "dedup_ngram_jaccard": _jaccard_spark,
     "minhash_est_vs_exact": _minhash_est_spark,
+    "ann_cosine_topk": _ann_exact_spark,
     "near_dup_clusters": _neardup_clusters_spark,
     "corpus_curation_pipeline": _corpus_curation_spark,
     "dedup_simhash": _simhash_spark,
