@@ -1001,8 +1001,26 @@ class Crawler:
                 enqueue = enqueue.withColumn(
                     "__rk", F.row_number().over(local_w)
                 ).localCheckpoint(eager=True)
-                m = obs.get
-                counts = {i: m[f"c{i}"] for i in range(n_parts) if m[f"c{i}"]}
+                try:
+                    m = obs.get
+                    counts = {
+                        i: m[f"c{i}"] for i in range(n_parts) if m[f"c{i}"]
+                    }
+                except Exception:
+                    # Under AQE (the stock-session default) the observed-
+                    # metrics row of this checkpointed plan can come back
+                    # malformed (PythonSQLUtils.toPyRow assertion, Spark
+                    # 4.1.2). The rows are already pinned by the eager
+                    # checkpoint, so recount the buckets with one narrow
+                    # job over the cached blocks — identical counts, one
+                    # extra cheap job only on sessions where the free
+                    # Observation ride is unavailable.
+                    counts = {
+                        r["__pid"]: r["n"]
+                        for r in enqueue.groupBy("__pid")
+                        .agg(F.count(F.lit(1)).alias("n"))
+                        .collect()
+                    }
                 offsets, acc = {}, next_seq
                 for pid in sorted(counts):
                     offsets[pid] = acc
