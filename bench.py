@@ -71,6 +71,8 @@ HEADLINE_QUERIES = [
     "ann_ivf_fitted",
     "ann_recall_at_k",
     "ann_ivf_multiprobe",
+    "ann_pq_adc",
+    "embedding_int8_quant",
     "near_dup_clusters",
     "corpus_curation_pipeline",
     "minhash_est_vs_exact",

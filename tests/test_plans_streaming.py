@@ -195,6 +195,10 @@ def test_neardup_and_jaccard_have_no_pair_explosion(spark):
         "dedup_ngram_jaccard",
         "minhash_est_vs_exact",
         "quality_repetition_signals",
+        # PQ/ADC: the query side joins codes on (subspace, code) — raw
+        # vectors must never pair-join
+        "ann_pq_adc",
+        "embedding_int8_quant",
     ):
         plan = formatted_plan(qs[name](spark, SF))
         assert "CartesianProduct" not in plan, name

@@ -994,16 +994,7 @@ def _ivf_kmeans_ctes(d, sf):
     """The shared 2-iteration Lloyd chain: WITH-clause text ending in
     ``final_asg(vec_id, cell)`` — the fitted cell assignment both
     ann_ivf_kmeans (balance profile) and ann_ivf_fitted (probe) consume."""
-    if d == "spark":
-        elems = (
-            "SELECT vec_id, dim, CAST(x AS DOUBLE) AS x FROM "
-            f"{_tbl('embeddings', d, sf)} LATERAL VIEW posexplode(embedding) t AS dim, x"
-        )
-    else:
-        elems = (
-            "SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim, "
-            f"CAST(unnest(embedding) AS DOUBLE) AS x FROM {_tbl('embeddings', d, sf)}"
-        )
+    elems = _elems_sql(d, sf)
     iters = []
     prev_cent = "cent0"
     for i in range(2):
@@ -1326,6 +1317,140 @@ SELECT query_id, cand_id, cosine FROM (
   JOIN assigned ax ON ax.cell = aq.cell AND ax.vec_id != q.vec_id
   JOIN {emb} x ON x.vec_id = ax.vec_id
 ) t WHERE rk <= 3"""
+
+
+def _elems_sql(d, sf):
+    """(vec_id, dim, x) exploded view of the embeddings table — the shared
+    long-form input of the kmeans/PQ fit chains."""
+    if d == "spark":
+        return (
+            "SELECT vec_id, dim, CAST(x AS DOUBLE) AS x FROM "
+            f"{_tbl('embeddings', d, sf)} LATERAL VIEW posexplode(embedding) t AS dim, x"
+        )
+    return (
+        "SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim, "
+        f"CAST(unnest(embedding) AS DOUBLE) AS x FROM {_tbl('embeddings', d, sf)}"
+    )
+
+
+@register("ann_pq_adc")
+def _q_ann_pq_adc(d, sf):
+    """Similarity-search scale path #4: product quantization with
+    asymmetric distance computation (ADC) — the memory-side companion of
+    the IVF probe paths (Jégou et al., "Product Quantization for Nearest
+    Neighbor Search", TPAMI 2011).
+
+    The 64-dim space splits into m=8 subspaces of 8 dims; each subspace
+    gets a k=4 codebook fitted by one deterministic Lloyd step (init =
+    the first 4 vectors' subvectors — same determinism-over-quality
+    trade as ann_ivf's coarse quantizer, so both engines derive
+    identical codebooks). Every vector is ENCODED as 8 small ints; a
+    query computes one 8x4 distance table and scans CODES, never raw
+    vectors.
+
+    100 TB shape: raw embeddings (n x 64 floats) never join anything —
+    the codes table (n x 8 TINYINT-sized ids) is what shuffles, a 32x
+    byte reduction, and the per-query work is a sum of table lookups
+    (hash join on (subspace, code) + one aggregate). The fit chain is
+    hash aggregates over (subspace, code, pos) — centroid side stays
+    broadcast-trivial at any n."""
+    elems = _elems_sql(d, sf)
+    # integer division that agrees across dialects (both '/' promote)
+    return f"""WITH elems AS ({elems}),
+sub AS (
+  SELECT vec_id, CAST((dim - dim % 8) / 8 AS INT) AS s, dim % 8 AS p, x
+  FROM elems
+),
+cb0 AS (
+  SELECT CAST(vec_id AS INT) AS code, s, p, x AS cx FROM sub WHERE vec_id < 4
+),
+d0 AS (
+  SELECT t.vec_id, t.s, c.code,
+         round(sum((t.x - c.cx) * (t.x - c.cx)), 6) AS d2
+  FROM sub t JOIN cb0 c ON c.s = t.s AND c.p = t.p
+  GROUP BY t.vec_id, t.s, c.code
+),
+a0 AS (
+  SELECT vec_id, s, code FROM (
+    SELECT vec_id, s, code,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, code) AS rk
+    FROM d0
+  ) t WHERE rk = 1
+),
+cb1 AS (
+  SELECT a.code, a.s, t.p, round(avg(t.x), 6) AS cx
+  FROM a0 a JOIN sub t ON t.vec_id = a.vec_id AND t.s = a.s
+  GROUP BY a.code, a.s, t.p
+),
+d1 AS (
+  SELECT t.vec_id, t.s, c.code,
+         round(sum((t.x - c.cx) * (t.x - c.cx)), 6) AS d2
+  FROM sub t JOIN cb1 c ON c.s = t.s AND c.p = t.p
+  GROUP BY t.vec_id, t.s, c.code
+),
+codes AS (
+  SELECT vec_id, s, code FROM (
+    SELECT vec_id, s, code,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, code) AS rk
+    FROM d1
+  ) t WHERE rk = 1
+),
+qdt AS (
+  SELECT t.vec_id AS query_id, t.s, c.code,
+         round(sum((t.x - c.cx) * (t.x - c.cx)), 6) AS pd
+  FROM sub t JOIN cb1 c ON c.s = t.s AND c.p = t.p
+  WHERE t.vec_id < 10
+  GROUP BY t.vec_id, t.s, c.code
+),
+adc AS (
+  SELECT dt.query_id, a.vec_id, round(sum(dt.pd), 6) AS adist
+  FROM codes a JOIN qdt dt ON dt.s = a.s AND dt.code = a.code
+  WHERE a.vec_id != dt.query_id
+  GROUP BY dt.query_id, a.vec_id
+)
+SELECT query_id, vec_id AS cand_id, adist AS approx_dist, rk
+FROM (
+  SELECT query_id, vec_id, adist,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY adist ASC, vec_id
+         ) AS rk
+  FROM adc
+) t WHERE rk <= 3
+ORDER BY query_id, rk"""
+
+
+@register("embedding_int8_quant")
+def _q_embedding_int8_quant(d, sf):
+    """Embedding storage quantization: per-dimension symmetric int8 codes
+    (code = round(x / max|x|_dim * 127)) and the reconstruction-fidelity
+    report a pipeline needs before committing the compressed table —
+    per-vector RMS and max absolute reconstruction error, plus how many
+    dims saturate.
+
+    Rounding is floor(v + 0.5) — bit-identical half-up in both engines
+    (each dialect's round() disagrees on ties). 100 TB shape: the scale
+    vector is one 64-row aggregate (broadcast), encode/decode are
+    projections, and the error report is one hash aggregate per vector —
+    no joins wider than the broadcast scale."""
+    elems = _elems_sql(d, sf)
+    return f"""WITH elems AS ({elems}),
+scale AS (
+  SELECT dim, greatest(max(abs(x)), 1e-12) AS mx FROM elems GROUP BY dim
+),
+coded AS (
+  SELECT e.vec_id, e.dim,
+         CAST(floor(e.x / s.mx * 127 + 0.5) AS INT) AS code,
+         e.x, s.mx
+  FROM elems e JOIN scale s ON s.dim = e.dim
+)
+SELECT vec_id,
+       round(sqrt(avg((x - code * mx / 127) * (x - code * mx / 127))), 6)
+         AS rms_err,
+       round(max(abs(x - code * mx / 127)), 6) AS max_abs_err,
+       sum(CASE WHEN abs(code) >= 127 THEN 1 ELSE 0 END) AS saturated_dims
+FROM coded
+GROUP BY vec_id
+ORDER BY vec_id"""
 
 
 _STOPWORD_RAW = r"\b(the|a|an|and|or|of|to|in|is|it)\b"
