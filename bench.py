@@ -72,6 +72,7 @@ HEADLINE_QUERIES = [
     "ann_recall_at_k",
     "ann_ivf_multiprobe",
     "ann_pq_adc",
+    "ann_pq_recall_at_k",
     "embedding_int8_quant",
     "near_dup_clusters",
     "corpus_curation_pipeline",

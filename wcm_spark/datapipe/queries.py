@@ -153,6 +153,8 @@ SYNTHETIC_GATES: dict[str, dict] = {
     "embedding_neardup": {"min_cosine": 0.35},
     "ann_lsh_bucketed": {"min_cosine": 0.25},
     "passage_dedup_rate": {"chunk": 3},
+    "ann_pq_adc": {"m": 32, "k": 64},
+    "ann_pq_recall_at_k": {"m": 32, "k": 64},
 }
 
 
@@ -1334,19 +1336,24 @@ def _elems_sql(d, sf):
 
 
 @register("ann_pq_adc")
-def _q_ann_pq_adc(d, sf):
+def _q_ann_pq_adc(d, sf, m: int = 8, k: int = 16):
     """Similarity-search scale path #4: product quantization with
     asymmetric distance computation (ADC) — the memory-side companion of
     the IVF probe paths (Jégou et al., "Product Quantization for Nearest
     Neighbor Search", TPAMI 2011).
 
-    The 64-dim space splits into m=8 subspaces of 8 dims; each subspace
-    gets a k=4 codebook fitted by one deterministic Lloyd step (init =
-    the first 4 vectors' subvectors — same determinism-over-quality
-    trade as ann_ivf's coarse quantizer, so both engines derive
-    identical codebooks). Every vector is ENCODED as 8 small ints; a
-    query computes one 8x4 distance table and scans CODES, never raw
-    vectors.
+    The 64-dim space splits into m subspaces of 64/m dims; each
+    subspace gets a k-code codebook fitted by one deterministic Lloyd
+    step (init = the first k vectors' subvectors — same determinism-
+    over-quality trade as ann_ivf's coarse quantizer, so both engines
+    derive identical codebooks; production would run k=256 to
+    convergence). Every vector is ENCODED as m small ints; a query
+    computes one m-by-k distance table and scans CODES, never raw
+    vectors. Fixture override m=32/k=64 via SYNTHETIC_GATES: the
+    synthetic embeddings are near-orthogonal noise, where the default
+    geometry quantizes to near-random rankings (measured recall@3
+    0.27 default vs 0.73 override) — real-data callers tune with
+    ann_pq_recall_at_k.
 
     100 TB shape: raw embeddings (n x 64 floats) never join anything —
     the codes table (n x 8 TINYINT-sized ids) is what shuffles, a 32x
@@ -1354,15 +1361,41 @@ def _q_ann_pq_adc(d, sf):
     (hash join on (subspace, code) + one aggregate). The fit chain is
     hash aggregates over (subspace, code, pos) — centroid side stays
     broadcast-trivial at any n."""
+    return f"""WITH {_pq_ctes(d, sf, m, k)},
+adc AS (
+  SELECT dt.query_id, a.vec_id, round(sum(dt.pd), 6) AS adist
+  FROM codes a JOIN qdt dt ON dt.s = a.s AND dt.code = a.code
+  WHERE a.vec_id != dt.query_id
+  GROUP BY dt.query_id, a.vec_id
+)
+SELECT query_id, vec_id AS cand_id, adist AS approx_dist, rk
+FROM (
+  SELECT query_id, vec_id, adist,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY adist ASC, vec_id
+         ) AS rk
+  FROM adc
+) t WHERE rk <= 3
+ORDER BY query_id, rk"""
+
+
+def _pq_ctes(d, sf, m: int = 8, k: int = 16):
+    """Shared PQ fit+encode chain: WITH-body text ending in
+    ``codes(vec_id, s, code)`` (the encoded table) and
+    ``qdt(query_id, s, code, pd)`` (per-query ADC distance tables for
+    queries vec_id < 10). m subspaces (must divide the 64 dims), k
+    codes per subspace."""
+    assert 64 % m == 0, "m must divide the embedding dimensionality"
+    w = 64 // m
     elems = _elems_sql(d, sf)
     # integer division that agrees across dialects (both '/' promote)
-    return f"""WITH elems AS ({elems}),
+    return f"""elems AS ({elems}),
 sub AS (
-  SELECT vec_id, CAST((dim - dim % 8) / 8 AS INT) AS s, dim % 8 AS p, x
+  SELECT vec_id, CAST((dim - dim % {w}) / {w} AS INT) AS s, dim % {w} AS p, x
   FROM elems
 ),
 cb0 AS (
-  SELECT CAST(vec_id AS INT) AS code, s, p, x AS cx FROM sub WHERE vec_id < 4
+  SELECT CAST(vec_id AS INT) AS code, s, p, x AS cx FROM sub WHERE vec_id < {k}
 ),
 d0 AS (
   SELECT t.vec_id, t.s, c.code,
@@ -1401,22 +1434,53 @@ qdt AS (
   FROM sub t JOIN cb1 c ON c.s = t.s AND c.p = t.p
   WHERE t.vec_id < 10
   GROUP BY t.vec_id, t.s, c.code
+)"""
+
+
+@register("ann_pq_recall_at_k")
+def _q_ann_pq_recall(d, sf, m: int = 8, k: int = 16):
+    """Estimator-quality query for the PQ path (the role ann_recall_at_k
+    plays for IVF/LSH): per-query recall@3 of the ADC top-3 against the
+    brute-force EXACT squared-L2 top-3 — PQ approximates L2, so its
+    ground truth is the L2 ranking, not the cosine one the other recall
+    query uses. At 100 TB this is the query that tunes m (subspaces) and
+    k (codes) over a sampled query set."""
+    elems = _elems_sql(d, sf)
+    return f"""WITH {_pq_ctes(d, sf, m, k)},
+adc3 AS (
+  SELECT query_id, vec_id AS cand_id FROM (
+    SELECT dt.query_id, a.vec_id,
+           row_number() OVER (
+             PARTITION BY dt.query_id
+             ORDER BY round(sum(dt.pd), 6) ASC, a.vec_id
+           ) AS rk
+    FROM codes a JOIN qdt dt ON dt.s = a.s AND dt.code = a.code
+    WHERE a.vec_id != dt.query_id
+    GROUP BY dt.query_id, a.vec_id
+  ) t WHERE rk <= 3
 ),
-adc AS (
-  SELECT dt.query_id, a.vec_id, round(sum(dt.pd), 6) AS adist
-  FROM codes a JOIN qdt dt ON dt.s = a.s AND dt.code = a.code
-  WHERE a.vec_id != dt.query_id
-  GROUP BY dt.query_id, a.vec_id
+l2 AS (
+  SELECT q.vec_id AS query_id, x.vec_id AS cand_id,
+         round(sum((q.x - x.x) * (q.x - x.x)), 6) AS d2
+  FROM ({elems}) q JOIN elems x
+    ON x.dim = q.dim AND q.vec_id < 10 AND x.vec_id != q.vec_id
+  GROUP BY q.vec_id, x.vec_id
+),
+exact3 AS (
+  SELECT query_id, cand_id FROM (
+    SELECT query_id, cand_id,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY d2 ASC, cand_id
+           ) AS rk
+    FROM l2
+  ) t WHERE rk <= 3
 )
-SELECT query_id, vec_id AS cand_id, adist AS approx_dist, rk
-FROM (
-  SELECT query_id, vec_id, adist,
-         row_number() OVER (
-           PARTITION BY query_id ORDER BY adist ASC, vec_id
-         ) AS rk
-  FROM adc
-) t WHERE rk <= 3
-ORDER BY query_id, rk"""
+SELECT e.query_id,
+       round(CAST(count(a.cand_id) AS DOUBLE) / 3.0, 4) AS recall_at_3
+FROM exact3 e
+LEFT JOIN adc3 a ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+GROUP BY e.query_id
+ORDER BY e.query_id"""
 
 
 @register("embedding_int8_quant")
