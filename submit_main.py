@@ -45,17 +45,13 @@ def main() -> None:
     from wcm_spark.scheduler import CrawlConfig, Crawler
 
     spark = SparkSession.builder.appName("wcm-spark-crawl").getOrCreate()
-    # Engine-recommended runtime SQL confs, applied only where the user
-    # did not pass their own --conf: AQE's shuffle coalescing collapses
-    # the crawl's Python-UDF stages onto 1-2 cores (measured 4x
-    # wall-clock regressions — see wcm_spark.session), and Arrow is what
-    # makes every pandas UDF in the engine batch-transfer.
+    # Engine-recommended runtime SQL confs (single definition in
+    # wcm_spark.session — AQE off for the UDF stages, Arrow on), applied
+    # only where the user did not pass their own --conf.
+    from wcm_spark.session import recommended_sql_confs
+
     submitted = spark.sparkContext.getConf()
-    for key, val in (
-        ("spark.sql.adaptive.enabled", "false"),
-        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
-        ("spark.sql.execution.arrow.maxRecordsPerBatch", "10000"),
-    ):
+    for key, val in recommended_sql_confs().items():
         if not submitted.contains(key):
             spark.conf.set(key, val)
 

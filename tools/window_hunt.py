@@ -12,13 +12,14 @@ This tool polls the same Spark-free probes bench.py uses; when the
 8-process copy bandwidth clears the floor it fires the requested
 measurements (crawl reps at local[CPUS], one 8->32 pair round) through
 bench.py's own child protocol, and appends every attempt — probes,
-runs, window verdicts — to BENCH/hunt_r4.jsonl. It exits when the
-success criteria are met (crawl median >= --crawl-target across the
-best window's reps AND pair efficiency >= --eff-target) or the
-deadline expires.
+runs, window verdicts — to BENCH/hunt_r4.jsonl. Healthy windows
+ALTERNATE between the two open bars (a host that can never deliver one
+target must still measure the other). It exits when both criteria are
+met (crawl median >= --crawl-target in one window AND pair efficiency
+>= --eff-target) or the deadline expires.
 
 Usage:  python tools/window_hunt.py --hours 2 [--floor 8] \
-            [--crawl-target 10000] [--eff-target 0.8]
+            [--crawl-target 10000] [--eff-target 0.8] [--corpus DIR]
 """
 
 from __future__ import annotations
@@ -26,6 +27,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import statistics
 import sys
 import time
@@ -36,13 +38,26 @@ import bench  # noqa: E402
 
 LOG = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "BENCH", "hunt_r4.jsonl")
+RUN_ID = f"hunt-{os.getpid()}-{int(time.time())}"
 
 
 def _log(rec: dict) -> None:
-    rec["t"] = round(time.monotonic(), 1)
+    rec["run"] = RUN_ID
+    rec["t"] = round(time.time(), 1)  # epoch: comparable across runs
     with open(LOG, "a") as f:
         f.write(json.dumps(rec) + "\n")
     print(json.dumps(rec), flush=True)
+
+
+def _try_spawn(cores: int, corpus_path: str, mode: str = "pipeline"):
+    """One bench child; a transient child failure must not abort a
+    multi-hour hunt — log it and let the caller skip the window."""
+    try:
+        return bench._spawn(cores, corpus_path, repeats=1, mode=mode)
+    except Exception as ex:  # noqa: BLE001 — deliberate: keep hunting
+        _log({"ev": "child_failed", "cores": cores, "mode": mode,
+              "err": str(ex)[-500:]})
+        return None
 
 
 def main() -> int:
@@ -56,77 +71,97 @@ def main() -> int:
     ap.add_argument("--eff-target", type=float, default=0.8)
     ap.add_argument("--poll-sec", type=float, default=45.0)
     ap.add_argument("--crawl-reps", type=int, default=3)
+    ap.add_argument("--corpus", default=None,
+                    help="reuse an existing bench corpus parquet dir")
     args = ap.parse_args()
 
     deadline = time.monotonic() + args.hours * 3600
-    corpus_tmp = None
 
-    # corpus build is itself bandwidth-hungry — do it once up front
-    from wcm_spark.corpus import corpus_df
-    from wcm_spark.session import get_spark
-    import tempfile
+    if args.corpus:
+        corpus_path, corpus_tmp = args.corpus, None
+    else:
+        # corpus build is itself bandwidth-hungry — do it once up front
+        import tempfile
 
-    sites, pages_per_site = bench._corpus_size()
-    spark = get_spark("wcm-hunt-corpus", cpus=8, shuffle_partitions=8)
-    corpus_tmp = tempfile.mkdtemp(prefix="wcm-hunt-corpus-")
-    corpus_path = os.path.join(corpus_tmp, "corpus.parquet")
-    corpus_df(spark, sites, pages_per_site).write.mode("overwrite").parquet(corpus_path)
-    spark.stop()
-    _log({"ev": "corpus_ready", "path": corpus_path,
-          "sites": sites, "pages_per_site": pages_per_site})
+        from wcm_spark.corpus import corpus_df
+        from wcm_spark.session import get_spark
+
+        sites, pages_per_site = bench._corpus_size()
+        spark = get_spark("wcm-hunt-corpus", cpus=8, shuffle_partitions=8)
+        corpus_tmp = tempfile.mkdtemp(prefix="wcm-hunt-corpus-")
+        corpus_path = os.path.join(corpus_tmp, "corpus.parquet")
+        corpus_df(spark, sites, pages_per_site).write.mode(
+            "overwrite"
+        ).parquet(corpus_path)
+        spark.stop()
+    _log({"ev": "corpus_ready", "path": corpus_path})
 
     crawl_done = False
     pair_done = False
     best_crawl_median = 0.0
     best_eff = 0.0
+    # alternate healthy windows between the two bars; the flag flips on
+    # every healthy window so neither target can starve the other
+    next_is_crawl = True
 
-    while time.monotonic() < deadline and not (crawl_done and pair_done):
-        q = bench._quick_bw()
-        if q < args.quick_floor:
-            _log({"ev": "poll", "bw1_gb_s": q, "verdict": "cold"})
-            time.sleep(args.poll_sec)
-            continue
-        p = bench._host_probe(2.0)
-        _log({"ev": "probe", "bw1_gb_s": q, **p})
-        if p["copy_bw_8proc_gb_s"] < args.floor:
-            time.sleep(args.poll_sec)
-            continue
-        # HEALTHY WINDOW — spend it on whichever bar is still open,
-        # crawl first (shorter; the window may not outlive a full pair)
-        if not crawl_done:
-            reps = []
-            for _ in range(args.crawl_reps):
+    try:
+        while time.monotonic() < deadline and not (crawl_done and pair_done):
+            q = bench._quick_bw()
+            if q < args.quick_floor:
+                _log({"ev": "poll", "bw1_gb_s": q, "verdict": "cold"})
+                time.sleep(args.poll_sec)
+                continue
+            p = bench._host_probe(2.0)
+            _log({"ev": "probe", "bw1_gb_s": q, **p})
+            if p["copy_bw_8proc_gb_s"] < args.floor:
+                time.sleep(args.poll_sec)
+                continue
+            # HEALTHY WINDOW — spend it on one bar, flip for the next
+            do_crawl = (next_is_crawl and not crawl_done) or pair_done
+            next_is_crawl = not next_is_crawl
+            if do_crawl and not crawl_done:
+                reps = []
+                for _ in range(args.crawl_reps):
+                    pre = bench._quick_bw()
+                    r = _try_spawn(bench.CPUS, corpus_path, mode="crawl")
+                    if r is None:
+                        break
+                    r["bw_pre_gb_s"] = pre
+                    r["bw_post_gb_s"] = bench._post_bw(args.quick_floor)
+                    reps.append(r)
+                    _log({"ev": "crawl_rep", **r})
+                if not reps:
+                    continue
+                med = statistics.median(r["urls_per_sec"] for r in reps)
+                best_crawl_median = max(best_crawl_median, med)
+                crawl_done = med >= args.crawl_target
+                _log({"ev": "crawl_window", "median": med,
+                      "all": [r["urls_per_sec"] for r in reps],
+                      "met": crawl_done})
+            elif not pair_done:
                 pre = bench._quick_bw()
-                r = bench._spawn(bench.CPUS, corpus_path, repeats=1, mode="crawl")
-                r["bw_pre_gb_s"] = pre
-                r["bw_post_gb_s"] = bench._post_bw(args.quick_floor)
-                reps.append(r)
-                _log({"ev": "crawl_rep", **r})
-            med = statistics.median(r["urls_per_sec"] for r in reps)
-            best_crawl_median = max(best_crawl_median, med)
-            crawl_done = med >= args.crawl_target
-            _log({"ev": "crawl_window", "median": med,
-                  "all": [r["urls_per_sec"] for r in reps],
-                  "met": crawl_done})
-            continue  # re-probe before committing the window to a pair
-        if not pair_done:
-            pre = bench._quick_bw()
-            lo = bench._spawn(max(2, bench.CPUS // 4), corpus_path, repeats=1)
-            hi = bench._spawn(bench.CPUS, corpus_path, repeats=1)
-            post = bench._post_bw(args.quick_floor)
-            factor = bench.CPUS / max(2, bench.CPUS // 4)
-            eff = (hi["urls_per_sec"] / max(lo["urls_per_sec"], 1e-9)) / factor
-            best_eff = max(best_eff, eff)
-            pair_done = eff >= args.eff_target
-            _log({"ev": "pair_round", "lo": lo, "hi": hi,
-                  "efficiency": round(eff, 3),
-                  "bw_pre_gb_s": pre, "bw_post_gb_s": post,
-                  "met": pair_done})
-
-    _log({"ev": "done", "crawl_done": crawl_done, "pair_done": pair_done,
-          "best_crawl_median": best_crawl_median,
-          "best_eff": round(best_eff, 3),
-          "deadline_hit": time.monotonic() >= deadline})
+                lo = _try_spawn(max(2, bench.CPUS // 4), corpus_path)
+                hi = _try_spawn(bench.CPUS, corpus_path) if lo else None
+                if not (lo and hi):
+                    continue
+                post = bench._post_bw(args.quick_floor)
+                factor = bench.CPUS / max(2, bench.CPUS // 4)
+                eff = (
+                    hi["urls_per_sec"] / max(lo["urls_per_sec"], 1e-9)
+                ) / factor
+                best_eff = max(best_eff, eff)
+                pair_done = eff >= args.eff_target
+                _log({"ev": "pair_round", "lo": lo, "hi": hi,
+                      "efficiency": round(eff, 3),
+                      "bw_pre_gb_s": pre, "bw_post_gb_s": post,
+                      "met": pair_done})
+    finally:
+        _log({"ev": "done", "crawl_done": crawl_done, "pair_done": pair_done,
+              "best_crawl_median": best_crawl_median,
+              "best_eff": round(best_eff, 3),
+              "deadline_hit": time.monotonic() >= deadline})
+        if corpus_tmp:
+            shutil.rmtree(corpus_tmp, ignore_errors=True)
     return 0 if (crawl_done and pair_done) else 1
 
 

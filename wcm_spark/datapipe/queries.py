@@ -1445,7 +1445,6 @@ def _q_ann_pq_recall(d, sf, m: int = 8, k: int = 16):
     ground truth is the L2 ranking, not the cosine one the other recall
     query uses. At 100 TB this is the query that tunes m (subspaces) and
     k (codes) over a sampled query set."""
-    elems = _elems_sql(d, sf)
     return f"""WITH {_pq_ctes(d, sf, m, k)},
 adc3 AS (
   SELECT query_id, vec_id AS cand_id FROM (
@@ -1462,7 +1461,7 @@ adc3 AS (
 l2 AS (
   SELECT q.vec_id AS query_id, x.vec_id AS cand_id,
          round(sum((q.x - x.x) * (q.x - x.x)), 6) AS d2
-  FROM ({elems}) q JOIN elems x
+  FROM elems q JOIN elems x
     ON x.dim = q.dim AND q.vec_id < 10 AND x.vec_id != q.vec_id
   GROUP BY q.vec_id, x.vec_id
 ),

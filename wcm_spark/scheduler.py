@@ -1001,12 +1001,14 @@ class Crawler:
                 enqueue = enqueue.withColumn(
                     "__rk", F.row_number().over(local_w)
                 ).localCheckpoint(eager=True)
+                from py4j.protocol import Py4JJavaError
+
                 try:
                     m = obs.get
                     counts = {
                         i: m[f"c{i}"] for i in range(n_parts) if m[f"c{i}"]
                     }
-                except Exception:
+                except Py4JJavaError:
                     # Under AQE (the stock-session default) the observed-
                     # metrics row of this checkpointed plan can come back
                     # malformed (PythonSQLUtils.toPyRow assertion, Spark

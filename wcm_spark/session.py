@@ -6,7 +6,25 @@ import os
 
 from pyspark.sql import SparkSession
 
-__all__ = ["get_spark"]
+__all__ = ["get_spark", "recommended_sql_confs"]
+
+
+def recommended_sql_confs() -> dict[str, str]:
+    """The engine's runtime SQL confs, shared by get_spark and the
+    spark-submit entry point (submit_main.py) so the two launch shapes
+    cannot drift. Values honor the same env overrides in both."""
+    return {
+        # AQE off by default: its shuffle-coalescing repeatedly collapsed
+        # the Python-UDF stages of this workload onto 1-2 cores (measured
+        # 4x wall-clock regressions at local[32]); skew is handled
+        # explicitly via host_salt partitioning and shingle-based
+        # candidate generation. Re-enable per-job for large
+        # shuffle-join-heavy plans. (The engine still FUNCTIONS with AQE
+        # on — pinned by tests/test_submit.py.)
+        "spark.sql.adaptive.enabled": os.environ.get("WCM_AQE", "false"),
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    }
 
 
 def get_spark(
@@ -28,18 +46,11 @@ def get_spark(
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cpus))
-        # AQE off by default: its shuffle-coalescing repeatedly collapsed
-        # the Python-UDF stages of this workload onto 1-2 cores (measured
-        # 4x wall-clock regressions at local[32]); skew is handled
-        # explicitly via host_salt partitioning and shingle-based candidate
-        # generation. Re-enable per-job for large shuffle-join-heavy plans.
-        .config("spark.sql.adaptive.enabled", os.environ.get("WCM_AQE", "false"))
+        .config(map=recommended_sql_confs())
         # (A/B: uncompressed columnar cache is NOT faster here — the 8g
         # heap prefers compact cached bodies; keep Spark's default true)
         .config("spark.sql.inMemoryColumnarStorage.compressed",
                 os.environ.get("WCM_CACHE_COMPRESS", "true"))
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # local mode: the "driver" JVM hosts every executor thread and the
         # block manager. Counter-intuitively, a LARGER heap is ~2x slower
         # on this workload (A/B measured 41-57s @8g vs 75-78s @48g for the
