@@ -91,6 +91,9 @@ HEADLINE_QUERIES = [
     "status_histogram",
     "trade_graph_pagerank",
     "passage_dedup_rate",
+    "doc_decontamination",
+    "sequence_packing",
+    "train_val_split",
 ]
 
 

@@ -155,6 +155,8 @@ SYNTHETIC_GATES: dict[str, dict] = {
     "passage_dedup_rate": {"chunk": 3},
     "ann_pq_adc": {"m": 32, "k": 64},
     "ann_pq_recall_at_k": {"m": 32, "k": 64},
+    "doc_decontamination": {"n": 3},
+    "sequence_packing": {"seq_len": 256},
 }
 
 
@@ -1767,6 +1769,118 @@ SELECT p.doc_id,
         / count(*), 4) AS dup_frac
 FROM packed p JOIN firsts f ON f.h = p.h
 GROUP BY p.doc_id"""
+
+
+def _ngram_cte(d: str, sf, n: int) -> str:
+    """``toks`` + ``grams(doc_id, shingles)`` for arbitrary n — the
+    variable-width sibling of _shingles_cte (which pins n=3 for the LSH
+    family's shared frames)."""
+    if d == "spark":
+        gram = (
+            f"transform(sequence(1, greatest(size(tokens) - {n - 1}, 0)), "
+            f"i -> concat_ws(' ', slice(tokens, i, {n})))"
+        )
+    else:
+        gram = (
+            f"[array_to_string(list_slice(tokens, i, i + {n - 1}), ' ') "
+            f"for i in generate_series(1, greatest(len(tokens) - {n - 1}, 0))]"
+        )
+    return f"""{_tokens_cte(d, sf)},
+grams AS (
+  SELECT doc_id, {gram} AS shingles FROM toks
+)"""
+
+
+@register("doc_decontamination")
+def _q_decontamination(d, sf, n: int = 13):
+    """Benchmark decontamination: flag every training document sharing
+    any n-gram with the held-out evaluation set (docs with
+    doc_id % 97 = 0 stand in for the benchmark suite) — the standard
+    n=13 overlap rule (GPT-3 appendix C / Gopher sec. A.3 lineage).
+
+    100 TB shape: eval n-grams are a DISTINCT aggregate of the (small)
+    benchmark set — broadcast-joined against the exploded train grams,
+    which shuffle only for their own per-doc regroup; no train-train
+    pairing anywhere. Fixture override n=3 via SYNTHETIC_GATES (the
+    word-soup docs are ~50 tokens; 13-gram overlap is vacuously zero
+    there, while 3-gram contamination hits ~35% of docs)."""
+    if d == "spark":
+        gram_rows = "SELECT doc_id, g FROM grams LATERAL VIEW explode(shingles) x AS g"
+    else:
+        gram_rows = "SELECT doc_id, unnest(shingles) AS g FROM grams"
+    return f"""WITH {_ngram_cte(d, sf, n)},
+gram_rows AS (SELECT DISTINCT doc_id, g FROM ({gram_rows}) t),
+eval_grams AS (
+  SELECT DISTINCT g FROM gram_rows WHERE doc_id % 97 = 0
+),
+train AS (SELECT doc_id, g FROM gram_rows WHERE doc_id % 97 != 0)
+SELECT t.doc_id,
+  CAST(count(*) AS BIGINT) AS n_grams,
+  CAST(count(e.g) AS BIGINT) AS hit_grams,
+  CASE WHEN count(e.g) > 0 THEN 1 ELSE 0 END AS contaminated
+FROM train t LEFT JOIN eval_grams e ON e.g = t.g
+GROUP BY t.doc_id"""
+
+
+@register("sequence_packing")
+def _q_sequence_packing(d, sf, seq_len: int = 4096, shards: int = 8):
+    """Training-sequence packing: documents concatenate FIFO into
+    fixed-length token streams and each doc reports which sequence its
+    first token lands in — the deterministic greedy packing an LLM data
+    loader materializes before tokenizer sharding.
+
+    100 TB shape: a single global concatenation order would serialize
+    the world, so packing is PER SHARD (doc_id % shards — in production
+    the shard is the data-parallel rank), giving one windowed cumsum per
+    shard partition: embarrassingly parallel across shards, one shuffle
+    on shard id. Fixture override seq_len=256 (SYNTHETIC_GATES): at the
+    production 4096 the ~25k-token fixture packs into a single sequence
+    per shard — vacuous."""
+    f = _fn(d)
+    return f"""WITH {_tokens_cte(d, sf)},
+cnt AS (
+  SELECT doc_id, CAST(doc_id % {shards} AS INT) AS shard,
+         CAST({f['LEN']}(tokens) AS BIGINT) AS n_tok
+  FROM toks
+),
+packed AS (
+  SELECT doc_id, shard, n_tok,
+         sum(n_tok) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - n_tok AS start_off
+  FROM cnt
+)
+SELECT doc_id, shard, n_tok, start_off,
+       CAST(floor(start_off / {seq_len}.0) AS BIGINT) AS seq_id
+FROM packed"""
+
+
+@register("train_val_split")
+def _q_train_val_split(d, sf):
+    """Deterministic hash split (98/1/1): the md5-keyed assignment that
+    keeps a document's split stable across reruns and table versions —
+    never random(), which re-deals every run. Output is the per-split
+    audit (docs, tokens, share) a pipeline checks before training.
+
+    100 TB shape: one projection + one 3-group hash aggregate; the
+    split column itself is what production writes into the table."""
+    f = _fn(d)
+    bucket = _hex2int(f"substr(md5(CAST(doc_id AS {f['STR']})), 1, 15)", d)
+    return f"""WITH {_tokens_cte(d, sf)},
+assigned AS (
+  SELECT doc_id, CAST({f['LEN']}(tokens) AS BIGINT) AS n_tok,
+         CASE WHEN {bucket} % 100 < 98 THEN 'train'
+              WHEN {bucket} % 100 = 98 THEN 'val'
+              ELSE 'test' END AS split
+  FROM toks
+)
+SELECT split,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+  round(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (), 4) AS doc_share
+FROM assigned
+GROUP BY split"""
 
 
 @register("quality_repetition_signals")
