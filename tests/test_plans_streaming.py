@@ -199,6 +199,11 @@ def test_neardup_and_jaccard_have_no_pair_explosion(spark):
         # vectors must never pair-join
         "ann_pq_adc",
         "embedding_int8_quant",
+        # decontamination: eval grams broadcast against train grams —
+        # never a train-train pairing
+        "doc_decontamination",
+        "sequence_packing",
+        "train_val_split",
     ):
         plan = formatted_plan(qs[name](spark, SF))
         assert "CartesianProduct" not in plan, name
