@@ -307,15 +307,14 @@ def _fast_parse(text: str, xml: bool) -> Node:
         attr_map: dict = {}
         self_closing = False
         m = _FAST_TAG_RE.match(text, lt)
-        if (
-            m is not None
-            and m.group("attrs")
-            and not _CANON_ATTRS_RE.fullmatch(m.group("attrs"))
-        ):
-            m = None  # non-canonical attr region: exact fallback path
+        if m is not None:
+            close, ctag, tag_name, raw_attrs = m.group(
+                "close", "ctag", "tag", "attrs"
+            )
+            if raw_attrs and not _CANON_ATTRS_RE.fullmatch(raw_attrs):
+                m = None  # non-canonical attr region: exact fallback path
         if m:
             pos = m.end()
-            close, ctag, tag_name, raw_attrs = m.group("close", "ctag", "tag", "attrs")
             if close:
                 ctag = ctag.lower()
                 for i in range(len(stack) - 1, 0, -1):
