@@ -73,6 +73,8 @@ def main() -> int:
     ap.add_argument("--crawl-reps", type=int, default=3)
     ap.add_argument("--corpus", default=None,
                     help="reuse an existing bench corpus parquet dir")
+    ap.add_argument("--skip-crawl", action="store_true",
+                    help="crawl bar already recorded: spend every window on pairs")
     args = ap.parse_args()
 
     deadline = time.monotonic() + args.hours * 3600
@@ -96,7 +98,7 @@ def main() -> int:
         spark.stop()
     _log({"ev": "corpus_ready", "path": corpus_path})
 
-    crawl_done = False
+    crawl_done = args.skip_crawl
     pair_done = False
     best_crawl_median = 0.0
     best_eff = 0.0
@@ -155,6 +157,24 @@ def main() -> int:
                       "efficiency": round(eff, 3),
                       "bw_pre_gb_s": pre, "bw_post_gb_s": post,
                       "met": pair_done})
+                # SAME-WINDOW null control: the attribution the healthy
+                # pairs need. r3's null samples all ran starved; pairing
+                # engine and null rounds back-to-back in one healthy
+                # window shows whether the 8->32 gap is the host's
+                # bandwidth ceiling (null caps too) or the engine's own
+                # (null scales, engine doesn't).
+                nlo = _try_spawn(max(2, bench.CPUS // 4), corpus_path,
+                                 mode="null")
+                nhi = _try_spawn(bench.CPUS, corpus_path,
+                                 mode="null") if nlo else None
+                if nlo and nhi:
+                    neff = (
+                        nhi["urls_per_sec"] / max(nlo["urls_per_sec"], 1e-9)
+                    ) / factor
+                    _log({"ev": "null_round", "lo": nlo, "hi": nhi,
+                          "efficiency": round(neff, 3),
+                          "engine_vs_null": round(eff / max(neff, 1e-9), 3),
+                          "bw_post_gb_s": bench._post_bw(args.quick_floor)})
     finally:
         _log({"ev": "done", "crawl_done": crawl_done, "pair_done": pair_done,
               "best_crawl_median": best_crawl_median,
