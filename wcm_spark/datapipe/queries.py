@@ -2781,6 +2781,160 @@ def _ivf_multiprobe_spark(spark, sf_dir):
     )
 
 
+def _pq_state(spark, sf_dir):
+    """Per-application memoized PQ fit+encode state: (sub, codes, d1).
+
+    Catalyst inlines CTEs, so the SQL form of _pq_ctes re-explodes the
+    embeddings and re-runs the final distance aggregate once per
+    downstream reference (``codes`` AND ``qdt``; the recall query adds
+    two more). Here the exploded subvector frame checkpoints once, the
+    codebooks (k*64 rows) BROADCAST into the distance joins, and the
+    final distance frame ``d1`` materializes once — ``qdt`` is exactly
+    ``d1`` restricted to the query set, so every consumer reads the same
+    pinned rows. All rounding happens at the same 6-decimal points as
+    the SQL dialects, so codes and distance tables are identical.
+
+    100 TB shape: this is the plan a production PQ fit runs — the
+    iterative state (codebooks) is tiny and broadcast, the per-vector
+    work is hash aggregates shuffled on (vec_id, s), and nothing wider
+    than n*m*k distance rows ever materializes."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    gates = SYNTHETIC_GATES["ann_pq_adc"]
+    m, k = gates["m"], gates["k"]
+    w = 64 // m
+
+    def dist(sub, cb):
+        """round-6 squared-L2 distance table of every (vec_id, s) against
+        codebook ``cb`` — the d0/d1 shape of _pq_ctes."""
+        return (
+            sub.join(F.broadcast(cb), ["s", "p"])
+            .groupBy("vec_id", "s", "code")
+            .agg(
+                F.round(
+                    F.sum((F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))), 6
+                ).alias("d2")
+            )
+        )
+
+    def argmin(d):
+        wnd = Window.partitionBy("vec_id", "s").orderBy(
+            F.col("d2").asc(), F.col("code")
+        )
+        return (
+            d.withColumn("rk", F.row_number().over(wnd))
+            .filter("rk = 1")
+            .select("vec_id", "s", "code")
+        )
+
+    def build():
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        sub = (
+            emb.select("vec_id", F.posexplode("embedding").alias("dim", "x0"))
+            .select(
+                "vec_id",
+                ((F.col("dim") - F.col("dim") % w) / w).cast("int").alias("s"),
+                (F.col("dim") % w).alias("p"),
+                F.col("x0").cast("double").alias("x"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cb0 = sub.filter(F.col("vec_id") < k).select(
+            F.col("vec_id").cast("int").alias("code"),
+            "s", "p", F.col("x").alias("cx"),
+        )
+        a0 = argmin(dist(sub, cb0)).localCheckpoint(eager=True)
+        cb1 = (
+            a0.join(sub, ["vec_id", "s"])
+            .groupBy("code", "s", "p")
+            .agg(F.round(F.avg("x"), 6).alias("cx"))
+            .localCheckpoint(eager=True)
+        )
+        d1 = dist(sub, cb1).localCheckpoint(eager=True)
+        codes = argmin(d1).localCheckpoint(eager=True)
+        return sub, codes, d1
+
+    return _app_cached(spark, f"pq_state:{sf_dir}", build)
+
+
+def _pq_adc_top3(spark, sf_dir):
+    """ADC top-3 per query over the memoized PQ state — shared candidate
+    frame of ann_pq_adc and ann_pq_recall_at_k."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    _, codes, d1 = _pq_state(spark, sf_dir)
+    qdt = d1.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "s", "code", F.col("d2").alias("pd")
+    )
+    adc = (
+        codes.join(F.broadcast(qdt), ["s", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("pd"), 6).alias("adist"))
+    )
+    wnd = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("vec_id")
+    )
+    return (
+        adc.withColumn("rk", F.row_number().over(wnd)).filter("rk <= 3")
+    )
+
+
+def _pq_adc_spark(spark, sf_dir):
+    """ann_pq_adc in DataFrame form over the materialized fit: the raw
+    embeddings never join anything post-fit — the codes table joins the
+    broadcast per-query distance tables, one hash aggregate ranks."""
+    from pyspark.sql import functions as F
+
+    return _pq_adc_top3(spark, sf_dir).select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        F.col("adist").alias("approx_dist"),
+        "rk",
+    )
+
+
+def _pq_recall_spark(spark, sf_dir):
+    """ann_pq_recall_at_k in DataFrame form: ADC top-3 from the shared
+    candidate frame; exact squared-L2 ground truth from the memoized
+    subvector frame (query side broadcast — 10*64 rows against n*64)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    sub, _, _ = _pq_state(spark, sf_dir)
+    adc3 = _pq_adc_top3(spark, sf_dir).select(
+        "query_id", F.col("vec_id").alias("cand_id"), F.lit(1).alias("hit")
+    )
+    qsub = sub.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "s", "p", F.col("x").alias("qx")
+    )
+    l2 = (
+        sub.join(F.broadcast(qsub), ["s", "p"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.round(
+                F.sum((F.col("qx") - F.col("x")) * (F.col("qx") - F.col("x"))), 6
+            ).alias("d2")
+        )
+    )
+    wnd = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("vec_id"))
+    exact3 = (
+        l2.withColumn("rk", F.row_number().over(wnd))
+        .filter("rk <= 3")
+        .select("query_id", F.col("vec_id").alias("cand_id"))
+    )
+    return (
+        exact3.join(adc3, ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.round(F.count("hit").cast("double") / 3.0, 4).alias("recall_at_3")
+        )
+    )
+
+
 _SPARK_OVERRIDES = {
     "dedup_minhash_lsh": _minhash_spark,
     "dedup_ngram_jaccard": _jaccard_spark,
@@ -2793,6 +2947,8 @@ _SPARK_OVERRIDES = {
     "ann_ivf_kmeans": _ivf_kmeans_spark,
     "ann_ivf_fitted": _ivf_fitted_spark,
     "ann_ivf_multiprobe": _ivf_multiprobe_spark,
+    "ann_pq_adc": _pq_adc_spark,
+    "ann_pq_recall_at_k": _pq_recall_spark,
     # engine-path overrides: the SQL builder is the oracle, the Spark
     # side runs the engine's own operator (robots broadcast gate, F8
     # credential dimension join)
