@@ -2481,14 +2481,21 @@ def _neardup_labels_df(spark, sf_dir):
 
         # the memoized candidate frame IS the (checkpointed) edge set —
         # the probe side of every propagation iteration
-        edges = _minhash_cand_df(spark, sf_dir).select(
-            F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
-        )
+        cand = _minhash_cand_df(spark, sf_dir)
+        edges = cand.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         nodes = edges.select(F.col("a").alias("doc_id")).union(
             edges.select(F.col("b").alias("doc_id"))
         ).distinct()
+        # the candidate edge set is checkpointed (count is a pinned-rows
+        # job) and LSH-bounded — size the propagation's shuffle width to
+        # it instead of paying the session's full width per tiny hop
+        n_edges = cand.count()
+        width = max(2, min(
+            spark.sparkContext.defaultParallelism, n_edges // 20_000 + 1
+        ))
         lbl = connected_components(
-            nodes, edges, iters=NEARDUP_CC_ITERS, node_col="doc_id", src="a", dst="b"
+            nodes, edges, iters=NEARDUP_CC_ITERS, node_col="doc_id",
+            src="a", dst="b", shuffle_width=width,
         )
         return lbl.select(
             F.col("url").alias("doc_id"), F.col("component").alias("cluster_id")
@@ -2594,64 +2601,110 @@ def _ivf_final_cent_df(spark, sf_dir):
 
 def _ivf_fit_df(spark, sf_dir):
     """The fitted IVF state — (assignment (vec_id, cell), final
-    centroids (cell, dim, cx)) DataFrames — via the same
-    2-iteration Lloyd chain as _ivf_kmeans_ctes, but with the iterative
-    state MATERIALIZED between steps: Catalyst inlines CTEs, so the SQL
-    form re-explodes the embeddings and re-runs every earlier iteration
-    once per downstream reference. Here `elems` checkpoints once,
-    centroids (k*dim <= 512 rows) checkpoint per iteration and BROADCAST
-    into the dot-product join — the plan a production iterative fit
-    runs. Ranking and centroid updates round to 6 decimals exactly like
-    the SQL dialects, so the fitted cells are identical."""
-    from pyspark.sql import Window
+    centroids (cell, dim, cx)) DataFrames — the same 2-iteration Lloyd
+    chain as _ivf_kmeans_ctes, with the centroids held as DRIVER-SIDE
+    LITERALS: they are model state, k*64 doubles at any corpus size, so
+    each collect is O(k*dim), never O(n). Per iteration the assignment
+    is then a pure projection over the pinned embedding rows (unrolled
+    dot product against the literal, array_max + array_position for the
+    argmax cell — first maximum = lowest cell, the SQL tie rule) and the
+    centroid update is ONE hash aggregate over the assigned elements.
+    No join, no window, no O(n*k) intermediate anywhere. Ranking and
+    centroid updates round to 6 decimals exactly like the SQL dialects,
+    so the fitted cells are identical (oracle parity enforced)."""
     from pyspark.sql import functions as F
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    elems = (
-        emb.select("vec_id", F.posexplode("embedding").alias("dim", "x0"))
-        .select("vec_id", "dim", F.col("x0").cast("double").alias("x"))
+    n_cells, dims = 8, 64
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(
+            "vec_id",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+        )
+        # one small parquet split otherwise — the fit's per-row work is
+        # CPU-bound, spread it before pinning
+        .repartition(spark.sparkContext.defaultParallelism)
         .localCheckpoint(eager=True)
     )
-    vnorm = (
-        elems.groupBy("vec_id")
-        .agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nv"))
-        .localCheckpoint(eager=True)
+
+    def dps_col(cents):
+        """round-6 cosines of v against the literal centroid list (cell
+        order = list order). A nested-array literal + transform lambda
+        keeps the expression tree small — an unrolled per-term sum is
+        ~1000 nodes and costs seconds of analysis/codegen PER JOB."""
+        import math
+
+        cent_lit = "array(" + ", ".join(
+            "array(" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in cx) + ")"
+            for cx in cents
+        ) + ")"
+        ncs_lit = "array(" + ", ".join(
+            f"CAST({math.sqrt(sum(c * c for c in cx))!r} AS DOUBLE)"
+            for cx in cents
+        ) + ")"
+        return F.expr(
+            f"transform(sequence(1, {len(cents)}), i -> "
+            f"round(aggregate(zip_with(v, element_at({cent_lit}, i), "
+            "(x, cx) -> x * cx), CAST(0.0 AS DOUBLE), (acc, t) -> acc + t) "
+            f"/ (__nv * element_at({ncs_lit}, i)), 6))"
+        )
+
+    nv_expr = F.expr(
+        "sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, t) -> acc + t))"
     )
-    cent = elems.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cell"), "dim", F.col("x").alias("cx")
-    )
+
+    # init centroids = the first n_cells vectors (cell = vec_id)
+    cents = [
+        [float(x) for x in r["v"]]
+        for r in emb.filter(F.col("vec_id") < n_cells).orderBy("vec_id").collect()
+    ]
     asg = None
     for it in range(3):  # asg under cent0, cent1, cent2 (2 recomputes)
-        cent = cent.localCheckpoint(eager=True)
-        dot = (
-            elems.join(F.broadcast(cent), "dim")
-            .groupBy("vec_id", "cell")
-            .agg(F.sum(F.col("x") * F.col("cx")).alias("dp"))
-        )
-        cnorm = cent.groupBy("cell").agg(
-            F.sqrt(F.sum(F.col("cx") * F.col("cx"))).alias("nc")
-        )
-        w = Window.partitionBy("vec_id").orderBy(
-            F.round(F.col("dp") / (F.col("nv") * F.col("nc")), 6).desc(),
-            F.col("cell"),
-        )
         asg = (
-            dot.join(vnorm, "vec_id")
-            .join(F.broadcast(cnorm), "cell")
-            .withColumn("rk", F.row_number().over(w))
-            .filter("rk = 1")
-            .select("vec_id", "cell")
+            emb.withColumn("__nv", nv_expr)
+            .withColumn("__dps", dps_col(cents))
+            .select(
+                "vec_id",
+                F.expr("array_position(__dps, array_max(__dps)) - 1").alias(
+                    "cell"
+                ),
+                "v",
+            )
         )
         if it < 2:
-            asg = asg.localCheckpoint(eager=True)
-            cent = (
-                asg.join(elems, "vec_id")
+            rows = (
+                asg.select("cell", F.posexplode("v").alias("dim", "x"))
                 .groupBy("cell", "dim")
                 .agg(F.round(F.avg("x"), 6).alias("cx"))
+                .collect()
             )
-    # cent is the final (cent2) frame the last assignment ranked under —
-    # already checkpointed at the top of the it=2 pass
-    return asg.localCheckpoint(eager=True), cent
+            upd = {}
+            for r in rows:
+                upd.setdefault(int(r["cell"]), {})[int(r["dim"])] = float(r["cx"])
+            # a cell can lose every member to a tie — keep its previous
+            # centroid only if it had one update rowset; SQL's avg join
+            # simply drops empty cells from cent, so mirror that by
+            # ranking only over cells present (empty cells never win
+            # anyway since they keep no rows — build the list in cell
+            # order from the cells that DO have updates)
+            cents = [
+                [upd[c][d] for d in range(dims)] for c in sorted(upd)
+            ]
+            if sorted(upd) != list(range(len(upd))):
+                # non-dense cell ids would desync list order from cell id
+                # — fall back to explicit id mapping
+                raise AssertionError(
+                    f"non-dense IVF cells after update: {sorted(upd)}"
+                )
+    asg = asg.select("vec_id", "cell").localCheckpoint(eager=True)
+    cent_rows = [
+        (cell, dim, cents[cell][dim])
+        for cell in range(len(cents))
+        for dim in range(dims)
+    ]
+    cent = spark.createDataFrame(cent_rows, "cell BIGINT, dim INT, cx DOUBLE")
+    return asg, cent
 
 
 def _ivf_kmeans_spark(spark, sf_dir):
@@ -2782,78 +2835,137 @@ def _ivf_multiprobe_spark(spark, sf_dir):
 
 
 def _pq_state(spark, sf_dir):
-    """Per-application memoized PQ fit+encode state: (sub, codes, d1).
+    """Per-application memoized PQ fit+encode state: (sub, codes, qd).
 
-    Catalyst inlines CTEs, so the SQL form of _pq_ctes re-explodes the
-    embeddings and re-runs the final distance aggregate once per
-    downstream reference (``codes`` AND ``qdt``; the recall query adds
-    two more). Here the exploded subvector frame checkpoints once, the
-    codebooks (k*64 rows) BROADCAST into the distance joins, and the
-    final distance frame ``d1`` materializes once — ``qdt`` is exactly
-    ``d1`` restricted to the query set, so every consumer reads the same
-    pinned rows. All rounding happens at the same 6-decimal points as
-    the SQL dialects, so codes and distance tables are identical.
+    The SQL form of _pq_ctes is long-form relational algebra — every
+    distance pass is an n*64-row join exploding to n*64*k rows, a hash
+    aggregate with n*m*k groups, and an argmin window over n*m*k rows,
+    and Catalyst re-runs it once per CTE reference. But the codebook is
+    MODEL state, not data: k*m*w = a few thousand doubles at any corpus
+    size. So the Spark side fits the same two-step Lloyd chain with the
+    codebook as a driver-side literal (the collect is O(k*m*w),
+    independent of n — the same bounded state a production PQ fit
+    broadcasts) and distance + argmin become pure array projections over
+    the n*m subvector rows: zip_with squared-L2 against the literal,
+    array_min + array_position for the code (first minimum = lowest
+    code, the SQL tie rule). No join, no aggregate, no window anywhere
+    in the encode path. All rounding happens at the same 6-decimal
+    points as the SQL dialects, so codes and distance tables are
+    identical (oracle parity enforced).
 
-    100 TB shape: this is the plan a production PQ fit runs — the
-    iterative state (codebooks) is tiny and broadcast, the per-vector
-    work is hash aggregates shuffled on (vec_id, s), and nothing wider
-    than n*m*k distance rows ever materializes."""
-    from pyspark.sql import Window
+    Returns: sub (vec_id, s, xs w-dim subvector), codes (vec_id, s,
+    code), qd (query_id, s, code, pd) — the per-query ADC distance
+    tables for vec_id < 10, one row per code (unassigned codes carry
+    +Inf and can never join the encode table)."""
     from pyspark.sql import functions as F
 
     gates = SYNTHETIC_GATES["ann_pq_adc"]
     m, k = gates["m"], gates["k"]
     w = 64 // m
 
-    def dist(sub, cb):
-        """round-6 squared-L2 distance table of every (vec_id, s) against
-        codebook ``cb`` — the d0/d1 shape of _pq_ctes."""
-        return (
-            sub.join(F.broadcast(cb), ["s", "p"])
-            .groupBy("vec_id", "s", "code")
-            .agg(
-                F.round(
-                    F.sum((F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))), 6
-                ).alias("d2")
-            )
+    def cb_literal(rows):
+        """array<array<array<double>>> SQL literal: CB[s+1][code+1] = the
+        w-dim centroid, NULL where the code is unassigned (a duplicate
+        init subvector can tie its own code away — SQL's cb1 simply
+        lacks such rows; NULL keeps index alignment)."""
+        by_s = {}
+        for s, code, xs in rows:
+            by_s.setdefault(s, {})[code] = xs
+        parts = []
+        for s in range(m):
+            cells = []
+            for c in range(k):
+                xs = by_s.get(s, {}).get(c)
+                if xs is None:
+                    cells.append("CAST(NULL AS ARRAY<DOUBLE>)")
+                else:
+                    vals = ", ".join(f"CAST({x!r} AS DOUBLE)" for x in xs)
+                    cells.append(f"array({vals})")
+            parts.append("array(" + ", ".join(cells) + ")")
+        return "array(" + ", ".join(parts) + ")"
+
+    def dist_col(cb_expr):
+        """k rounded squared-L2 distances of xs against codebook row s —
+        unassigned codes rank as +Inf (never the minimum). w is known at
+        build time, so the per-dimension sum unrolls to plain arithmetic
+        (left-assoc, p ascending — the same fold order as the SQL
+        aggregate) instead of an array-allocating zip_with per code."""
+        sq = " + ".join(
+            f"(element_at(xs, {p}) - element_at(c, {p})) "
+            f"* (element_at(xs, {p}) - element_at(c, {p}))"
+            for p in range(1, w + 1)
+        )
+        return F.expr(
+            f"transform(element_at({cb_expr}, s + 1), c -> "
+            "CASE WHEN c IS NULL THEN CAST('Infinity' AS DOUBLE) ELSE "
+            f"round({sq}, 6) END)"
         )
 
-    def argmin(d):
-        wnd = Window.partitionBy("vec_id", "s").orderBy(
-            F.col("d2").asc(), F.col("code")
-        )
+    def code_of(d2s):
         return (
-            d.withColumn("rk", F.row_number().over(wnd))
-            .filter("rk = 1")
-            .select("vec_id", "s", "code")
-        )
+            F.array_position(F.col(d2s), F.array_min(F.col(d2s))) - 1
+        ).cast("int")
 
     def build():
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         sub = (
-            emb.select("vec_id", F.posexplode("embedding").alias("dim", "x0"))
-            .select(
+            emb.select(
                 "vec_id",
-                ((F.col("dim") - F.col("dim") % w) / w).cast("int").alias("s"),
-                (F.col("dim") % w).alias("p"),
-                F.col("x0").cast("double").alias("x"),
+                F.posexplode(
+                    F.expr(
+                        f"transform(sequence(0, {m - 1}), s -> "
+                        f"transform(slice(embedding, s * {w} + 1, {w}), "
+                        "x -> CAST(x AS DOUBLE)))"
+                    )
+                ).alias("s", "xs"),
             )
+            .select("vec_id", F.col("s").cast("int").alias("s"), "xs")
+            # the embeddings table is one small parquet split; the fit's
+            # per-row work (k higher-order-function distance lambdas) is
+            # CPU-bound, so spread the n*m rows over the cluster before
+            # pinning them
+            .repartition(spark.sparkContext.defaultParallelism)
             .localCheckpoint(eager=True)
         )
-        cb0 = sub.filter(F.col("vec_id") < k).select(
-            F.col("vec_id").cast("int").alias("code"),
-            "s", "p", F.col("x").alias("cx"),
+        # init codebook = the first k vectors' subvectors (code = vec_id)
+        cb0 = cb_literal(
+            [
+                (int(r["s"]), int(r["vec_id"]), [float(x) for x in r["xs"]])
+                for r in sub.filter(F.col("vec_id") < k).collect()
+            ]
         )
-        a0 = argmin(dist(sub, cb0)).localCheckpoint(eager=True)
-        cb1 = (
-            a0.join(sub, ["vec_id", "s"])
+        a0 = sub.withColumn("d2s", dist_col(cb0)).select(
+            "vec_id", "s", "xs", code_of("d2s").alias("code")
+        )
+        # one Lloyd update: per-(code, s, p) mean of the assigned
+        # subvectors — one small hash aggregate, collected as model state
+        cells = {}
+        for r in (
+            a0.select("code", "s", F.posexplode("xs").alias("p", "x"))
             .groupBy("code", "s", "p")
             .agg(F.round(F.avg("x"), 6).alias("cx"))
-            .localCheckpoint(eager=True)
+            .collect()
+        ):
+            cells.setdefault((int(r["s"]), int(r["code"])), {})[int(r["p"])] = float(
+                r["cx"]
+            )
+        cb1 = cb_literal(
+            [(s, c, [d[p] for p in sorted(d)]) for (s, c), d in cells.items()]
         )
-        d1 = dist(sub, cb1).localCheckpoint(eager=True)
-        codes = argmin(d1).localCheckpoint(eager=True)
-        return sub, codes, d1
+        scored = sub.withColumn("d2s", dist_col(cb1)).localCheckpoint(eager=True)
+        codes = scored.select("vec_id", "s", code_of("d2s").alias("code"))
+        qd = (
+            scored.filter(F.col("vec_id") < 10)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                "s",
+                F.posexplode("d2s").alias("code0", "pd"),
+            )
+            .select(
+                "query_id", "s", F.col("code0").cast("int").alias("code"), "pd"
+            )
+        )
+        return sub, codes, qd
 
     return _app_cached(spark, f"pq_state:{sf_dir}", build)
 
@@ -2864,10 +2976,7 @@ def _pq_adc_top3(spark, sf_dir):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    _, codes, d1 = _pq_state(spark, sf_dir)
-    qdt = d1.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), "s", "code", F.col("d2").alias("pd")
-    )
+    _, codes, qdt = _pq_state(spark, sf_dir)
     adc = (
         codes.join(F.broadcast(qdt), ["s", "code"])
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -2899,7 +3008,9 @@ def _pq_adc_spark(spark, sf_dir):
 def _pq_recall_spark(spark, sf_dir):
     """ann_pq_recall_at_k in DataFrame form: ADC top-3 from the shared
     candidate frame; exact squared-L2 ground truth from the memoized
-    subvector frame (query side broadcast — 10*64 rows against n*64)."""
+    subvector frame (query side broadcast — 10*m rows against n*m;
+    per-subspace partials sum JVM-side via zip_with, one round at the
+    end like the SQL dialects)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -2908,17 +3019,18 @@ def _pq_recall_spark(spark, sf_dir):
         "query_id", F.col("vec_id").alias("cand_id"), F.lit(1).alias("hit")
     )
     qsub = sub.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), "s", "p", F.col("x").alias("qx")
+        F.col("vec_id").alias("query_id"), "s", F.col("xs").alias("qxs")
+    )
+    pd = F.expr(
+        "aggregate(zip_with(qxs, xs, (a, b) -> (a - b) * (a - b)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
     l2 = (
-        sub.join(F.broadcast(qsub), ["s", "p"])
+        sub.join(F.broadcast(qsub), "s")
         .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", pd.alias("pd"))
         .groupBy("query_id", "vec_id")
-        .agg(
-            F.round(
-                F.sum((F.col("qx") - F.col("x")) * (F.col("qx") - F.col("x"))), 6
-            ).alias("d2")
-        )
+        .agg(F.round(F.sum("pd"), 6).alias("d2"))
     )
     wnd = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("vec_id"))
     exact3 = (

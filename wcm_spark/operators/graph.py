@@ -92,6 +92,7 @@ def connected_components(
     node_col: str = "url",
     src: str = "src",
     dst: str = "dst",
+    shuffle_width: int | None = None,
 ) -> DataFrame:
     """Fixed-iteration min-label propagation → (url, component).
 
@@ -101,7 +102,22 @@ def connected_components(
     largest component's diameter for true components (the fixture tests
     assert convergence by comparing against iters+2). String min is
     order-independent, so the result is partition-deterministic.
+
+    Each hop is TWO shuffles (the neighbor join, then one min-aggregate
+    over neighbor messages unioned with the node's own label) — the
+    earlier own-side left join is folded into the aggregate, which
+    computes the identical per-hop minimum.
+
+    ``shuffle_width``: when the caller KNOWS the node/edge frames are
+    small (a checkpointed candidate set, not a 100 TB graph), a narrow
+    width avoids paying 32 scheduler tasks per tiny shuffle, six hops
+    deep. Because ``spark.sql.shuffle.partitions`` binds at each
+    action's planning, the narrow width uses EAGER per-hop checkpoints
+    executed under the temporary conf (restored after); the default
+    (None) keeps the session width and lazy one-action evaluation —
+    the right shape at real graph scale.
     """
+    spark = nodes.sparkSession
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -110,22 +126,32 @@ def connected_components(
     lbl = nodes.select(
         F.col(node_col).alias("url"), F.col(node_col).alias("component")
     )
-    for _ in range(iters):
-        nb = und.join(lbl, und["b"] == lbl["url"]).groupBy("a").agg(
-            F.min("component").alias("__m")
-        )
-        lbl = lbl.join(nb, lbl["url"] == nb["a"], "left").select(
-            lbl["url"],
-            F.least(
-                F.col("component"), F.coalesce(F.col("__m"), F.col("component"))
-            ).alias("component"),
-        )
-        # lbl feeds the NEXT iteration twice (neighbor side + own side):
-        # without truncation the plan doubles per hop — 2^iters
-        # re-evaluations of the base scan (measured 58s -> 4s at 1.5k
-        # nodes / 8 hops). Lazy checkpoint: computed once inside the
-        # final action, no extra driver jobs.
-        lbl = lbl.localCheckpoint(eager=False)
+    prev_width = None
+    if shuffle_width is not None:
+        prev_width = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_width))
+        und = und.localCheckpoint(eager=True)
+    try:
+        for _ in range(iters):
+            msgs = und.join(lbl, und["b"] == lbl["url"]).select(
+                F.col("a").alias("url"), "component"
+            )
+            lbl = (
+                lbl.union(msgs)
+                .groupBy("url")
+                .agg(F.min("component").alias("component"))
+            )
+            # lbl feeds the NEXT iteration twice (neighbor side + own
+            # side): without truncation the plan doubles per hop —
+            # 2^iters re-evaluations of the base scan (measured 58s ->
+            # 4s at 1.5k nodes / 8 hops). Lazy checkpoint: computed once
+            # inside the final action, no extra driver jobs. Narrow-width
+            # mode checkpoints eagerly so every hop executes while the
+            # temporary width is bound.
+            lbl = lbl.localCheckpoint(eager=shuffle_width is not None)
+    finally:
+        if prev_width is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_width)
     return lbl
 
 
