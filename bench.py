@@ -691,6 +691,16 @@ def main():
     # throttles this box); the query sweep is a per-operator diagnostic
     # where relative ordering matters more than absolute numbers
     qspark = get_spark("wcm-bench-queries", cpus=CPUS, shuffle_partitions=CPUS)
+    # untimed session warm-up (codegen JIT + scan/shuffle paths): without
+    # it the FIRST sweep entry absorbs 5-6s of session cold-start no
+    # matter which query runs first, corrupting its round-over-round
+    # signal (wave_cut_politeness read 6.6s cold vs ~1s warm)
+    (
+        qspark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .groupBy("lang")
+        .count()
+        .count()
+    )
     for name in HEADLINE_QUERIES:
         t0 = time.monotonic()
         qs[name](qspark, SF_DIR).count()

@@ -2599,6 +2599,207 @@ def _ivf_final_cent_df(spark, sf_dir):
     )[1]
 
 
+def _ivf_emb_df(spark, sf_dir):
+    """Per-application memoized double-cast embedding frame (vec_id, v),
+    repartitioned before pinning — the table is one small parquet split
+    and the IVF/PQ per-row work is CPU-bound."""
+    from pyspark.sql import functions as F
+
+    return _app_cached(
+        spark,
+        f"ivf_emb:{sf_dir}",
+        lambda: (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .select(
+                "vec_id",
+                "label",
+                F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+            )
+            .repartition(spark.sparkContext.defaultParallelism)
+            .localCheckpoint(eager=True)
+        ),
+    )
+
+
+def _ivf_assign(emb, cents):
+    """(vec_id, cell, v) argmax-cosine assignment of every vector against
+    the DRIVER-SIDE literal centroid list (cell id = list order): round-6
+    cosine, ties to the lowest cell (array_position finds the FIRST
+    maximum). A nested-array literal + transform lambda keeps the
+    expression tree small — an unrolled per-term sum is ~1000 nodes and
+    costs seconds of analysis/codegen PER JOB."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    cent_lit = "array(" + ", ".join(
+        "array(" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in cx) + ")"
+        for cx in cents
+    ) + ")"
+    ncs_lit = "array(" + ", ".join(
+        f"CAST({math.sqrt(sum(c * c for c in cx))!r} AS DOUBLE)" for cx in cents
+    ) + ")"
+    dps = F.expr(
+        f"transform(sequence(1, {len(cents)}), i -> "
+        f"round(aggregate(zip_with(v, element_at({cent_lit}, i), "
+        "(x, cx) -> x * cx), CAST(0.0 AS DOUBLE), (acc, t) -> acc + t) "
+        f"/ (__nv * element_at({ncs_lit}, i)), 6))"
+    )
+    nv = F.expr(
+        "sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, t) -> acc + t))"
+    )
+    return (
+        emb.withColumn("__nv", nv)
+        .withColumn("__dps", dps)
+        .select(
+            "vec_id",
+            F.expr("array_position(__dps, array_max(__dps)) - 1").alias("cell"),
+            "v",
+        )
+    )
+
+
+def _hyperplane_prs_col(seed: str, n_planes: int):
+    """round-6 hyperplane projections (array, plane order) of the
+    double-cast vector column ``v`` against ``n_planes`` deterministic
+    md5-parity ±1 planes — the same construction as the SQL dialects'
+    planes CTE (sign = parity of the first 4 hex chars of
+    md5('<seed>' || p || '_' || dim)), evaluated as a pure projection
+    against a literal instead of a planes-join + n*64-row aggregate.
+    The planes are model state: n_planes*64 signs at any corpus size."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    lit = "array(" + ", ".join(
+        "array(" + ", ".join(
+            "1.0D"
+            if int(
+                hashlib.md5(f"{seed}{p}_{dim}".encode()).hexdigest()[:4], 16
+            ) % 2 == 0
+            else "-1.0D"
+            for dim in range(64)
+        ) + ")"
+        for p in range(n_planes)
+    ) + ")"
+    return F.expr(
+        f"transform(sequence(1, {n_planes}), i -> "
+        f"round(aggregate(zip_with(v, element_at({lit}, i), (x, s) -> x * s), "
+        "CAST(0.0 AS DOUBLE), (acc, t) -> acc + t), 6))"
+    )
+
+
+def _ann_lsh_spark(spark, sf_dir):
+    """ann_lsh_bucketed in DataFrame form: per-row literal-plane
+    projections -> 8-bit bucket id, then the bucket self-join with exact
+    cosine verification — identical restriction to the SQL dialects
+    (candidates shuffle by bucket id only; the planes literal replaces
+    the planes-join + per-(vec, plane) aggregate)."""
+    from pyspark.sql import functions as F
+
+    gate = SYNTHETIC_GATES["ann_lsh_bucketed"]["min_cosine"]
+
+    def build():
+        emb = _ivf_emb_df(spark, sf_dir)
+        bucket = F.expr(
+            "CAST(aggregate(sequence(0, 7), CAST(0.0 AS DOUBLE), (acc, p) -> "
+            "acc + CASE WHEN element_at(__prs, p + 1) > 0 THEN power(2, p) "
+            "ELSE 0.0D END) AS BIGINT)"
+        )
+        return (
+            emb.withColumn("__prs", _hyperplane_prs_col("pl", 8))
+            .select("vec_id", bucket.alias("bucket"), "v")
+            .localCheckpoint(eager=True)
+        )
+
+    b = _app_cached(spark, f"lsh_bucket8:{sf_dir}", build)
+    a = b.select(F.col("vec_id").alias("vec_a"), "bucket", F.col("v").alias("va"))
+    c = b.select(F.col("vec_id").alias("vec_b"), "bucket", F.col("v").alias("vb"))
+    dot = (
+        "aggregate(zip_with(va, vb, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
+    )
+
+    def norm(col):
+        return (
+            f"sqrt(aggregate({col}, CAST(0.0 AS DOUBLE), "
+            "(acc, t) -> acc + t * t))"
+        )
+
+    return (
+        a.join(c, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cosine", F.expr(f"round({dot} / ({norm('va')} * {norm('vb')}), 4)")
+        )
+        .filter(F.col("cosine") >= gate)
+        .select("vec_a", "vec_b", "bucket", "cosine")
+    )
+
+
+def _embedding_neardup_spark(spark, sf_dir):
+    """embedding_neardup in DataFrame form: per-row literal-plane
+    projections -> 4 banded 4-bit signatures (posexploded), candidates
+    from the (label, band, sig) self-join, exact cosine verification
+    in-bucket — the identical OR-amplified restriction as the SQL
+    dialects, with the planes-join + per-(vec, plane) aggregate replaced
+    by a projection against the 16x64 literal."""
+    from pyspark.sql import functions as F
+
+    gate = SYNTHETIC_GATES["embedding_neardup"]["min_cosine"]
+    emb = _ivf_emb_df(spark, sf_dir)
+    sigs = F.expr(
+        "transform(sequence(0, 3), b -> CAST(aggregate(sequence(0, 3), "
+        "CAST(0.0 AS DOUBLE), (acc, j) -> acc + CASE WHEN "
+        "element_at(__prs, b * 4 + j + 1) > 0 THEN power(2, j) ELSE 0.0D END) "
+        "AS BIGINT))"
+    )
+    bandsig = (
+        emb.withColumn("__prs", _hyperplane_prs_col("nd", 16))
+        .select(
+            "vec_id", "label", F.posexplode(sigs).alias("band_no0", "sig")
+        )
+        .select(
+            "vec_id", "label", F.col("band_no0").cast("int").alias("band_no"),
+            "sig",
+        )
+    )
+    cand = (
+        bandsig.alias("a")
+        .join(bandsig.alias("b"), ["label", "band_no", "sig"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            "label",
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    va = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    vb = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    dot = (
+        "aggregate(zip_with(va, vb, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
+    )
+
+    def norm(col):
+        return (
+            f"sqrt(aggregate({col}, CAST(0.0 AS DOUBLE), "
+            "(acc, t) -> acc + t * t))"
+        )
+
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn(
+            "cosine", F.expr(f"round({dot} / ({norm('va')} * {norm('vb')}), 4)")
+        )
+        .filter(F.col("cosine") >= gate)
+        .select("vec_a", "vec_b", "label", "cosine")
+    )
+
+
 def _ivf_fit_df(spark, sf_dir):
     """The fitted IVF state — (assignment (vec_id, cell), final
     centroids (cell, dim, cx)) DataFrames — the same 2-iteration Lloyd
@@ -2615,44 +2816,7 @@ def _ivf_fit_df(spark, sf_dir):
     from pyspark.sql import functions as F
 
     n_cells, dims = 8, 64
-    emb = (
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        .select(
-            "vec_id",
-            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
-        )
-        # one small parquet split otherwise — the fit's per-row work is
-        # CPU-bound, spread it before pinning
-        .repartition(spark.sparkContext.defaultParallelism)
-        .localCheckpoint(eager=True)
-    )
-
-    def dps_col(cents):
-        """round-6 cosines of v against the literal centroid list (cell
-        order = list order). A nested-array literal + transform lambda
-        keeps the expression tree small — an unrolled per-term sum is
-        ~1000 nodes and costs seconds of analysis/codegen PER JOB."""
-        import math
-
-        cent_lit = "array(" + ", ".join(
-            "array(" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in cx) + ")"
-            for cx in cents
-        ) + ")"
-        ncs_lit = "array(" + ", ".join(
-            f"CAST({math.sqrt(sum(c * c for c in cx))!r} AS DOUBLE)"
-            for cx in cents
-        ) + ")"
-        return F.expr(
-            f"transform(sequence(1, {len(cents)}), i -> "
-            f"round(aggregate(zip_with(v, element_at({cent_lit}, i), "
-            "(x, cx) -> x * cx), CAST(0.0 AS DOUBLE), (acc, t) -> acc + t) "
-            f"/ (__nv * element_at({ncs_lit}, i)), 6))"
-        )
-
-    nv_expr = F.expr(
-        "sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), "
-        "CAST(0.0 AS DOUBLE), (acc, t) -> acc + t))"
-    )
+    emb = _ivf_emb_df(spark, sf_dir)
 
     # init centroids = the first n_cells vectors (cell = vec_id)
     cents = [
@@ -2661,17 +2825,7 @@ def _ivf_fit_df(spark, sf_dir):
     ]
     asg = None
     for it in range(3):  # asg under cent0, cent1, cent2 (2 recomputes)
-        asg = (
-            emb.withColumn("__nv", nv_expr)
-            .withColumn("__dps", dps_col(cents))
-            .select(
-                "vec_id",
-                F.expr("array_position(__dps, array_max(__dps)) - 1").alias(
-                    "cell"
-                ),
-                "v",
-            )
-        )
+        asg = _ivf_assign(emb, cents)
         if it < 2:
             rows = (
                 asg.select("cell", F.posexplode("v").alias("dim", "x"))
@@ -2719,13 +2873,39 @@ def _ivf_kmeans_spark(spark, sf_dir):
 
 def _ivf_fitted_spark(spark, sf_dir):
     """Fitted-cell probe in DataFrame form over the materialized
-    assignment: queries join ONLY their own cell's inverted list; cosine
-    on the array column JVM-side (aggregate/zip_with), ranked on the
-    6-decimal rounding like the SQL dialects."""
+    Lloyd assignment — see _ivf_probe_top3."""
+    return _ivf_probe_top3(spark, sf_dir, _ivf_final_asg_df(spark, sf_dir))
+
+
+def _ivf_spark(spark, sf_dir):
+    """ann_ivf (one-step coarse quantizer: the first 8 vectors ARE the
+    centroids) in DataFrame form — literal-centroid assignment like the
+    fitted path, then the same own-cell probe."""
+    from pyspark.sql import functions as F
+
+    def build():
+        emb = _ivf_emb_df(spark, sf_dir)
+        cents = [
+            [float(x) for x in r["v"]]
+            for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+        ]
+        return _ivf_assign(emb, cents).select("vec_id", "cell").localCheckpoint(
+            eager=True
+        )
+
+    return _ivf_probe_top3(
+        spark, sf_dir, _app_cached(spark, f"ivf_onestep:{sf_dir}", build)
+    )
+
+
+def _ivf_probe_top3(spark, sf_dir, asg):
+    """Own-cell probe: queries (vec_id < 3) join ONLY their cell's
+    inverted list; cosine on the array column JVM-side
+    (aggregate/zip_with), ranked on the 6-decimal rounding like the SQL
+    dialects."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    asg = _ivf_final_asg_df(spark, sf_dir)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = (
         asg.filter(F.col("vec_id") < 3)
@@ -3056,6 +3236,9 @@ _SPARK_OVERRIDES = {
     "corpus_curation_pipeline": _corpus_curation_spark,
     "dedup_simhash": _simhash_spark,
     "doc_lang_pivot": _lang_pivot_spark,
+    "ann_lsh_bucketed": _ann_lsh_spark,
+    "embedding_neardup": _embedding_neardup_spark,
+    "ann_ivf": _ivf_spark,
     "ann_ivf_kmeans": _ivf_kmeans_spark,
     "ann_ivf_fitted": _ivf_fitted_spark,
     "ann_ivf_multiprobe": _ivf_multiprobe_spark,
