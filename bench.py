@@ -94,6 +94,8 @@ HEADLINE_QUERIES = [
     "doc_decontamination",
     "sequence_packing",
     "train_val_split",
+    "bm25_topk",
+    "domain_mix_rebalance",
 ]
 
 

@@ -213,6 +213,13 @@ def test_neardup_and_jaccard_have_no_pair_explosion(spark):
     # is the right plan; assert only that no unbounded cartesian exists
     plan = formatted_plan(qs["unigram_logprob_score"](spark, SF))
     assert "CartesianProduct" not in plan, "unigram_logprob_score"
+    # bm25_topk / domain_mix_rebalance also cross-join ONE-ROW
+    # corpus-stats aggregates (avg len / target size) — same rule: the
+    # scalar broadcast is fine, an unbounded cartesian is not, and the
+    # scoring join must key on query terms / source
+    for name in ("bm25_topk", "domain_mix_rebalance"):
+        plan = formatted_plan(qs[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
 
 
 def test_stream_dedup_first_wins(spark, tmp_path):

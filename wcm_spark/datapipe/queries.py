@@ -1883,6 +1883,56 @@ FROM assigned
 GROUP BY split"""
 
 
+@register("domain_mix_rebalance")
+def _q_domain_mix(d, sf):
+    """Domain/language-mix rebalancing to a uniform target (the
+    data-mixing step of a training pipeline: down-sample over-represented
+    strata so each contributes an equal share): per language, rate =
+    min(1, target_n / n_lang) with target_n = total / n_langs, and a
+    document is KEPT when its md5 hash bucket falls under the rate — the
+    same stable hash-threshold sampling as train_val_split (never
+    random(), which re-deals every run; a kept doc stays kept across
+    reruns and table versions). The stratum is ``lang`` because the
+    fixture's languages are genuinely skewed (en ~44%) — a uniform
+    stratum would make every rate 1.0 and the check vacuous; production
+    callers pick their stratum column the same way. Output is the
+    per-language audit: corpus count, sampling rate, kept docs, kept
+    tokens.
+
+    100 TB shape: one count aggregate for the rate table (#strata rows,
+    broadcast back), one projection for the keep decision, one hash
+    aggregate for the audit — no shuffle wider than #strata."""
+    f = _fn(d)
+    bucket = _hex2int(f"substr(md5(CAST(doc_id AS {f['STR']})), 1, 15)", d)
+    return f"""WITH {_tokens_cte(d, sf)},
+sized AS (
+  SELECT doc_id, lang, CAST({f['LEN']}(tokens) AS BIGINT) AS n_tok
+  FROM toks JOIN {_tbl('documents', d, sf)} USING (doc_id)
+),
+counts AS (SELECT lang, count(*) AS n FROM sized GROUP BY lang),
+tot AS (
+  SELECT CAST(sum(n) AS DOUBLE) / count(*) AS target_n FROM counts
+),
+rates AS (
+  SELECT c.lang, c.n,
+         least(1.0, t.target_n / c.n) AS rate
+  FROM counts c CROSS JOIN tot t
+),
+decided AS (
+  SELECT s.doc_id, s.lang, s.n_tok, r.n, r.rate,
+         CASE WHEN ({bucket} % 1000000) / 1000000.0 < r.rate
+              THEN 1 ELSE 0 END AS kept
+  FROM sized s JOIN rates r ON r.lang = s.lang
+)
+SELECT lang,
+  CAST(max(n) AS BIGINT) AS n_docs,
+  round(max(rate), 6) AS rate,
+  CAST(sum(kept) AS BIGINT) AS kept_docs,
+  CAST(sum(CASE WHEN kept = 1 THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
+FROM decided
+GROUP BY lang"""
+
+
 @register("quality_repetition_signals")
 def _q_repetition(d, sf):
     """Gopher-style repetition quality signals per document: duplicate-
@@ -1957,6 +2007,65 @@ FROM (
   SELECT *, row_number() OVER (PARTITION BY source ORDER BY tfidf DESC, tok) AS rn
   FROM scored
 ) r WHERE rn <= 5"""
+
+
+@register("bm25_topk")
+def _q_bm25(d, sf, k1: float = 1.2, b: float = 0.75, topk: int = 3):
+    """BM25 retrieval: top-``topk`` documents per query (Robertson/
+    Spärck Jones Okapi BM25 — the scoring a training pipeline uses for
+    retrieval-based mining: near-query sampling, hard-negative mining,
+    eval-set contamination sweeps beyond exact n-grams).
+
+    Queries are derived deterministically from the corpus itself so both
+    engines score the identical workload with no RNG: terms ranked
+    9th-14th by document frequency (ties by term) pair up into 3
+    two-term queries — mid-frequency terms keep idf nonzero where the
+    very top terms appear in nearly every synthetic doc.
+
+    100 TB shape: all hash aggregates (tf per (doc, term), df per term,
+    one corpus-stats row) plus ONE shuffle join of the posting list
+    against the 6-row broadcast query-term table — scoring touches only
+    postings of query terms, never the full corpus row set; the final
+    top-K window runs over #queries * #candidate-docs rows. Ranking
+    uses the 6-decimal rounded score with doc_id tie-break so both
+    engines pick identical rows."""
+    tok_rows = (
+        "SELECT doc_id, tok FROM toks LATERAL VIEW explode(tokens) x AS tok"
+        if d == "spark"
+        else "SELECT doc_id, unnest(tokens) AS tok FROM toks"
+    )
+    return f"""WITH {_tokens_cte(d, sf)},
+tok_rows AS ({tok_rows}),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok_rows GROUP BY doc_id, tok),
+dl AS (SELECT doc_id, count(*) AS dlen FROM tok_rows GROUP BY doc_id),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(CAST(dlen AS DOUBLE)) AS avg_len FROM dl),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+qterms AS (
+  SELECT tok, df, CAST(floor(CAST(rn - 1 AS DOUBLE) / 2) AS INT) AS query_id
+  FROM (
+    SELECT tok, df, row_number() OVER (ORDER BY df DESC, tok) AS rn FROM df
+  ) r WHERE rn > 8 AND rn <= 14
+),
+scored AS (
+  SELECT q.query_id, t.doc_id,
+         sum(
+           ln((s.n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0)
+           * (t.tf * ({k1} + 1.0))
+           / (t.tf + {k1} * (1.0 - {b} + {b} * l.dlen / s.avg_len))
+         ) AS score
+  FROM tf t
+  JOIN qterms q ON q.tok = t.tok
+  JOIN dl l ON l.doc_id = t.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, t.doc_id
+)
+SELECT query_id, doc_id, round(score, 4) AS score, rk FROM (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id
+         ) AS rk
+  FROM scored
+) r WHERE rk <= {topk}"""
 
 
 @register("unigram_logprob_score")
