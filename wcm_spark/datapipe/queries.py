@@ -2273,7 +2273,14 @@ def _shingle_set_df(spark, sf_dir):
     """Distinct 3-gram shingles per doc — mirrors _shingles_cte exactly."""
     from pyspark.sql import functions as F
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the documents table is one small parquet split — without the
+    # repartition the whole tokenize->shingle->md5 chain (the dominant
+    # cost of every LSH-family query) runs map-side on one core until
+    # the first shuffle
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     toks = docs.select(
         "doc_id",
         F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != "").alias("tokens"),
