@@ -569,6 +569,70 @@ SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
 FROM tagged GROUP BY user_id, session_no"""
 
 
+@register("events_asof_join")
+def _q_asof(d, sf):
+    """Backward as-of join (point-in-time lookup): each click picks up the
+    most recent prior-or-equal view's (event_id, value) per user, NULL
+    when no view precedes it. The oracle is DuckDB's NATIVE ASOF LEFT
+    JOIN — a genuinely independent engine path; the Spark side runs the
+    engine's union+window operator (operators/temporal.py::asof_join),
+    which plans with NO join node at all. Fixture has no (user, ts)
+    collisions (verified at every SF), so tie rules cannot diverge."""
+    if d == "duck":
+        return """WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+views AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'
+)
+SELECT c.event_id AS event_id, c.user_id AS user_id,
+       v.event_id AS view_event_id, v.value AS view_value
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND c.ts >= v.ts"""
+    # declarative (slow-path) form for reference only: the registered
+    # Spark callable is _asof_spark, which never runs this SQL — a naive
+    # inequality join in Spark plans as a nested loop, the exact
+    # anti-pattern asof_join exists to avoid
+    return f"""WITH clicks AS (
+  SELECT event_id, user_id, ts FROM {_tbl('events', d, sf)} WHERE event_type = 'click'
+),
+views AS (
+  SELECT event_id, user_id, ts, value FROM {_tbl('events', d, sf)} WHERE event_type = 'view'
+),
+ranked AS (
+  SELECT c.event_id AS event_id, c.user_id AS user_id,
+         v.event_id AS view_event_id, v.value AS view_value,
+         row_number() OVER (PARTITION BY c.event_id
+                            ORDER BY v.ts DESC, v.event_id DESC) AS rn
+  FROM clicks c LEFT JOIN views v
+    ON v.user_id = c.user_id AND v.ts <= c.ts
+)
+SELECT event_id, user_id, view_event_id, view_value FROM ranked WHERE rn = 1"""
+
+
+@register("events_range_join")
+def _q_range(d, sf):
+    """Bounded range join: per purchase, how many errors did the same user
+    hit in the 10 minutes before it ([ts-10min, ts), zero-count purchases
+    kept). Oracle = plain inequality join (DuckDB plans it as an IEJoin);
+    Spark side = the engine's time-bucketed equi-join
+    (operators/temporal.py::range_join) — bounded 2x duplication of the
+    right side, shuffled equi-join plan, never a nested loop."""
+    return f"""WITH purchases AS (
+  SELECT event_id, user_id, ts FROM {_tbl('events', d, sf)} WHERE event_type = 'purchase'
+),
+errors AS (
+  SELECT event_id, user_id, ts FROM {_tbl('events', d, sf)} WHERE event_type = 'error'
+)
+SELECT p.event_id AS event_id, p.user_id AS user_id,
+       CAST(count(e.event_id) AS BIGINT) AS n_errors_10m
+FROM purchases p LEFT JOIN errors e
+  ON e.user_id = p.user_id
+ AND e.ts >= p.ts - INTERVAL 10 MINUTE
+ AND e.ts < p.ts
+GROUP BY p.event_id, p.user_id"""
+
+
 @register("crawl_metrics_grouping_sets")
 def _q_grouping_sets(d, sf):
     """Grouping sets (SURVEY §2.6): per-(host, status), per-host and grand
@@ -3343,7 +3407,55 @@ def _pq_recall_spark(spark, sf_dir):
     )
 
 
+def _asof_spark(spark, sf_dir):
+    """Engine path for events_asof_join: the union+window as-of operator
+    (one shuffle on user_id, no join node in the plan)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.temporal import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter("event_type = 'click'").select("event_id", "user_id", "ts")
+    views = ev.filter("event_type = 'view'").select(
+        F.col("event_id").alias("view_event_id"),
+        "user_id",
+        "ts",
+        F.col("value").alias("view_value"),
+    )
+    out = asof_join(
+        clicks,
+        views,
+        by=["user_id"],
+        on="ts",
+        right_cols=["view_event_id", "view_value"],
+        tiebreak="view_event_id",
+    )
+    return out.select("event_id", "user_id", "view_event_id", "view_value")
+
+
+def _range_spark(spark, sf_dir):
+    """Engine path for events_range_join: the time-bucketed range join
+    (equi-join on (user, bucket) + residual range predicate)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.temporal import range_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = ev.filter("event_type = 'purchase'").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.filter("event_type = 'error'").select("event_id", "user_id", "ts")
+    j = range_join(
+        purchases, errors, by=["user_id"], lower_sec=-600.0, upper_sec=0.0
+    )
+    return j.groupBy("event_id", "user_id").agg(
+        F.count("r_event_id").alias("n_errors_10m")
+    )
+
+
 _SPARK_OVERRIDES = {
+    "events_asof_join": _asof_spark,
+    "events_range_join": _range_spark,
     "dedup_minhash_lsh": _minhash_spark,
     "dedup_ngram_jaccard": _jaccard_spark,
     "minhash_est_vs_exact": _minhash_est_spark,
