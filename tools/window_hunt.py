@@ -102,6 +102,8 @@ def main() -> int:
     pair_done = False
     best_crawl_median = 0.0
     best_eff = 0.0
+    best_eff_2to8 = 0.0
+    next_pair_small = False  # prescribed geometry gets the first window
     # alternate healthy windows between the two bars; the flag flips on
     # every healthy window so neither target can starve the other
     next_is_crawl = True
@@ -141,37 +143,54 @@ def main() -> int:
                       "all": [r["urls_per_sec"] for r in reps],
                       "met": crawl_done})
             elif not pair_done:
+                # Alternate healthy windows between the PRESCRIBED
+                # CPUS/4 -> CPUS pair and the 2 -> 8 geometry: the north
+                # rule reads "N and 4N executors" — 2->8 is the same 4x
+                # factor inside the host's deliverable-bandwidth region,
+                # so a probe-stamped >=0.8 there is honest rule evidence
+                # while the 32-thread geometry stays bandwidth-capped.
+                # Only the prescribed pair satisfies the exit criterion.
+                if next_pair_small and bench.CPUS // 4 > 2:
+                    lo_cores, hi_cores = 2, 8
+                else:
+                    lo_cores, hi_cores = max(2, bench.CPUS // 4), bench.CPUS
+                next_pair_small = not next_pair_small
                 pre = bench._quick_bw()
-                lo = _try_spawn(max(2, bench.CPUS // 4), corpus_path)
-                hi = _try_spawn(bench.CPUS, corpus_path) if lo else None
+                lo = _try_spawn(lo_cores, corpus_path)
+                hi = _try_spawn(hi_cores, corpus_path) if lo else None
                 if not (lo and hi):
                     continue
                 post = bench._post_bw(args.quick_floor)
-                factor = bench.CPUS / max(2, bench.CPUS // 4)
+                factor = hi_cores / lo_cores
                 eff = (
                     hi["urls_per_sec"] / max(lo["urls_per_sec"], 1e-9)
                 ) / factor
-                best_eff = max(best_eff, eff)
-                pair_done = eff >= args.eff_target
+                prescribed = hi_cores == bench.CPUS
+                if prescribed:
+                    best_eff = max(best_eff, eff)
+                    pair_done = eff >= args.eff_target
+                else:
+                    best_eff_2to8 = max(best_eff_2to8, eff)
                 _log({"ev": "pair_round", "lo": lo, "hi": hi,
+                      "pair": f"{lo_cores}to{hi_cores}",
                       "efficiency": round(eff, 3),
                       "bw_pre_gb_s": pre, "bw_post_gb_s": post,
-                      "met": pair_done})
+                      "met": prescribed and pair_done})
                 # SAME-WINDOW null control: the attribution the healthy
                 # pairs need. r3's null samples all ran starved; pairing
                 # engine and null rounds back-to-back in one healthy
                 # window shows whether the 8->32 gap is the host's
                 # bandwidth ceiling (null caps too) or the engine's own
                 # (null scales, engine doesn't).
-                nlo = _try_spawn(max(2, bench.CPUS // 4), corpus_path,
-                                 mode="null")
-                nhi = _try_spawn(bench.CPUS, corpus_path,
+                nlo = _try_spawn(lo_cores, corpus_path, mode="null")
+                nhi = _try_spawn(hi_cores, corpus_path,
                                  mode="null") if nlo else None
                 if nlo and nhi:
                     neff = (
                         nhi["urls_per_sec"] / max(nlo["urls_per_sec"], 1e-9)
                     ) / factor
                     _log({"ev": "null_round", "lo": nlo, "hi": nhi,
+                          "pair": f"{lo_cores}to{hi_cores}",
                           "efficiency": round(neff, 3),
                           "engine_vs_null": round(eff / max(neff, 1e-9), 3),
                           "bw_post_gb_s": bench._post_bw(args.quick_floor)})
@@ -179,6 +198,7 @@ def main() -> int:
         _log({"ev": "done", "crawl_done": crawl_done, "pair_done": pair_done,
               "best_crawl_median": best_crawl_median,
               "best_eff": round(best_eff, 3),
+              "best_eff_2to8": round(best_eff_2to8, 3),
               "deadline_hit": time.monotonic() >= deadline})
         if corpus_tmp:
             shutil.rmtree(corpus_tmp, ignore_errors=True)
