@@ -96,6 +96,8 @@ HEADLINE_QUERIES = [
     "train_val_split",
     "bm25_topk",
     "domain_mix_rebalance",
+    "events_asof_join",
+    "events_range_join",
 ]
 
 
