@@ -168,6 +168,41 @@ def test_range_join_plan_is_equi_join(frames):
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
 
 
+@pytest.mark.parametrize("seed", [7, 23, 91])
+def test_temporal_fuzz_vs_brute_force(spark, seed):
+    """Seeded random geometry — coarse integer-second grid so exact
+    timestamp ties (left==right and right==right) occur constantly, the
+    case hand fixtures under-sample."""
+    import random
+
+    rng = random.Random(seed)
+    keys = ["a", "b", "c", "d"]
+    left_rows = [
+        (rng.choice(keys), _ts(float(rng.randrange(0, 120))), i)
+        for i in range(60)
+    ]
+    right_rows = [
+        (rng.choice(keys), _ts(float(rng.randrange(0, 120))), 100 + i, float(i))
+        for i in range(80)
+    ]
+    left = spark.createDataFrame(left_rows, "key string, ts timestamp, lid int")
+    right = spark.createDataFrame(
+        right_rows, "key string, ts timestamp, rid int, val double"
+    )
+    got = {
+        r["lid"]: (r["rid"], r["val"])
+        for r in asof_join(left, right, by=["key"], tiebreak="rid").collect()
+    }
+    assert got == _brute_asof(left_rows, right_rows)
+
+    j = range_join(left, right, by=["key"], lower_sec=-30.0, upper_sec=0.0)
+    got_n = {
+        r["lid"]: r["n"]
+        for r in j.groupBy("lid").agg(F.count("r_rid").alias("n")).collect()
+    }
+    assert got_n == _brute_range(left_rows, right_rows, -30.0, 0.0)
+
+
 def test_range_join_numeric_ts(spark):
     """Numeric (double) time axis takes the cast path, same semantics."""
     left = spark.createDataFrame(
