@@ -61,6 +61,12 @@ def asof_join(
     right_cols = right_cols or [
         c for c in right.columns if c not in by and c != on
     ]
+    clash = set(right_cols) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join output name collision {sorted(clash)}: alias the "
+            "right side's value columns before joining"
+        )
     # the tiebreak column must ride along in the union even when the
     # caller doesn't want it in the output
     carry = list(right_cols)
