@@ -203,6 +203,50 @@ def test_temporal_fuzz_vs_brute_force(spark, seed):
     assert got_n == _brute_range(left_rows, right_rows, -30.0, 0.0)
 
 
+def test_asof_match_is_atomic(spark):
+    """The matched right row is carried whole: a NULL value field in the
+    winning row must stay NULL, never back-fill from an older row
+    (per-column fills produce chimera matches)."""
+    left = spark.createDataFrame(
+        [("k", _ts(25.0), 1)], "key string, ts timestamp, lid int"
+    )
+    right = spark.createDataFrame(
+        [("k", _ts(10.0), 100, 1.0), ("k", _ts(20.0), 101, None)],
+        "key string, ts timestamp, rid int, val double",
+    )
+    [row] = asof_join(left, right, by=["key"], tiebreak="rid").collect()
+    assert (row["rid"], row["val"]) == (101, None)
+
+
+def test_asof_null_right_ts_never_matches(spark):
+    left = spark.createDataFrame(
+        [("k", _ts(25.0), 1)], "key string, ts timestamp, lid int"
+    )
+    right = spark.createDataFrame(
+        [("k", None, 100, 1.0)], "key string, ts timestamp, rid int, val double"
+    )
+    [row] = asof_join(left, right, by=["key"], tiebreak="rid").collect()
+    assert (row["rid"], row["val"]) == (None, None)
+
+
+def test_asof_name_collision_raises(frames):
+    left, right = frames
+    with pytest.raises(ValueError, match="collision"):
+        # right's raw 'val'/'rid' are fine, but force a clash via lid
+        asof_join(left, right.withColumnRenamed("rid", "lid"), by=["key"])
+
+
+def test_range_join_rejects_outer_and_collisions(frames):
+    left, right = frames
+    with pytest.raises(ValueError, match="how="):
+        range_join(left, right, by=["key"], lower_sec=-1.0, upper_sec=0.0, how="full")
+    chained = range_join(
+        left, right, by=["key"], lower_sec=-1.0, upper_sec=0.0
+    )
+    with pytest.raises(ValueError, match="collision"):
+        range_join(chained, right, by=["key"], lower_sec=-1.0, upper_sec=0.0)
+
+
 def test_range_join_numeric_ts(spark):
     """Numeric (double) time axis takes the cast path, same semantics."""
     left = spark.createDataFrame(

@@ -154,12 +154,12 @@ def main() -> int:
                     lo_cores, hi_cores = 2, 8
                 else:
                     lo_cores, hi_cores = max(2, bench.CPUS // 4), bench.CPUS
-                next_pair_small = not next_pair_small
                 pre = bench._quick_bw()
                 lo = _try_spawn(lo_cores, corpus_path)
                 hi = _try_spawn(hi_cores, corpus_path) if lo else None
                 if not (lo and hi):
-                    continue
+                    continue  # spawn failure: geometry keeps its claim
+                next_pair_small = not next_pair_small
                 post = bench._post_bw(args.quick_floor)
                 factor = hi_cores / lo_cores
                 eff = (
