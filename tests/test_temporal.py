@@ -203,6 +203,56 @@ def test_temporal_fuzz_vs_brute_force(spark, seed):
     assert got_n == _brute_range(left_rows, right_rows, -30.0, 0.0)
 
 
+def _brute_asof_fwd(left_rows, right_rows, tolerance=None):
+    out = {}
+    for k, lts, lid in left_rows:
+        best = None
+        for rk, rts, rid, val in right_rows:
+            if rk != k or rts < lts:
+                continue
+            if tolerance is not None and (rts - lts).total_seconds() > tolerance:
+                continue
+            # nearest future ts; greatest rid among equal nearest ts wins
+            if best is None or (rts, -rid) < (best[0], -best[1]):
+                best = (rts, rid, val)
+        out[lid] = (best[1], best[2]) if best else (None, None)
+    return out
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_asof_forward_matches_brute_force(spark, seed):
+    import random
+
+    rng = random.Random(seed)
+    keys = ["a", "b", "c"]
+    left_rows = [
+        (rng.choice(keys), _ts(float(rng.randrange(0, 60))), i) for i in range(40)
+    ]
+    right_rows = [
+        (rng.choice(keys), _ts(float(rng.randrange(0, 60))), 100 + i, float(i))
+        for i in range(50)
+    ]
+    left = spark.createDataFrame(left_rows, "key string, ts timestamp, lid int")
+    right = spark.createDataFrame(
+        right_rows, "key string, ts timestamp, rid int, val double"
+    )
+    got = {
+        r["lid"]: (r["rid"], r["val"])
+        for r in asof_join(
+            left, right, by=["key"], tiebreak="rid", direction="forward"
+        ).collect()
+    }
+    assert got == _brute_asof_fwd(left_rows, right_rows)
+    got_tol = {
+        r["lid"]: (r["rid"], r["val"])
+        for r in asof_join(
+            left, right, by=["key"], tiebreak="rid", direction="forward",
+            tolerance_sec=5.0,
+        ).collect()
+    }
+    assert got_tol == _brute_asof_fwd(left_rows, right_rows, tolerance=5.0)
+
+
 def test_asof_match_is_atomic(spark):
     """The matched right row is carried whole: a NULL value field in the
     winning row must stay NULL, never back-fill from an older row

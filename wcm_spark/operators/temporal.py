@@ -69,9 +69,12 @@ def asof_join(
     right_cols: list[str] | None = None,
     tolerance_sec: float | None = None,
     tiebreak: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for every left row, the most recent right row
-    with ``right.on <= left.on`` within the same ``by`` group (inclusive).
+    """As-of join: for every left row, the nearest right row within the
+    same ``by`` group — ``direction="backward"`` (default) takes the most
+    recent right row with ``right.on <= left.on``, ``"forward"`` the
+    earliest with ``right.on >= left.on`` (both inclusive).
 
     Returns the left rows with ``right_cols`` appended (null when no
     prior right row exists, or when the match is older than
@@ -89,6 +92,9 @@ def asof_join(
     ``last(..., ignorenulls=True)`` over an unbounded-preceding window.
     No join node appears in the plan.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join direction must be backward|forward, got {direction!r}")
+    back = direction == "backward"
     right_cols = right_cols or [
         c for c in right.columns if c not in by and c != on
     ]
@@ -104,7 +110,11 @@ def asof_join(
     carry = list(right_cols)
     if tiebreak is not None and tiebreak not in carry:
         carry.append(tiebreak)
-    order = [F.col(on).asc(), F.col("__side").asc()]
+    # sort so the winning right row is the LAST non-null struct seen
+    # scanning toward each left row: time ascending for backward,
+    # descending for forward; right rows first at equal timestamps
+    # (inclusive match); greatest tiebreak wins in both directions
+    order = [F.col(on).asc() if back else F.col(on).desc(), F.col("__side").asc()]
     if tiebreak is not None:
         order.append(F.col(f"__r_{tiebreak}").asc_nulls_first())
 
@@ -161,11 +171,12 @@ def asof_join(
     if tolerance_sec is not None:
         dt = dict(left.dtypes)[on]
         if dt.startswith("timestamp"):
-            age = F.expr(f"timestampdiff(MICROSECOND, __m.__on, `{on}`)")
+            gap = F.expr(f"timestampdiff(MICROSECOND, __m.__on, `{on}`)")
         else:
-            age = (
+            gap = (
                 F.col(on).cast("double") - F.col("__m.__on").cast("double")
             ) * F.lit(1e6)
+        age = gap if back else -gap
         keep = age <= F.lit(float(tolerance_sec) * 1e6)
     sel = [F.col(c) for c in left.columns]
     for c in right_cols:
