@@ -97,6 +97,7 @@ HEADLINE_QUERIES = [
     "bm25_topk",
     "domain_mix_rebalance",
     "events_asof_join",
+    "events_asof_forward",
     "events_range_join",
 ]
 

@@ -610,6 +610,33 @@ ranked AS (
 SELECT event_id, user_id, view_event_id, view_value FROM ranked WHERE rn = 1"""
 
 
+@register("events_asof_forward")
+def _q_asof_fwd(d, sf):
+    """FORWARD as-of join (time-to-conversion): each signup picks up the
+    earliest subsequent-or-equal purchase per user and the exact
+    microsecond gap to it; NULL when the user never purchases after
+    signing up. Oracle: first-match window formulation; Spark side runs
+    asof_join(direction='forward') — same union+window operator, time
+    axis reversed."""
+    return f"""WITH signups AS (
+  SELECT event_id, user_id, ts FROM {_tbl('events', d, sf)} WHERE event_type = 'signup'
+),
+purchases AS (
+  SELECT event_id, user_id, ts FROM {_tbl('events', d, sf)} WHERE event_type = 'purchase'
+),
+ranked AS (
+  SELECT s.event_id AS event_id, s.user_id AS user_id,
+         p.event_id AS purchase_event_id,
+         CAST(date_diff('microsecond', s.ts, p.ts) AS BIGINT) AS us_to_purchase,
+         row_number() OVER (PARTITION BY s.event_id
+                            ORDER BY p.ts ASC, p.event_id DESC) AS rn
+  FROM signups s LEFT JOIN purchases p
+    ON p.user_id = s.user_id AND p.ts >= s.ts
+)
+SELECT event_id, user_id, purchase_event_id, us_to_purchase
+FROM ranked WHERE rn = 1"""
+
+
 @register("events_range_join")
 def _q_range(d, sf):
     """Bounded range join: per purchase, how many errors did the same user
@@ -3433,6 +3460,40 @@ def _asof_spark(spark, sf_dir):
     return out.select("event_id", "user_id", "view_event_id", "view_value")
 
 
+def _asof_fwd_spark(spark, sf_dir):
+    """Engine path for events_asof_forward: asof_join(direction='forward')
+    — nearest future purchase per signup, exact integer-microsecond gap."""
+    from pyspark.sql import functions as F
+
+    from ..operators.temporal import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    signups = ev.filter("event_type = 'signup'").select("event_id", "user_id", "ts")
+    purchases = ev.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        F.col("ts").alias("ts"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    out = asof_join(
+        signups,
+        purchases,
+        by=["user_id"],
+        on="ts",
+        right_cols=["purchase_event_id", "purchase_ts"],
+        tiebreak="purchase_event_id",
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "purchase_event_id",
+        F.expr(
+            "CAST(timestampdiff(MICROSECOND, ts, purchase_ts) AS BIGINT)"
+        ).alias("us_to_purchase"),
+    )
+
+
 def _range_spark(spark, sf_dir):
     """Engine path for events_range_join: the time-bucketed range join
     (equi-join on (user, bucket) + residual range predicate)."""
@@ -3455,6 +3516,7 @@ def _range_spark(spark, sf_dir):
 
 _SPARK_OVERRIDES = {
     "events_asof_join": _asof_spark,
+    "events_asof_forward": _asof_fwd_spark,
     "events_range_join": _range_spark,
     "dedup_minhash_lsh": _minhash_spark,
     "dedup_ngram_jaccard": _jaccard_spark,
