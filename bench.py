@@ -79,6 +79,7 @@ HEADLINE_QUERIES = [
     "minhash_est_vs_exact",
     "embedding_neardup",
     "image_phash_neardup",
+    "image_phash_clusters",
     "stratified_sample",
     "topk_per_group_quality",
     "lang_id_heuristic",

@@ -198,6 +198,10 @@ def test_neardup_and_jaccard_have_no_pair_explosion(spark):
         # PQ/ADC: the query side joins codes on (subspace, code) — raw
         # vectors must never pair-join
         "ann_pq_adc",
+        # phash family: candidates key on (band_no, sig); the clusters
+        # query propagates labels over the checkpointed pair set only
+        "image_phash_neardup",
+        "image_phash_clusters",
         # literal-state overrides (round 4): candidates key on bucket /
         # cell ids; the fit itself is join-free (codebooks are literals)
         "ann_lsh_bucketed",

@@ -150,6 +150,7 @@ def register(name: str):
 # defaults (or their own gates) directly.
 SYNTHETIC_GATES: dict[str, dict] = {
     "image_phash_neardup": {"max_hamming": 24},
+    "image_phash_clusters": {"max_hamming": 24},
     "embedding_neardup": {"min_cosine": 0.35},
     "ann_lsh_bucketed": {"min_cosine": 0.25},
     "passage_dedup_rate": {"chunk": 3},
@@ -1039,20 +1040,15 @@ SELECT vec_a, vec_b, bucket, cosine FROM (
 ) t WHERE cosine >= {min_cosine}"""
 
 
-@register("image_phash_neardup")
-def _q_phash_neardup(d, sf, max_hamming: int = 8):
-    """Perceptual-hash near-dup for the image table shape: 64-bit
-    signature -> 4 bands of 16 bits (LSH: pairs identical in >=1 band are
-    candidates) -> exact Hamming distance <= ``max_hamming`` verified on
-    candidates only (default 8, the standard real-image near-dup gate;
-    the registry overrides to 24 on the synthetic fixtures —
-    SYNTHETIC_GATES — whose sign-bit hashes are uniform noise). On
-    crawled images the signature is images.phash64 (the sink column
-    pinned by the PSNR pytest gates); here it is derived
-    deterministically as the sign bits of the 64-dim embedding so both
-    engines compute identical hashes with no image codec. Hamming is
-    computed in row form (count of differing sign bits over the candidate
-    join) — no 2^63 bigint overflow, no engine-specific popcount."""
+def _phash_pair_ctes(d, sf, max_hamming: int) -> str:
+    """The shared phash LSH chain: CTE text ending in
+    ``phash_pairs(vec_a, vec_b, hamming)`` — the hamming-gated near-dup
+    pair set both image_phash_neardup and image_phash_clusters consume.
+    64-bit sign-bit signature -> 4 bands of 16 bits (pairs identical in
+    >=1 band are candidates) -> exact Hamming verified on candidates
+    only. Hamming is computed in row form (count of differing sign bits
+    over the candidate join) — no 2^63 bigint overflow, no
+    engine-specific popcount."""
     if d == "spark":
         elems = (
             "SELECT vec_id, dim, CAST(x AS DOUBLE) AS x FROM "
@@ -1063,7 +1059,7 @@ def _q_phash_neardup(d, sf, max_hamming: int = 8):
             "SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim, "
             f"CAST(unnest(embedding) AS DOUBLE) AS x FROM {_tbl('embeddings', d, sf)}"
         )
-    return f"""WITH elems AS ({elems}),
+    return f"""elems AS ({elems}),
 bandsig AS (
   SELECT vec_id, CAST(floor(dim / 16) AS INT) AS band_no,
          CAST(sum(CASE WHEN x > 0 THEN power(2, dim % 16) ELSE 0 END) AS BIGINT) AS sig
@@ -1081,8 +1077,75 @@ ham AS (
   JOIN elems ea ON ea.vec_id = c.vec_a
   JOIN elems eb ON eb.vec_id = c.vec_b AND eb.dim = ea.dim
   GROUP BY c.vec_a, c.vec_b
+),
+phash_pairs AS (
+  SELECT vec_a, vec_b, hamming FROM ham WHERE hamming <= {max_hamming}
+)"""
+
+
+@register("image_phash_neardup")
+def _q_phash_neardup(d, sf, max_hamming: int = 8):
+    """Perceptual-hash near-dup for the image table shape — the
+    hamming-gated candidate pair set (default gate 8, the standard
+    real-image near-dup operating point; the registry overrides to 24 on
+    the synthetic fixtures — SYNTHETIC_GATES — whose sign-bit hashes are
+    uniform noise). On crawled images the signature is images.phash64
+    (the sink column pinned by the PSNR pytest gates); here it is derived
+    deterministically as the sign bits of the 64-dim embedding so both
+    engines compute identical hashes with no image codec. Chain shared
+    with image_phash_clusters via _phash_pair_ctes."""
+    return f"""WITH {_phash_pair_ctes(d, sf, max_hamming)}
+SELECT vec_a, vec_b, hamming FROM phash_pairs"""
+
+
+PHASH_CC_ITERS = 6
+
+
+@register("image_phash_clusters")
+def _q_phash_clusters(d, sf, max_hamming: int = 8, iters: int = PHASH_CC_ITERS):
+    """Image dedup ENDGAME (the image-axis twin of near_dup_clusters):
+    phash near-dup pairs resolved into connected components by
+    fixed-iteration min-label propagation — cluster_id = min vec_id
+    reachable through hamming-gated LSH edges, cluster_size = images per
+    cluster. Keep-one-per-cluster (vec_id == cluster_id) is the standard
+    image-dedup policy a 100 TB image-caption ingest applies before
+    training; pair lists alone can't make that global keep/drop call.
+
+    100 TB shape: edges are LSH-band-bounded (never all-pairs), each
+    propagation hop is one node-sized shuffle join against the edge set
+    + one hash aggregate — identical loop to link_graph_components.
+    Images outside every candidate pair never enter the graph. The
+    engine path (_phash_clusters_spark) checkpoints the edge set and
+    runs operators/graph.connected_components; this SQL form is the
+    independent DuckDB oracle (MATERIALIZED so each unrolled hop reuses
+    the LSH chain instead of re-running it)."""
+    mat = "MATERIALIZED " if d == "duck" else ""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f""",
+plbl_{k} AS {mat}(
+  SELECT l.vec_id,
+         least(l.component, coalesce(min(n.component), l.component)) AS component
+  FROM plbl_{k - 1} l
+  LEFT JOIN pund e ON e.a = l.vec_id
+  LEFT JOIN plbl_{k - 1} n ON n.vec_id = e.b
+  GROUP BY l.vec_id, l.component
+)""")
+    return f"""WITH {_phash_pair_ctes(d, sf, max_hamming)},
+pund AS {mat}(
+  SELECT vec_a AS a, vec_b AS b FROM phash_pairs
+  UNION
+  SELECT vec_b, vec_a FROM phash_pairs
+),
+pnodes AS (SELECT DISTINCT a AS vec_id FROM pund),
+plbl_0 AS (SELECT vec_id, vec_id AS component FROM pnodes){''.join(steps)},
+pfinal AS (SELECT vec_id, component AS cluster_id FROM plbl_{iters}),
+pcsizes AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM pfinal GROUP BY cluster_id
 )
-SELECT vec_a, vec_b, hamming FROM ham WHERE hamming <= {max_hamming}"""
+SELECT f.vec_id, f.cluster_id, s.cluster_size
+FROM pfinal f JOIN pcsizes s ON s.cluster_id = f.cluster_id"""
 
 
 def _ivf_kmeans_ctes(d, sf):
@@ -2725,6 +2788,49 @@ def _neardup_clusters_spark(spark, sf_dir):
     )
 
 
+def _phash_clusters_spark(spark, sf_dir, max_hamming: int = 8):
+    """image_phash_clusters on the engine path: the phash pair chain
+    runs ONCE (Catalyst would otherwise inline the LSH CTEs into every
+    propagation hop), the checkpointed pair set feeds the graph module's
+    connected_components with a propagation shuffle width sized to the
+    LSH-bounded edge count — the identical shape to
+    _neardup_clusters_spark. The SQL builder stays the independent
+    DuckDB oracle."""
+    from pyspark.sql import functions as F
+
+    from ..operators.graph import connected_components
+
+    gate = SYNTHETIC_GATES.get("image_phash_clusters", {}).get(
+        "max_hamming", max_hamming
+    )
+    pairs = spark.sql(
+        f"WITH {_phash_pair_ctes('spark', sf_dir, gate)} "
+        "SELECT vec_a, vec_b FROM phash_pairs"
+    ).localCheckpoint(eager=True)
+    n_edges = pairs.count()
+    nodes = (
+        pairs.select(F.col("vec_a").alias("vec_id"))
+        .union(pairs.select(F.col("vec_b").alias("vec_id")))
+        .distinct()
+    )
+    width = max(2, min(
+        spark.sparkContext.defaultParallelism, n_edges // 20_000 + 1
+    ))
+    lbl = connected_components(
+        nodes, pairs, iters=PHASH_CC_ITERS, node_col="vec_id",
+        src="vec_a", dst="vec_b", shuffle_width=width,
+    )
+    final = lbl.select(
+        F.col("url").alias("vec_id"), F.col("component").alias("cluster_id")
+    )
+    sizes = final.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return final.join(sizes, "cluster_id").select(
+        "vec_id", "cluster_id", "cluster_size"
+    )
+
+
 def _corpus_curation_spark(spark, sf_dir):
     """corpus_curation_pipeline on the engine path: the memoized near-dup
     labels (one propagation per application) left-joined onto the
@@ -3523,6 +3629,7 @@ _SPARK_OVERRIDES = {
     "minhash_est_vs_exact": _minhash_est_spark,
     "ann_cosine_topk": _ann_exact_spark,
     "near_dup_clusters": _neardup_clusters_spark,
+    "image_phash_clusters": _phash_clusters_spark,
     "corpus_curation_pipeline": _corpus_curation_spark,
     "dedup_simhash": _simhash_spark,
     "doc_lang_pivot": _lang_pivot_spark,
