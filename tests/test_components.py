@@ -254,6 +254,116 @@ def test_store_append_overwrite_timetravel(spark, tmp_path):
     assert store.read(spark, "missing") is None
 
 
+def test_store_compact_preserves_rows_and_reduces_dirs(spark, tmp_path):
+    """Iceberg rewrite_data_files analog: compaction collapses the
+    per-commit directory accumulation into one dir without changing a
+    row, carries resume meta forward, and keeps history time-travelable
+    until expiry."""
+    import os
+
+    from wcm_spark.store import TableStore
+
+    store = TableStore(str(tmp_path))
+    for w in range(1, 5):
+        store.commit(
+            "visits", spark.range((w - 1) * 10, w * 10), mode="append",
+            meta={"wave": w},
+        )
+    pre = store.read(spark, "visits")
+    pre_rows = sorted(r["id"] for r in pre.collect())
+    assert len(store.snapshots("visits")[-1]["dirs"]) == 4
+    v = store.compact(spark, "visits")
+    assert v == 5
+    snap = store.snapshots("visits")[-1]
+    assert snap["mode"] == "compact" and len(snap["dirs"]) == 1
+    # resume meta carried forward + compaction provenance recorded
+    assert snap["meta"]["wave"] == 4
+    assert snap["meta"]["compacted_from"] == 4
+    assert snap["meta"]["dirs_before"] == 4
+    post = store.read(spark, "visits")
+    assert sorted(r["id"] for r in post.collect()) == pre_rows
+    # time travel to the pre-compact snapshot still works
+    assert store.read(spark, "visits", version=4).count() == 40
+    # nothing left to compact: single dir at/below the file target
+    assert store.compact(spark, "visits") is None
+
+    removed = store.expire_snapshots("visits", keep_last=1)
+    assert removed  # the four append dirs are unreferenced now
+    assert all(not os.path.exists(d) for d in removed)
+    assert store.read(spark, "visits").count() == 40  # current intact
+    assert [s["version"] for s in store.snapshots("visits")] == [5]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        store.read(spark, "visits", version=4)
+
+
+def test_store_expire_keeps_shared_dirs(spark, tmp_path):
+    """Append snapshots share data dirs with their successors — expiry
+    must never delete a dir a retained snapshot still references."""
+    import os
+
+    from wcm_spark.store import TableStore
+
+    store = TableStore(str(tmp_path))
+    store.commit("t", spark.range(3), mode="append")
+    store.commit("t", spark.range(3, 6), mode="append")
+    store.commit("t", spark.range(6, 9), mode="append")
+    removed = store.expire_snapshots("t", keep_last=2)
+    # v1's dir is still referenced by v2 and v3 — nothing deletable
+    assert removed == []
+    assert store.read(spark, "t").count() == 9
+    live = {d for s in store.snapshots("t") for d in s["dirs"]}
+    assert all(os.path.exists(d) for d in live)
+
+
+def test_crawl_store_maintenance_preserves_resume(spark, tmp_path):
+    """A crawl with commit-path maintenance on (compact_every_commits=1,
+    aggressive expiry) produces the same durable visits as the plain
+    store path, and the kill/resume contract survives maintenance."""
+    from wcm_spark.corpus import corpus_df, seed_urls
+    from wcm_spark.scheduler import CrawlConfig, Crawler
+
+    corpus = corpus_df(spark, 2, 8).cache()
+    plain = Crawler(
+        spark, corpus,
+        CrawlConfig(expected_urls=10_000, use_bloom=False),
+    ).run(seed_urls(2))
+    want = sorted(
+        (r["wave"], r["seq"], r["url"])
+        for r in plain.visits.select("wave", "seq", "url").collect()
+    )
+
+    cfg = CrawlConfig(
+        expected_urls=10_000, use_bloom=False,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        compact_every_commits=1, expire_keep_snapshots=1,
+        max_waves=2,
+    )
+    Crawler(spark, corpus, cfg).run(seed_urls(2))
+    # resume after maintenance: meta (wave/next_seq) must have survived
+    # the compact/expire cycle
+    cfg2 = CrawlConfig(
+        expected_urls=10_000, use_bloom=False,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        compact_every_commits=1, expire_keep_snapshots=1,
+    )
+    Crawler.resume(spark, corpus, cfg2)
+    durable = Crawler.read_visits(spark, cfg2)
+    got = sorted(
+        (r["wave"], r["seq"], r["url"])
+        for r in durable.select("wave", "seq", "url").collect()
+    )
+    assert got == want
+    # maintenance actually ran: the visits table's current snapshot is a
+    # compact one and history is trimmed to the retention
+    from wcm_spark.store import TableStore
+
+    store = TableStore(str(tmp_path / "ckpt"))
+    snaps = store.snapshots("visits")
+    assert len(snaps) == 1 and snaps[-1]["mode"] == "compact"
+
+
 # -- image codecs ------------------------------------------------------------
 
 

@@ -77,6 +77,11 @@ class CrawlConfig:
     use_bloom: bool = True
     checkpoint_dir: str | None = None      # TableStore root for durable commits
     commit_every: int = 1                  # waves between durable commits
+    compact_every_commits: int | None = None  # store maintenance cadence: every N
+                                           # durable commits, compact the append
+                                           # tables (small-files rewrite) and expire
+                                           # snapshots older than the retained tail
+    expire_keep_snapshots: int = 2         # snapshots kept by maintenance expiry
     collect_images: bool = False           # S7 image+caption sink
     shuffle_every: int | None = None       # F5 seeded re-sequencing
     credentials: dict | None = None        # F8: host_key -> userinfo (UserAgent.pm:17-31)
@@ -1292,6 +1297,26 @@ class Crawler:
             mode="append",
             meta={"wave": wave_id},
         )
+        cfg = self.config
+        if cfg.compact_every_commits:
+            self._commits_done = getattr(self, "_commits_done", 0) + 1
+            if self._commits_done % cfg.compact_every_commits == 0:
+                # Store maintenance on the commit path (Iceberg
+                # rewrite_data_files + expire_snapshots shape): the append
+                # tables accumulate one tiny-file directory per commit — at
+                # 100k-wave scale the visits scan goes metadata-bound
+                # without this. Compaction commits a new snapshot (meta
+                # carried forward, so resume still reads wave/next_seq);
+                # expiry then reclaims directories no retained snapshot
+                # references. Crash-safety: manifest swaps atomically
+                # before any delete, and resume only ever reads the
+                # CURRENT snapshot.
+                for t in ("visits", "metrics"):
+                    self.store.compact(self.spark, t)
+                for t in ("visits", "metrics", "frontier", "seen"):
+                    self.store.expire_snapshots(
+                        t, keep_last=cfg.expire_keep_snapshots
+                    )
 
     @classmethod
     def read_visits(cls, spark: SparkSession, config: "CrawlConfig") -> DataFrame | None:

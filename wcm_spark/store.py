@@ -96,6 +96,101 @@ class TableStore:
         snaps = self.snapshots(name)
         return snaps[-1]["meta"] if snaps else None
 
+    def _dir_bytes(self, dirs: list[str]) -> int:
+        total = 0
+        for d in dirs:
+            for root, _, files in os.walk(d):
+                total += sum(
+                    os.path.getsize(os.path.join(root, f))
+                    for f in files
+                    if f.endswith(".parquet")
+                )
+        return total
+
+    def compact(
+        self,
+        spark: SparkSession,
+        name: str,
+        target_file_bytes: int = 96 << 20,
+        meta: dict | None = None,
+    ) -> int | None:
+        """Rewrite the CURRENT snapshot's accumulated dirs into one dir of
+        ~``target_file_bytes`` files — the Iceberg ``rewrite_data_files``
+        maintenance action. A per-wave append store grows one directory
+        (with one file per task) per wave; after 100k waves every reader
+        unions 100k directories of tiny files and the scan is
+        metadata-bound. Compaction coalesces (narrow — no shuffle; each
+        output file concatenates whole input files) and commits the
+        result as a new snapshot, so readers atomically flip to it while
+        every historical snapshot stays time-travelable until
+        ``expire_snapshots`` reclaims it. Returns the new version, or
+        None if the table has nothing to compact (0/1 dirs and no more
+        files than the target implies)."""
+        manifest = self._load_manifest(name)
+        if not manifest["snapshots"]:
+            return None
+        cur = manifest["snapshots"][-1]
+        n_files = sum(
+            1
+            for d in cur["dirs"]
+            for root, _, files in os.walk(d)
+            for f in files
+            if f.endswith(".parquet")
+        )
+        total = self._dir_bytes(cur["dirs"])
+        want = max(1, -(-total // target_file_bytes))  # ceil
+        if len(cur["dirs"]) <= 1 and n_files <= want:
+            return None
+        df = spark.read.parquet(*cur["dirs"]).coalesce(want)
+        version = manifest["current"] + 1
+        data_dir = os.path.join(self._table_dir(name), f"v{version:06d}")
+        df.write.mode("overwrite").parquet(data_dir)
+        snapshot = {
+            "version": version,
+            "mode": "compact",
+            "dirs": [data_dir],
+            "ts": time.time(),
+            "meta": {
+                **(meta or (cur["meta"] or {})),
+                "compacted_from": cur["version"],
+                "files_before": n_files,
+                "dirs_before": len(cur["dirs"]),
+            },
+        }
+        manifest["snapshots"].append(snapshot)
+        manifest["current"] = version
+        self._commit_manifest(name, manifest)
+        return version
+
+    def expire_snapshots(self, name: str, keep_last: int = 1) -> list[str]:
+        """Drop all but the last ``keep_last`` snapshots and DELETE data
+        dirs no kept snapshot references — the Iceberg
+        ``expire_snapshots`` action, and the half of compaction that
+        actually reclaims space (compact alone leaves the old files for
+        time travel). Manifest is swapped atomically BEFORE any rmtree,
+        so a reader never observes a manifest pointing at deleted data.
+        Returns the removed directories."""
+        import shutil
+
+        assert keep_last >= 1
+        manifest = self._load_manifest(name)
+        snaps = manifest["snapshots"]
+        if len(snaps) <= keep_last:
+            return []
+        kept = snaps[-keep_last:]
+        live = {d for s in kept for d in s["dirs"]}
+        dead = [
+            d
+            for s in snaps[:-keep_last]
+            for d in s["dirs"]
+            if d not in live
+        ]
+        manifest["snapshots"] = kept
+        self._commit_manifest(name, manifest)
+        for d in dict.fromkeys(dead):  # preserve order, dedupe
+            shutil.rmtree(d, ignore_errors=True)
+        return list(dict.fromkeys(dead))
+
 
 class IcebergTableStore(TableStore):
     """The same store contract over real Iceberg tables.
@@ -182,6 +277,36 @@ class IcebergTableStore(TableStore):
     def current_version(self, name: str) -> int:
         snaps = self.snapshots(name)
         return snaps[-1]["version"] if snaps else 0
+
+    def compact(
+        self,
+        spark: SparkSession,
+        name: str,
+        target_file_bytes: int = 96 << 20,
+        meta: dict | None = None,
+    ) -> int | None:
+        """Iceberg-native compaction via the rewrite_data_files stored
+        procedure (same catalog-gated status as the rest of this class —
+        no runtime jar in this sandbox, exercised on a real cluster)."""
+        if not self._exists(name):
+            return None
+        self.spark.sql(
+            f"CALL {self.catalog}.system.rewrite_data_files("
+            f"table => '{self.namespace}.{name}', "
+            f"options => map('target-file-size-bytes', '{int(target_file_bytes)}'))"
+        )
+        return self.current_version(name)
+
+    def expire_snapshots(self, name: str, keep_last: int = 1) -> list[str]:
+        """Iceberg-native snapshot expiry (retain_last); returns [] —
+        Iceberg reports reclaimed file counts, not paths."""
+        if self._exists(name):
+            self.spark.sql(
+                f"CALL {self.catalog}.system.expire_snapshots("
+                f"table => '{self.namespace}.{name}', "
+                f"retain_last => {int(keep_last)})"
+            )
+        return []
 
     def latest_meta(self, name: str) -> dict | None:
         snaps = self.snapshots(name)
