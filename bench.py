@@ -73,6 +73,7 @@ HEADLINE_QUERIES = [
     "ann_ivf_multiprobe",
     "ann_pq_adc",
     "ann_pq_recall_at_k",
+    "ann_ivfpq_adc",
     "embedding_int8_quant",
     "near_dup_clusters",
     "corpus_curation_pipeline",

@@ -206,6 +206,9 @@ def test_neardup_and_jaccard_have_no_pair_explosion(spark):
         # cell ids; the fit itself is join-free (codebooks are literals)
         "ann_lsh_bucketed",
         "ann_ivf",
+        # IVF-PQ: candidates equi-join on cell id, ADC joins codes on
+        # (query_id, subspace, code) — raw vectors never pair-join
+        "ann_ivfpq_adc",
         "embedding_int8_quant",
         # decontamination: eval grams broadcast against train grams —
         # never a train-train pairing

@@ -156,6 +156,7 @@ SYNTHETIC_GATES: dict[str, dict] = {
     "passage_dedup_rate": {"chunk": 3},
     "ann_pq_adc": {"m": 32, "k": 64},
     "ann_pq_recall_at_k": {"m": 32, "k": 64},
+    "ann_ivfpq_adc": {"m": 32, "k": 64},
     "doc_decontamination": {"n": 3},
     "sequence_packing": {"seq_len": 256},
 }
@@ -1591,6 +1592,138 @@ qdt AS (
   WHERE t.vec_id < 10
   GROUP BY t.vec_id, t.s, c.code
 )"""
+
+
+def _ivfpq_ctes(d, sf, m: int, k: int) -> str:
+    """IVF-PQ composition: the fitted coarse quantizer
+    (_ivf_kmeans_ctes → final_asg/cent2) plus a one-Lloyd-step PQ
+    codebook fitted on RESIDUALS (vector minus its cell centroid — the
+    Jégou et al. IVF-ADC structure). Ends in ``rcodes(vec_id, s, code)``
+    (residual-encoded table), ``rqdt(query_id, s, code, pd)`` (query
+    residual distance tables) and ``cellmates(query_id, cand_id)`` (the
+    probed-cell candidate set). Residual ADC approximates ||q - x||^2
+    exactly when q and x share a cell — which is the only place it is
+    evaluated, because candidates come from the query's own fitted
+    cell."""
+    assert 64 % m == 0, "m must divide the embedding dimensionality"
+    w = 64 // m
+    return f"""{_ivf_kmeans_ctes(d, sf)},
+res AS (
+  SELECT e.vec_id, e.dim, round(e.x - c.cx, 6) AS x
+  FROM elems e
+  JOIN final_asg a ON a.vec_id = e.vec_id
+  JOIN cent2 c ON c.cell = a.cell AND c.dim = e.dim
+),
+rsub AS (
+  SELECT vec_id, CAST((dim - dim % {w}) / {w} AS INT) AS s, dim % {w} AS p, x
+  FROM res
+),
+rcb0 AS (
+  SELECT CAST(vec_id AS INT) AS code, s, p, x AS cx FROM rsub WHERE vec_id < {k}
+),
+rd0 AS (
+  SELECT t.vec_id, t.s, c.code,
+         round(sum((t.x - c.cx) * (t.x - c.cx)), 6) AS d2
+  FROM rsub t JOIN rcb0 c ON c.s = t.s AND c.p = t.p
+  GROUP BY t.vec_id, t.s, c.code
+),
+ra0 AS (
+  SELECT vec_id, s, code FROM (
+    SELECT vec_id, s, code,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, code) AS rk
+    FROM rd0
+  ) t WHERE rk = 1
+),
+rcb1 AS (
+  -- integer-microunit mean: residuals are exact 6-decimal multiples, so
+  -- summing them as micro-int64 is EXACT and summation-order-free — a
+  -- float avg here differs between engines by an ulp and can flip the
+  -- 6-decimal round (measured: one flipped codebook entry at sf0.001).
+  -- The mean is rounded in INTEGER micro space (si/n to the nearest
+  -- micro), never with round(x, 6): Spark rounds doubles through their
+  -- shortest decimal repr while DuckDB rounds the exact binary value,
+  -- and integer-exact quotients land on 7th-digit ties systematically
+  -- (measured: -1009372/8e6 -> -0.126172 on Spark, -0.126171 on
+  -- DuckDB). Half-ties in micro space (x.5) are exactly representable
+  -- dyadic doubles, where both engines agree (half away from zero).
+  SELECT a.code, a.s, t.p,
+         CAST(round(CAST(sum(CAST(round(t.x * 1000000) AS BIGINT)) AS DOUBLE)
+                    / count(*)) AS BIGINT) / 1000000.0 AS cx
+  FROM ra0 a JOIN rsub t ON t.vec_id = a.vec_id AND t.s = a.s
+  GROUP BY a.code, a.s, t.p
+),
+rd1 AS (
+  SELECT t.vec_id, t.s, c.code,
+         round(sum((t.x - c.cx) * (t.x - c.cx)), 6) AS d2
+  FROM rsub t JOIN rcb1 c ON c.s = t.s AND c.p = t.p
+  GROUP BY t.vec_id, t.s, c.code
+),
+rcodes AS (
+  SELECT vec_id, s, code FROM (
+    SELECT vec_id, s, code,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, code) AS rk
+    FROM rd1
+  ) t WHERE rk = 1
+),
+rqdt AS (
+  SELECT t.vec_id AS query_id, t.s, c.code,
+         round(sum((t.x - c.cx) * (t.x - c.cx)), 6) AS pd
+  FROM rsub t JOIN rcb1 c ON c.s = t.s AND c.p = t.p
+  WHERE t.vec_id < 10
+  GROUP BY t.vec_id, t.s, c.code
+),
+cellmates AS (
+  SELECT q.vec_id AS query_id, x.vec_id AS cand_id
+  FROM final_asg q JOIN final_asg x
+    ON x.cell = q.cell AND x.vec_id != q.vec_id
+  WHERE q.vec_id < 10
+)"""
+
+
+@register("ann_ivfpq_adc")
+def _q_ann_ivfpq_adc(d, sf, m: int = 8, k: int = 16):
+    """Similarity-search scale path #5 — the PRODUCTION composition:
+    IVF-PQ with residual ADC (Jégou et al., TPAMI 2011; the FAISS
+    IndexIVFPQ default that powers billion-vector search). The fitted
+    coarse quantizer (the ann_ivf_kmeans chain) partitions the corpus
+    into cells; a PQ codebook fitted on RESIDUALS (vector minus its
+    cell centroid) encodes each vector as m small ints; a query probes
+    ONLY its fitted cell and ranks cellmates by a sum of m table
+    lookups against its residual distance table. Fixture override
+    m=32/k=64 via SYNTHETIC_GATES (same noise-geometry rationale as
+    ann_pq_adc).
+
+    100 TB shape — this is the plan every standalone ANN system runs,
+    here as three composable DataFrame stages: (1) fit = hash
+    aggregates, centroid/codebook side broadcast-trivial at any n;
+    (2) encode = the raw embedding table is touched ONCE, then only
+    (vec_id, cell, m codes) rows — a ~30x byte reduction — ever
+    shuffle; (3) search = equi-join on cell id then hash join on
+    (subspace, code): candidate-bounded by the cell, never all-pairs,
+    and the scan side reads codes, not vectors."""
+    return f"""WITH {_ivfpq_ctes(d, sf, m, k)},
+adc AS (
+  -- same order-free integer-microunit sum as rcb1: pd values are exact
+  -- 6-decimal multiples, m of them sum exactly in int64; the final
+  -- micro-int / 1e6 division is the canonical 6-decimal double on both
+  -- engines — no fractional round anywhere
+  SELECT cm.query_id, cm.cand_id,
+         CAST(sum(CAST(round(dt.pd * 1000000) AS BIGINT)) AS DOUBLE)
+           / 1000000.0 AS adist
+  FROM cellmates cm
+  JOIN rcodes a ON a.vec_id = cm.cand_id
+  JOIN rqdt dt ON dt.query_id = cm.query_id AND dt.s = a.s AND dt.code = a.code
+  GROUP BY cm.query_id, cm.cand_id
+)
+SELECT query_id, cand_id, adist AS approx_dist, rk
+FROM (
+  SELECT query_id, cand_id, adist,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY adist ASC, cand_id
+         ) AS rk
+  FROM adc
+) t WHERE rk <= 3
+ORDER BY query_id, rk"""
 
 
 @register("ann_pq_recall_at_k")
@@ -3327,33 +3460,29 @@ def _ivf_multiprobe_spark(spark, sf_dir):
     )
 
 
-def _pq_state(spark, sf_dir):
-    """Per-application memoized PQ fit+encode state: (sub, codes, qd).
+def _pq_fit_from_sub(spark, sub, m: int, k: int, int_micro_avg: bool = False):
+    """The literal-state PQ fit+encode chain over pinned subvector rows
+    ``sub(vec_id, s, xs)`` (w-dim arrays) — shared by the flat-PQ state
+    (_pq_state) and the IVF-PQ residual path (_ivfpq_spark).
 
-    The SQL form of _pq_ctes is long-form relational algebra — every
-    distance pass is an n*64-row join exploding to n*64*k rows, a hash
-    aggregate with n*m*k groups, and an argmin window over n*m*k rows,
-    and Catalyst re-runs it once per CTE reference. But the codebook is
-    MODEL state, not data: k*m*w = a few thousand doubles at any corpus
-    size. So the Spark side fits the same two-step Lloyd chain with the
-    codebook as a driver-side literal (the collect is O(k*m*w),
-    independent of n — the same bounded state a production PQ fit
-    broadcasts) and distance + argmin become pure array projections over
-    the n*m subvector rows: zip_with squared-L2 against the literal,
-    array_min + array_position for the code (first minimum = lowest
-    code, the SQL tie rule). No join, no aggregate, no window anywhere
-    in the encode path. All rounding happens at the same 6-decimal
-    points as the SQL dialects, so codes and distance tables are
-    identical (oracle parity enforced).
+    The codebook is MODEL state, not data: k*m*w = a few thousand
+    doubles at any corpus size. The fit runs the same two-step Lloyd
+    chain as the SQL dialects with the codebook as a driver-side literal
+    (each collect is O(k*m*w), independent of n — the same bounded state
+    a production PQ fit broadcasts) and distance + argmin become pure
+    array projections over the n*m subvector rows: unrolled squared-L2
+    against the literal, array_min + array_position for the code (first
+    minimum = lowest code, the SQL tie rule). No join, no aggregate, no
+    window anywhere in the encode path. All rounding happens at the same
+    6-decimal points as the SQL dialects, so codes and distance tables
+    are identical (oracle parity enforced).
 
-    Returns: sub (vec_id, s, xs w-dim subvector), codes (vec_id, s,
-    code), qd (query_id, s, code, pd) — the per-query ADC distance
-    tables for vec_id < 10, one row per code (unassigned codes carry
-    +Inf and can never join the encode table)."""
+    Returns: codes (vec_id, s, code), qd (query_id, s, code, pd) — the
+    per-query ADC distance tables for vec_id < 10, one row per code
+    (unassigned codes carry +Inf and can never join the encode
+    table)."""
     from pyspark.sql import functions as F
 
-    gates = SYNTHETIC_GATES["ann_pq_adc"]
-    m, k = gates["m"], gates["k"]
     w = 64 // m
 
     def cb_literal(rows):
@@ -3399,68 +3528,193 @@ def _pq_state(spark, sf_dir):
             F.array_position(F.col(d2s), F.array_min(F.col(d2s))) - 1
         ).cast("int")
 
+    # init codebook = the first k vectors' subvectors (code = vec_id)
+    cb0 = cb_literal(
+        [
+            (int(r["s"]), int(r["vec_id"]), [float(x) for x in r["xs"]])
+            for r in sub.filter(F.col("vec_id") < k).collect()
+        ]
+    )
+    a0 = sub.withColumn("d2s", dist_col(cb0)).select(
+        "vec_id", "s", "xs", code_of("d2s").alias("code")
+    )
+    # one Lloyd update: per-(code, s, p) mean of the assigned
+    # subvectors — one small hash aggregate, collected as model state.
+    # int_micro_avg (the IVF-PQ residual path): inputs are exact
+    # 6-decimal multiples, so the micro-int64 sum is summation-order-free
+    # and the mean is bit-identical across engines (matches the SQL
+    # dialects' integer-microunit rcb1)
+    if int_micro_avg:
+        # mean rounded in INTEGER micro space (see the SQL rcb1 comment:
+        # Spark rounds doubles via shortest-repr, so round(x, 6) flips
+        # on the integer-exact 7th-digit ties this quotient produces)
+        cx_agg = (
+            F.round(
+                F.sum(F.round(F.col("x") * 1e6).cast("long")).cast("double")
+                / F.count(F.lit(1))
+            ).cast("long")
+            / F.lit(1e6)
+        ).alias("cx")
+    else:
+        cx_agg = F.round(F.avg("x"), 6).alias("cx")
+    cells = {}
+    for r in (
+        a0.select("code", "s", F.posexplode("xs").alias("p", "x"))
+        .groupBy("code", "s", "p")
+        .agg(cx_agg)
+        .collect()
+    ):
+        cells.setdefault((int(r["s"]), int(r["code"])), {})[int(r["p"])] = float(
+            r["cx"]
+        )
+    cb1 = cb_literal(
+        [(s, c, [d[p] for p in sorted(d)]) for (s, c), d in cells.items()]
+    )
+    scored = sub.withColumn("d2s", dist_col(cb1)).localCheckpoint(eager=True)
+    codes = scored.select("vec_id", "s", code_of("d2s").alias("code"))
+    qd = (
+        scored.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "s",
+            F.posexplode("d2s").alias("code0", "pd"),
+        )
+        .select(
+            "query_id", "s", F.col("code0").cast("int").alias("code"), "pd"
+        )
+    )
+    return codes, qd
+
+
+def _pq_sub_df(spark, df_or_path, m: int, vec_col: str = "embedding"):
+    """Pinned subvector rows (vec_id, s, xs) for the PQ fit — spread
+    over the cluster first: the source is one small parquet split and
+    the fit's per-row work (k distance lambdas) is CPU-bound."""
+    from pyspark.sql import functions as F
+
+    w = 64 // m
+    src = (
+        spark.read.parquet(df_or_path)
+        if isinstance(df_or_path, str)
+        else df_or_path
+    )
+    return (
+        src.select(
+            "vec_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, {m - 1}), s -> "
+                    f"transform(slice({vec_col}, s * {w} + 1, {w}), "
+                    "x -> CAST(x AS DOUBLE)))"
+                )
+            ).alias("s", "xs"),
+        )
+        .select("vec_id", F.col("s").cast("int").alias("s"), "xs")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
+    )
+
+
+def _pq_state(spark, sf_dir):
+    """Per-application memoized flat-PQ fit+encode state over the raw
+    embeddings: (sub, codes, qd) — see _pq_fit_from_sub for the
+    literal-state fit chain and its SQL-parity rounding/tie rules."""
+    gates = SYNTHETIC_GATES["ann_pq_adc"]
+    m, k = gates["m"], gates["k"]
+
     def build():
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        sub = (
-            emb.select(
-                "vec_id",
-                F.posexplode(
-                    F.expr(
-                        f"transform(sequence(0, {m - 1}), s -> "
-                        f"transform(slice(embedding, s * {w} + 1, {w}), "
-                        "x -> CAST(x AS DOUBLE)))"
-                    )
-                ).alias("s", "xs"),
-            )
-            .select("vec_id", F.col("s").cast("int").alias("s"), "xs")
-            # the embeddings table is one small parquet split; the fit's
-            # per-row work (k higher-order-function distance lambdas) is
-            # CPU-bound, so spread the n*m rows over the cluster before
-            # pinning them
-            .repartition(spark.sparkContext.defaultParallelism)
-            .localCheckpoint(eager=True)
-        )
-        # init codebook = the first k vectors' subvectors (code = vec_id)
-        cb0 = cb_literal(
-            [
-                (int(r["s"]), int(r["vec_id"]), [float(x) for x in r["xs"]])
-                for r in sub.filter(F.col("vec_id") < k).collect()
-            ]
-        )
-        a0 = sub.withColumn("d2s", dist_col(cb0)).select(
-            "vec_id", "s", "xs", code_of("d2s").alias("code")
-        )
-        # one Lloyd update: per-(code, s, p) mean of the assigned
-        # subvectors — one small hash aggregate, collected as model state
-        cells = {}
-        for r in (
-            a0.select("code", "s", F.posexplode("xs").alias("p", "x"))
-            .groupBy("code", "s", "p")
-            .agg(F.round(F.avg("x"), 6).alias("cx"))
-            .collect()
-        ):
-            cells.setdefault((int(r["s"]), int(r["code"])), {})[int(r["p"])] = float(
-                r["cx"]
-            )
-        cb1 = cb_literal(
-            [(s, c, [d[p] for p in sorted(d)]) for (s, c), d in cells.items()]
-        )
-        scored = sub.withColumn("d2s", dist_col(cb1)).localCheckpoint(eager=True)
-        codes = scored.select("vec_id", "s", code_of("d2s").alias("code"))
-        qd = (
-            scored.filter(F.col("vec_id") < 10)
-            .select(
-                F.col("vec_id").alias("query_id"),
-                "s",
-                F.posexplode("d2s").alias("code0", "pd"),
-            )
-            .select(
-                "query_id", "s", F.col("code0").cast("int").alias("code"), "pd"
-            )
-        )
+        sub = _pq_sub_df(spark, f"{sf_dir}/embeddings.parquet", m)
+        codes, qd = _pq_fit_from_sub(spark, sub, m, k)
         return sub, codes, qd
 
     return _app_cached(spark, f"pq_state:{sf_dir}", build)
+
+
+def _ivfpq_spark(spark, sf_dir):
+    """ann_ivfpq_adc on the engine path — the production IVF-ADC plan:
+
+    1. FIT (shared): the memoized Lloyd assignment (_ivf_final_asg_df —
+       one fit serves the whole IVF family) and its final centroids,
+       collected as an O(cells*dim) literal. Residual rows are then one
+       projection over the embedding scan: v[d] - CENT[cell][d], rounded
+       at 6 exactly where the SQL dialect rounds res.x.
+    2. ENCODE: the literal-state PQ chain (_pq_fit_from_sub) over the
+       residual subvectors — after this, raw vectors never shuffle
+       again; only (vec_id, cell) and (vec_id, s, code) rows move.
+    3. SEARCH: cellmates = an equi-join of the assignment against the
+       query rows on cell id (candidate-bounded — never all-pairs); the
+       candidates' codes join the BROADCAST per-query residual distance
+       tables on (query_id, s, code) and one hash aggregate sums m
+       lookups into the ADC distance. The SQL builder stays the
+       independent DuckDB oracle."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    gates = SYNTHETIC_GATES["ann_ivfpq_adc"]
+    m, k = gates["m"], gates["k"]
+
+    def build():
+        asg = _ivf_final_asg_df(spark, sf_dir)
+        cent_rows = _ivf_final_cent_df(spark, sf_dir).collect()
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in cent_rows:
+            by_cell.setdefault(int(r["cell"]), {})[int(r["dim"])] = float(r["cx"])
+        cent_lit = "array(" + ", ".join(
+            "array("
+            + ", ".join(
+                f"CAST({by_cell[c][d]!r} AS DOUBLE)" for d in range(64)
+            )
+            + ")"
+            for c in sorted(by_cell)
+        ) + ")"
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").join(
+            asg, "vec_id"
+        )
+        res = emb.select(
+            "vec_id",
+            "cell",
+            F.expr(
+                f"zip_with(embedding, element_at({cent_lit}, "
+                "CAST(cell AS INT) + 1), "
+                "(x, c) -> round(CAST(x AS DOUBLE) - c, 6))"
+            ).alias("rv"),
+        )
+        rsub = _pq_sub_df(spark, res, m, vec_col="rv")
+        rcodes, rqd = _pq_fit_from_sub(spark, rsub, m, k, int_micro_avg=True)
+        return asg.localCheckpoint(eager=True), rcodes, rqd
+
+    asg, rcodes, rqd = _app_cached(spark, f"ivfpq_state:{sf_dir}", build)
+    q = asg.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "cell"
+    )
+    cellmates = (
+        asg.join(F.broadcast(q), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("cand_id"))
+    )
+    adc = (
+        rcodes.join(
+            cellmates, rcodes["vec_id"] == cellmates["cand_id"]
+        )
+        .join(F.broadcast(rqd), ["query_id", "s", "code"])
+        .groupBy("query_id", "cand_id")
+        # order-free integer-microunit sum, matching the SQL adc
+        .agg(
+            (
+                F.sum(F.round(F.col("pd") * 1e6).cast("long")).cast("double")
+                / F.lit(1e6)
+            ).alias("approx_dist")
+        )
+    )
+    wnd = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("cand_id")
+    )
+    return (
+        adc.withColumn("rk", F.row_number().over(wnd))
+        .filter("rk <= 3")
+        .select("query_id", "cand_id", "approx_dist", "rk")
+        .orderBy("query_id", "rk")
+    )
 
 
 def _pq_adc_top3(spark, sf_dir):
@@ -3641,6 +3895,7 @@ _SPARK_OVERRIDES = {
     "ann_ivf_multiprobe": _ivf_multiprobe_spark,
     "ann_pq_adc": _pq_adc_spark,
     "ann_pq_recall_at_k": _pq_recall_spark,
+    "ann_ivfpq_adc": _ivfpq_spark,
     # engine-path overrides: the SQL builder is the oracle, the Spark
     # side runs the engine's own operator (robots broadcast gate, F8
     # credential dimension join)
