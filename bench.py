@@ -74,6 +74,7 @@ HEADLINE_QUERIES = [
     "ann_pq_adc",
     "ann_pq_recall_at_k",
     "ann_ivfpq_adc",
+    "ann_ivfpq_recall_at_k",
     "embedding_int8_quant",
     "near_dup_clusters",
     "corpus_curation_pipeline",

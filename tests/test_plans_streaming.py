@@ -208,7 +208,9 @@ def test_neardup_and_jaccard_have_no_pair_explosion(spark):
         "ann_ivf",
         # IVF-PQ: candidates equi-join on cell id, ADC joins codes on
         # (query_id, subspace, code) — raw vectors never pair-join
+        # (the recall query's exact side is a 10-query broadcast probe)
         "ann_ivfpq_adc",
+        "ann_ivfpq_recall_at_k",
         "embedding_int8_quant",
         # decontamination: eval grams broadcast against train grams —
         # never a train-train pairing

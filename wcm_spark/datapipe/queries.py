@@ -157,6 +157,7 @@ SYNTHETIC_GATES: dict[str, dict] = {
     "ann_pq_adc": {"m": 32, "k": 64},
     "ann_pq_recall_at_k": {"m": 32, "k": 64},
     "ann_ivfpq_adc": {"m": 32, "k": 64},
+    "ann_ivfpq_recall_at_k": {"m": 32, "k": 64},
     "doc_decontamination": {"n": 3},
     "sequence_packing": {"seq_len": 256},
 }
@@ -1724,6 +1725,55 @@ FROM (
   FROM adc
 ) t WHERE rk <= 3
 ORDER BY query_id, rk"""
+
+
+@register("ann_ivfpq_recall_at_k")
+def _q_ann_ivfpq_recall(d, sf, m: int = 8, k: int = 16):
+    """Estimator-quality query for the IVF-PQ path: per-query recall@3
+    of the cell-bounded residual-ADC top-3 against the brute-force exact
+    squared-L2 top-3 over the WHOLE corpus. Unlike ann_pq_recall_at_k
+    this measures BOTH loss sources a production IVF-PQ deployment
+    tunes: quantization error (m, k) AND cell-pruning misses (a true
+    neighbor living in a different coarse cell is unreachable at
+    nprobe=1). At 100 TB this is the query that sets nprobe/m/k over a
+    sampled query set."""
+    return f"""WITH {_ivfpq_ctes(d, sf, m, k)},
+adc3 AS (
+  SELECT query_id, cand_id FROM (
+    SELECT cm.query_id, cm.cand_id,
+           row_number() OVER (
+             PARTITION BY cm.query_id
+             ORDER BY CAST(sum(CAST(round(dt.pd * 1000000) AS BIGINT)) AS DOUBLE)
+                        / 1000000.0 ASC, cm.cand_id
+           ) AS rk
+    FROM cellmates cm
+    JOIN rcodes a ON a.vec_id = cm.cand_id
+    JOIN rqdt dt ON dt.query_id = cm.query_id AND dt.s = a.s AND dt.code = a.code
+    GROUP BY cm.query_id, cm.cand_id
+  ) t WHERE rk <= 3
+),
+l2 AS (
+  SELECT q.vec_id AS query_id, x.vec_id AS cand_id,
+         round(sum((q.x - x.x) * (q.x - x.x)), 6) AS d2
+  FROM elems q JOIN elems x
+    ON x.dim = q.dim AND q.vec_id < 10 AND x.vec_id != q.vec_id
+  GROUP BY q.vec_id, x.vec_id
+),
+exact3 AS (
+  SELECT query_id, cand_id FROM (
+    SELECT query_id, cand_id,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY d2 ASC, cand_id
+           ) AS rk
+    FROM l2
+  ) t WHERE rk <= 3
+)
+SELECT e.query_id,
+       round(CAST(count(a.cand_id) AS DOUBLE) / 3.0, 4) AS recall_at_3
+FROM exact3 e
+LEFT JOIN adc3 a ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+GROUP BY e.query_id
+ORDER BY e.query_id"""
 
 
 @register("ann_pq_recall_at_k")
@@ -3630,8 +3680,9 @@ def _pq_state(spark, sf_dir):
     return _app_cached(spark, f"pq_state:{sf_dir}", build)
 
 
-def _ivfpq_spark(spark, sf_dir):
-    """ann_ivfpq_adc on the engine path — the production IVF-ADC plan:
+def _ivfpq_adc_top3(spark, sf_dir):
+    """The cell-bounded ADC top-3 frame — the production IVF-ADC plan,
+    shared by ann_ivfpq_adc and ann_ivfpq_recall_at_k:
 
     1. FIT (shared): the memoized Lloyd assignment (_ivf_final_asg_df —
        one fit serves the whole IVF family) and its final centroids,
@@ -3709,11 +3760,54 @@ def _ivfpq_spark(spark, sf_dir):
     wnd = Window.partitionBy("query_id").orderBy(
         F.col("approx_dist").asc(), F.col("cand_id")
     )
-    return (
-        adc.withColumn("rk", F.row_number().over(wnd))
+    return adc.withColumn("rk", F.row_number().over(wnd)).filter("rk <= 3")
+
+
+def _ivfpq_spark(spark, sf_dir):
+    """ann_ivfpq_adc on the engine path — see _ivfpq_adc_top3."""
+    return _ivfpq_adc_top3(spark, sf_dir).select(
+        "query_id", "cand_id", "approx_dist", "rk"
+    ).orderBy("query_id", "rk")
+
+
+def _ivfpq_recall_spark(spark, sf_dir):
+    """ann_ivfpq_recall_at_k on the engine path: the cell-bounded ADC
+    top-3 (shared _ivfpq_adc_top3 frame) scored against the brute-force
+    exact squared-L2 top-3 computed from the memoized flat subvector
+    frame (query side broadcast, per-subspace partials sum JVM-side)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    adc3 = _ivfpq_adc_top3(spark, sf_dir).select(
+        "query_id", "cand_id", F.lit(1).alias("hit")
+    )
+    sub, _, _ = _pq_state(spark, sf_dir)
+    qsub = sub.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "s", F.col("xs").alias("qxs")
+    )
+    pd = F.expr(
+        "aggregate(zip_with(qxs, xs, (a, b) -> (a - b) * (a - b)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    l2 = (
+        sub.join(F.broadcast(qsub), "s")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", pd.alias("pd"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("pd"), 6).alias("d2"))
+    )
+    wnd = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("vec_id"))
+    exact3 = (
+        l2.withColumn("rk", F.row_number().over(wnd))
         .filter("rk <= 3")
-        .select("query_id", "cand_id", "approx_dist", "rk")
-        .orderBy("query_id", "rk")
+        .select("query_id", F.col("vec_id").alias("cand_id"))
+    )
+    return (
+        exact3.join(adc3, ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.round(F.count("hit").cast("double") / 3.0, 4).alias("recall_at_3")
+        )
     )
 
 
@@ -3896,6 +3990,7 @@ _SPARK_OVERRIDES = {
     "ann_pq_adc": _pq_adc_spark,
     "ann_pq_recall_at_k": _pq_recall_spark,
     "ann_ivfpq_adc": _ivfpq_spark,
+    "ann_ivfpq_recall_at_k": _ivfpq_recall_spark,
     # engine-path overrides: the SQL builder is the oracle, the Spark
     # side runs the engine's own operator (robots broadcast gate, F8
     # credential dimension join)
