@@ -907,8 +907,46 @@ def main():
     print(line)
 
 
+def sweep_only():
+    """Developer loop: ONLY the query sweep + kernel microbench (no
+    pairs, no crawl, no probe gates) — one JSON line, ~1 min at sf0.1.
+    The full protocol stays main(); the driver never calls this."""
+    from wcm_spark.corpus import corpus_df
+    from wcm_spark.datapipe.queries import spark_queries
+    from wcm_spark.session import get_spark
+
+    sites, pages_per_site = _corpus_size()
+    qs = spark_queries()
+    spark = get_spark("wcm-bench-sweep", cpus=CPUS, shuffle_partitions=CPUS)
+    corpus_tmp = tempfile.mkdtemp(prefix="wcm-bench-corpus-")
+    corpus_path = os.path.join(corpus_tmp, "corpus.parquet")
+    corpus_df(spark, sites, pages_per_site).write.mode("overwrite").parquet(corpus_path)
+    (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .groupBy("lang")
+        .count()
+        .count()
+    )
+    query_secs = {}
+    for name in HEADLINE_QUERIES:
+        t0 = time.monotonic()
+        qs[name](spark, SF_DIR).count()
+        query_secs[name] = round(time.monotonic() - t0, 3)
+    spark.stop()
+    print(json.dumps({
+        "metric": "sweep_total_sec",
+        "value": round(sum(query_secs.values()), 3),
+        "unit": "sec",
+        "queries": dict(sorted(query_secs.items(), key=lambda kv: -kv[1])),
+        "kernels": _kernel_probe(corpus_path),
+        "sf": os.path.basename(SF_DIR.rstrip("/")),
+    }))
+
+
 if __name__ == "__main__":
     if "--child" in sys.argv:
         _child_main()
+    elif "--sweep-only" in sys.argv:
+        sweep_only()
     else:
         main()
