@@ -616,14 +616,10 @@ def _spawn(
 
 def main():
     from wcm_spark.corpus import corpus_df
-    from wcm_spark.datapipe.queries import spark_queries
     from wcm_spark.session import get_spark
 
     sf_name = os.path.basename(SF_DIR.rstrip("/"))
     sites, pages_per_site = _corpus_size()
-
-    qs = spark_queries()
-    query_secs: dict[str, float] = {}
 
     spark = get_spark("wcm-bench-queries", cpus=CPUS, shuffle_partitions=CPUS)
     corpus_tmp = tempfile.mkdtemp(prefix="wcm-bench-corpus-")
@@ -773,20 +769,7 @@ def main():
     # throttles this box); the query sweep is a per-operator diagnostic
     # where relative ordering matters more than absolute numbers
     qspark = get_spark("wcm-bench-queries", cpus=CPUS, shuffle_partitions=CPUS)
-    # untimed session warm-up (codegen JIT + scan/shuffle paths): without
-    # it the FIRST sweep entry absorbs 5-6s of session cold-start no
-    # matter which query runs first, corrupting its round-over-round
-    # signal (wave_cut_politeness read 6.6s cold vs ~1s warm)
-    (
-        qspark.read.parquet(f"{SF_DIR}/documents.parquet")
-        .groupBy("lang")
-        .count()
-        .count()
-    )
-    for name in HEADLINE_QUERIES:
-        t0 = time.monotonic()
-        qs[name](qspark, SF_DIR).count()
-        query_secs[name] = round(time.monotonic() - t0, 3)
+    query_secs = _run_sweep(qspark)
     qspark.stop()
 
     kernels = _kernel_probe(corpus_path)
@@ -907,20 +890,15 @@ def main():
     print(line)
 
 
-def sweep_only():
-    """Developer loop: ONLY the query sweep + kernel microbench (no
-    pairs, no crawl, no probe gates) — one JSON line, ~1 min at sf0.1.
-    The full protocol stays main(); the driver never calls this."""
-    from wcm_spark.corpus import corpus_df
+def _run_sweep(spark) -> dict:
+    """THE timed query sweep — one definition shared by main() and
+    sweep_only() so the two protocols can never silently diverge:
+    one untimed warm-up aggregate (codegen JIT + scan/shuffle paths —
+    without it the first entry absorbs 5-6s of session cold-start),
+    then each headline query timed to completion."""
     from wcm_spark.datapipe.queries import spark_queries
-    from wcm_spark.session import get_spark
 
-    sites, pages_per_site = _corpus_size()
     qs = spark_queries()
-    spark = get_spark("wcm-bench-sweep", cpus=CPUS, shuffle_partitions=CPUS)
-    corpus_tmp = tempfile.mkdtemp(prefix="wcm-bench-corpus-")
-    corpus_path = os.path.join(corpus_tmp, "corpus.parquet")
-    corpus_df(spark, sites, pages_per_site).write.mode("overwrite").parquet(corpus_path)
     (
         spark.read.parquet(f"{SF_DIR}/documents.parquet")
         .groupBy("lang")
@@ -932,6 +910,22 @@ def sweep_only():
         t0 = time.monotonic()
         qs[name](spark, SF_DIR).count()
         query_secs[name] = round(time.monotonic() - t0, 3)
+    return query_secs
+
+
+def sweep_only():
+    """Developer loop: ONLY the query sweep + kernel microbench (no
+    pairs, no crawl, no probe gates) — one JSON line, ~1 min at sf0.1.
+    The full protocol stays main(); the driver never calls this."""
+    from wcm_spark.corpus import corpus_df
+    from wcm_spark.session import get_spark
+
+    sites, pages_per_site = _corpus_size()
+    spark = get_spark("wcm-bench-sweep", cpus=CPUS, shuffle_partitions=CPUS)
+    corpus_tmp = tempfile.mkdtemp(prefix="wcm-bench-corpus-")
+    corpus_path = os.path.join(corpus_tmp, "corpus.parquet")
+    corpus_df(spark, sites, pages_per_site).write.mode("overwrite").parquet(corpus_path)
+    query_secs = _run_sweep(spark)
     spark.stop()
     print(json.dumps({
         "metric": "sweep_total_sec",

@@ -298,6 +298,42 @@ def test_store_compact_preserves_rows_and_reduces_dirs(spark, tmp_path):
         store.read(spark, "visits", version=4)
 
 
+def test_store_compact_is_incremental(spark, tmp_path):
+    """Compaction must NOT rewrite already-compacted data: a second
+    cycle carries the previous compaction's (large) dir untouched and
+    rewrites only the new small append dirs — otherwise maintenance
+    write I/O is O(W^2) over the crawl's lifetime."""
+    import os
+
+    from wcm_spark.store import TableStore
+
+    store = TableStore(str(tmp_path))
+    n_big = 50_000
+    for w in range(1, 4):
+        store.commit(
+            "t", spark.range((w - 1) * n_big, w * n_big), mode="append"
+        )
+    assert store.compact(spark, "t") == 4
+    big_dir = store.snapshots("t")[-1]["dirs"][0]
+    big_bytes = store._dir_bytes([big_dir])
+    store.commit("t", spark.range(3 * n_big, 3 * n_big + 100), mode="append")
+    store.commit(
+        "t", spark.range(3 * n_big + 100, 3 * n_big + 200), mode="append"
+    )
+    # target sized so the earlier compaction output counts as "large"
+    # while the two fresh (tiny) append dirs count as "small"
+    v = store.compact(spark, "t", target_file_bytes=big_bytes)
+    assert v == 7
+    snap = store.snapshots("t")[-1]
+    assert big_dir in snap["dirs"]  # carried, not rewritten
+    assert len(snap["dirs"]) == 2  # big dir + one new compacted dir
+    assert snap["meta"]["dirs_carried"] == 1
+    assert snap["meta"]["dirs_before"] == 2  # only the small dirs
+    mtime_before = os.path.getmtime(big_dir)
+    assert store.read(spark, "t").count() == 3 * n_big + 200
+    assert os.path.getmtime(big_dir) == mtime_before
+
+
 def test_store_expire_keeps_shared_dirs(spark, tmp_path):
     """Append snapshots share data dirs with their successors — expiry
     must never delete a dir a retained snapshot still references."""

@@ -1678,6 +1678,20 @@ cellmates AS (
   FROM final_asg q JOIN final_asg x
     ON x.cell = q.cell AND x.vec_id != q.vec_id
   WHERE q.vec_id < 10
+),
+ivfpq_adc AS (
+  -- order-free integer-microunit sum (see rcb1): pd values are exact
+  -- 6-decimal multiples, m of them sum exactly in int64; the final
+  -- micro-int / 1e6 division is the canonical 6-decimal double on both
+  -- engines — no fractional round anywhere. ONE definition consumed by
+  -- both ann_ivfpq_adc and ann_ivfpq_recall_at_k.
+  SELECT cm.query_id, cm.cand_id,
+         CAST(sum(CAST(round(dt.pd * 1000000) AS BIGINT)) AS DOUBLE)
+           / 1000000.0 AS adist
+  FROM cellmates cm
+  JOIN rcodes a ON a.vec_id = cm.cand_id
+  JOIN rqdt dt ON dt.query_id = cm.query_id AND dt.s = a.s AND dt.code = a.code
+  GROUP BY cm.query_id, cm.cand_id
 )"""
 
 
@@ -1702,27 +1716,14 @@ def _q_ann_ivfpq_adc(d, sf, m: int = 8, k: int = 16):
     shuffle; (3) search = equi-join on cell id then hash join on
     (subspace, code): candidate-bounded by the cell, never all-pairs,
     and the scan side reads codes, not vectors."""
-    return f"""WITH {_ivfpq_ctes(d, sf, m, k)},
-adc AS (
-  -- same order-free integer-microunit sum as rcb1: pd values are exact
-  -- 6-decimal multiples, m of them sum exactly in int64; the final
-  -- micro-int / 1e6 division is the canonical 6-decimal double on both
-  -- engines — no fractional round anywhere
-  SELECT cm.query_id, cm.cand_id,
-         CAST(sum(CAST(round(dt.pd * 1000000) AS BIGINT)) AS DOUBLE)
-           / 1000000.0 AS adist
-  FROM cellmates cm
-  JOIN rcodes a ON a.vec_id = cm.cand_id
-  JOIN rqdt dt ON dt.query_id = cm.query_id AND dt.s = a.s AND dt.code = a.code
-  GROUP BY cm.query_id, cm.cand_id
-)
+    return f"""WITH {_ivfpq_ctes(d, sf, m, k)}
 SELECT query_id, cand_id, adist AS approx_dist, rk
 FROM (
   SELECT query_id, cand_id, adist,
          row_number() OVER (
            PARTITION BY query_id ORDER BY adist ASC, cand_id
          ) AS rk
-  FROM adc
+  FROM ivfpq_adc
 ) t WHERE rk <= 3
 ORDER BY query_id, rk"""
 
@@ -1740,16 +1741,11 @@ def _q_ann_ivfpq_recall(d, sf, m: int = 8, k: int = 16):
     return f"""WITH {_ivfpq_ctes(d, sf, m, k)},
 adc3 AS (
   SELECT query_id, cand_id FROM (
-    SELECT cm.query_id, cm.cand_id,
+    SELECT query_id, cand_id,
            row_number() OVER (
-             PARTITION BY cm.query_id
-             ORDER BY CAST(sum(CAST(round(dt.pd * 1000000) AS BIGINT)) AS DOUBLE)
-                        / 1000000.0 ASC, cm.cand_id
+             PARTITION BY query_id ORDER BY adist ASC, cand_id
            ) AS rk
-    FROM cellmates cm
-    JOIN rcodes a ON a.vec_id = cm.cand_id
-    JOIN rqdt dt ON dt.query_id = cm.query_id AND dt.s = a.s AND dt.code = a.code
-    GROUP BY cm.query_id, cm.cand_id
+    FROM ivfpq_adc
   ) t WHERE rk <= 3
 ),
 l2 AS (
@@ -2986,26 +2982,30 @@ def _phash_clusters_spark(spark, sf_dir, max_hamming: int = 8):
     gate = SYNTHETIC_GATES.get("image_phash_clusters", {}).get(
         "max_hamming", max_hamming
     )
-    pairs = spark.sql(
-        f"WITH {_phash_pair_ctes('spark', sf_dir, gate)} "
-        "SELECT vec_a, vec_b FROM phash_pairs"
-    ).localCheckpoint(eager=True)
-    n_edges = pairs.count()
-    nodes = (
-        pairs.select(F.col("vec_a").alias("vec_id"))
-        .union(pairs.select(F.col("vec_b").alias("vec_id")))
-        .distinct()
-    )
-    width = max(2, min(
-        spark.sparkContext.defaultParallelism, n_edges // 20_000 + 1
-    ))
-    lbl = connected_components(
-        nodes, pairs, iters=PHASH_CC_ITERS, node_col="vec_id",
-        src="vec_a", dst="vec_b", shuffle_width=width,
-    )
-    final = lbl.select(
-        F.col("url").alias("vec_id"), F.col("component").alias("cluster_id")
-    )
+
+    def build():
+        pairs = spark.sql(
+            f"WITH {_phash_pair_ctes('spark', sf_dir, gate)} "
+            "SELECT vec_a, vec_b FROM phash_pairs"
+        ).localCheckpoint(eager=True)
+        n_edges = pairs.count()
+        nodes = (
+            pairs.select(F.col("vec_a").alias("vec_id"))
+            .union(pairs.select(F.col("vec_b").alias("vec_id")))
+            .distinct()
+        )
+        width = max(2, min(
+            spark.sparkContext.defaultParallelism, n_edges // 20_000 + 1
+        ))
+        lbl = connected_components(
+            nodes, pairs, iters=PHASH_CC_ITERS, node_col="vec_id",
+            src="vec_a", dst="vec_b", shuffle_width=width,
+        )
+        return lbl.select(
+            F.col("url").alias("vec_id"), F.col("component").alias("cluster_id")
+        ).localCheckpoint(eager=True)
+
+    final = _app_cached(spark, f"phash_clusters:{sf_dir}", build)
     sizes = final.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("long").alias("cluster_size")
     )
@@ -3665,6 +3665,18 @@ def _pq_sub_df(spark, df_or_path, m: int, vec_col: str = "embedding"):
     )
 
 
+def _pq_raw_sub_df(spark, sf_dir):
+    """Per-application memoized raw-embedding subvector frame (the
+    ann_pq_adc gate geometry) — the exact-L2 ground-truth input shared
+    by _pq_state and the recall queries, WITHOUT forcing the PQ fit."""
+    m = SYNTHETIC_GATES["ann_pq_adc"]["m"]
+    return _app_cached(
+        spark,
+        f"pq_sub:{sf_dir}",
+        lambda: _pq_sub_df(spark, f"{sf_dir}/embeddings.parquet", m),
+    )
+
+
 def _pq_state(spark, sf_dir):
     """Per-application memoized flat-PQ fit+encode state over the raw
     embeddings: (sub, codes, qd) — see _pq_fit_from_sub for the
@@ -3673,7 +3685,7 @@ def _pq_state(spark, sf_dir):
     m, k = gates["m"], gates["k"]
 
     def build():
-        sub = _pq_sub_df(spark, f"{sf_dir}/embeddings.parquet", m)
+        sub = _pq_raw_sub_df(spark, sf_dir)
         codes, qd = _pq_fit_from_sub(spark, sub, m, k)
         return sub, codes, qd
 
@@ -3770,18 +3782,19 @@ def _ivfpq_spark(spark, sf_dir):
     ).orderBy("query_id", "rk")
 
 
-def _ivfpq_recall_spark(spark, sf_dir):
-    """ann_ivfpq_recall_at_k on the engine path: the cell-bounded ADC
-    top-3 (shared _ivfpq_adc_top3 frame) scored against the brute-force
-    exact squared-L2 top-3 computed from the memoized flat subvector
-    frame (query side broadcast, per-subspace partials sum JVM-side)."""
+def _recall_vs_exact_l2(spark, sf_dir, adc3):
+    """Shared recall@3 scoring against the brute-force exact squared-L2
+    top-3 over the memoized raw subvector frame (query side broadcast,
+    per-subspace partials sum JVM-side, one round at the end like the
+    SQL dialects) — consumed by both PQ recall overrides so the
+    rounding/tie-rule-sensitive ground truth has ONE definition.
+    ``adc3``: (query_id, cand_id) candidate top-3 of the path under
+    evaluation."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    adc3 = _ivfpq_adc_top3(spark, sf_dir).select(
-        "query_id", "cand_id", F.lit(1).alias("hit")
-    )
-    sub, _, _ = _pq_state(spark, sf_dir)
+    adc3 = adc3.select("query_id", "cand_id", F.lit(1).alias("hit"))
+    sub = _pq_raw_sub_df(spark, sf_dir)
     qsub = sub.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "s", F.col("xs").alias("qxs")
     )
@@ -3808,6 +3821,15 @@ def _ivfpq_recall_spark(spark, sf_dir):
         .agg(
             F.round(F.count("hit").cast("double") / 3.0, 4).alias("recall_at_3")
         )
+    )
+
+
+def _ivfpq_recall_spark(spark, sf_dir):
+    """ann_ivfpq_recall_at_k on the engine path: the cell-bounded ADC
+    top-3 (shared _ivfpq_adc_top3 frame) scored by the shared exact-L2
+    ground truth (_recall_vs_exact_l2)."""
+    return _recall_vs_exact_l2(
+        spark, sf_dir, _ivfpq_adc_top3(spark, sf_dir)
     )
 
 
@@ -3848,44 +3870,14 @@ def _pq_adc_spark(spark, sf_dir):
 
 def _pq_recall_spark(spark, sf_dir):
     """ann_pq_recall_at_k in DataFrame form: ADC top-3 from the shared
-    candidate frame; exact squared-L2 ground truth from the memoized
-    subvector frame (query side broadcast — 10*m rows against n*m;
-    per-subspace partials sum JVM-side via zip_with, one round at the
-    end like the SQL dialects)."""
-    from pyspark.sql import Window
+    candidate frame, scored by the shared exact-L2 ground truth
+    (_recall_vs_exact_l2)."""
     from pyspark.sql import functions as F
 
-    sub, _, _ = _pq_state(spark, sf_dir)
     adc3 = _pq_adc_top3(spark, sf_dir).select(
-        "query_id", F.col("vec_id").alias("cand_id"), F.lit(1).alias("hit")
+        "query_id", F.col("vec_id").alias("cand_id")
     )
-    qsub = sub.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), "s", F.col("xs").alias("qxs")
-    )
-    pd = F.expr(
-        "aggregate(zip_with(qxs, xs, (a, b) -> (a - b) * (a - b)), "
-        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-    l2 = (
-        sub.join(F.broadcast(qsub), "s")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", pd.alias("pd"))
-        .groupBy("query_id", "vec_id")
-        .agg(F.round(F.sum("pd"), 6).alias("d2"))
-    )
-    wnd = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("vec_id"))
-    exact3 = (
-        l2.withColumn("rk", F.row_number().over(wnd))
-        .filter("rk <= 3")
-        .select("query_id", F.col("vec_id").alias("cand_id"))
-    )
-    return (
-        exact3.join(adc3, ["query_id", "cand_id"], "left")
-        .groupBy("query_id")
-        .agg(
-            F.round(F.count("hit").cast("double") / 3.0, 4).alias("recall_at_3")
-        )
-    )
+    return _recall_vs_exact_l2(spark, sf_dir, adc3)
 
 
 def _asof_spark(spark, sf_dir):

@@ -130,31 +130,40 @@ class TableStore:
         if not manifest["snapshots"]:
             return None
         cur = manifest["snapshots"][-1]
+        # INCREMENTAL (Iceberg rewrite_data_files semantics): rewrite only
+        # the dirs smaller than one target file — the per-commit append
+        # dirs — and CARRY large dirs (earlier compaction outputs) into
+        # the new snapshot untouched. Rewriting the whole snapshot every
+        # cycle would re-copy the full crawl history per maintenance run:
+        # O(W^2/N) total write I/O over W waves instead of O(W).
+        small = [d for d in cur["dirs"] if self._dir_bytes([d]) < target_file_bytes]
+        keep = [d for d in cur["dirs"] if d not in small]
         n_files = sum(
             1
-            for d in cur["dirs"]
+            for d in small
             for root, _, files in os.walk(d)
             for f in files
             if f.endswith(".parquet")
         )
-        total = self._dir_bytes(cur["dirs"])
+        total = self._dir_bytes(small)
         want = max(1, -(-total // target_file_bytes))  # ceil
-        if len(cur["dirs"]) <= 1 and n_files <= want:
+        if len(small) <= 1 and n_files <= want:
             return None
-        df = spark.read.parquet(*cur["dirs"]).coalesce(want)
+        df = spark.read.parquet(*small).coalesce(want)
         version = manifest["current"] + 1
         data_dir = os.path.join(self._table_dir(name), f"v{version:06d}")
         df.write.mode("overwrite").parquet(data_dir)
         snapshot = {
             "version": version,
             "mode": "compact",
-            "dirs": [data_dir],
+            "dirs": keep + [data_dir],
             "ts": time.time(),
             "meta": {
                 **(meta or (cur["meta"] or {})),
                 "compacted_from": cur["version"],
                 "files_before": n_files,
-                "dirs_before": len(cur["dirs"]),
+                "dirs_before": len(small),
+                "dirs_carried": len(keep),
             },
         }
         manifest["snapshots"].append(snapshot)
@@ -287,14 +296,31 @@ class IcebergTableStore(TableStore):
     ) -> int | None:
         """Iceberg-native compaction via the rewrite_data_files stored
         procedure (same catalog-gated status as the rest of this class —
-        no runtime jar in this sandbox, exercised on a real cluster)."""
+        no runtime jar in this sandbox, exercised on a real cluster).
+
+        rewrite_data_files commits its own snapshot with NO wcm.*
+        summary properties, so the meta carry-forward the filesystem
+        store guarantees is re-established through TBLPROPERTIES — the
+        exact fallback latest_meta() already reads when the newest
+        snapshot's summary is bare."""
         if not self._exists(name):
             return None
+        carry = meta or self.latest_meta(name) or {}
         self.spark.sql(
             f"CALL {self.catalog}.system.rewrite_data_files("
             f"table => '{self.namespace}.{name}', "
             f"options => map('target-file-size-bytes', '{int(target_file_bytes)}'))"
         )
+        if carry:
+            props = ", ".join(
+                "'wcm.{}'='{}'".format(
+                    str(k).replace("'", "''"), str(v).replace("'", "''")
+                )
+                for k, v in carry.items()
+            )
+            self.spark.sql(
+                f"ALTER TABLE {self._ident(name)} SET TBLPROPERTIES ({props})"
+            )
         return self.current_version(name)
 
     def expire_snapshots(self, name: str, keep_last: int = 1) -> list[str]:
