@@ -56,6 +56,12 @@ def test_components_and_degrees_toy(spark):
     assert comp == {"a": "a", "b": "a", "c": "a", "d": "a", "e": "e"}
     deg = {r["url"]: (r["out_deg"], r["in_deg"]) for r in degrees(ndf, edf).collect()}
     assert deg == {"a": (2, 1), "b": (2, 1), "c": (2, 1), "d": (0, 3), "e": (0, 0)}
+    # duplicate edges count once ("over the distinct edge set")
+    dup = {
+        r["url"]: (r["out_deg"], r["in_deg"])
+        for r in degrees(ndf, edf.union(edf)).collect()
+    }
+    assert dup == deg
 
 
 @pytest.fixture(scope="module")

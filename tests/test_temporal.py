@@ -286,6 +286,55 @@ def test_asof_name_collision_raises(frames):
         asof_join(left, right.withColumnRenamed("rid", "lid"), by=["key"])
 
 
+def test_asof_null_left_ts_unmatched_both_directions(spark):
+    """A left row with a null `on` must come back unmatched in BOTH
+    directions. Regression: forward's desc() ordering defaulted to
+    NULLS LAST, which sorted null-ts left rows after every right row
+    and handed them the group's earliest right row."""
+    left = spark.createDataFrame(
+        [("k", None, 1), ("k", _ts(5.0), 2)],
+        "key string, ts timestamp, lid int",
+    )
+    right = spark.createDataFrame(
+        [("k", _ts(10.0), 100, 1.0)],
+        "key string, ts timestamp, rid int, val double",
+    )
+    for direction in ("backward", "forward"):
+        rows = {
+            r["lid"]: (r["rid"], r["val"])
+            for r in asof_join(
+                left, right, by=["key"], direction=direction
+            ).collect()
+        }
+        assert rows[1] == (None, None), direction
+        expected = (None, None) if direction == "backward" else (100, 1.0)
+        assert rows[2] == expected, direction
+
+
+def test_asof_internal_name_collision_raises(frames):
+    left, right = frames
+    with pytest.raises(ValueError, match="internal name collision"):
+        asof_join(left.withColumn("__side", F.lit(1)), right, by=["key"])
+    with pytest.raises(ValueError, match="internal name collision"):
+        asof_join(left.withColumn("__r_rid", F.lit(1)), right, by=["key"])
+
+
+def test_range_join_internal_right_name_collision_raises(frames):
+    """The right side's internal names (__bucket_r, __r_epoch) are
+    reserved on the LEFT frame too — a left column with that name was
+    silently dropped by the final .drop() instead of rejected."""
+    left, right = frames
+    for bad in ("__bucket_r", "__r_epoch"):
+        with pytest.raises(ValueError, match="collision"):
+            range_join(
+                left.withColumn(bad, F.lit(1)),
+                right,
+                by=["key"],
+                lower_sec=-1.0,
+                upper_sec=0.0,
+            )
+
+
 def test_range_join_rejects_outer_and_collisions(frames):
     left, right = frames
     with pytest.raises(ValueError, match="how="):

@@ -2967,21 +2967,28 @@ def _neardup_clusters_spark(spark, sf_dir):
     )
 
 
-def _phash_clusters_spark(spark, sf_dir, max_hamming: int = 8):
+def _phash_clusters_spark(spark, sf_dir, max_hamming: int | None = None):
     """image_phash_clusters on the engine path: the phash pair chain
     runs ONCE (Catalyst would otherwise inline the LSH CTEs into every
     propagation hop), the checkpointed pair set feeds the graph module's
     connected_components with a propagation shuffle width sized to the
     LSH-bounded edge count — the identical shape to
     _neardup_clusters_spark. The SQL builder stays the independent
-    DuckDB oracle."""
+    DuckDB oracle.
+
+    ``max_hamming=None`` (the registry path) takes the fixture gate from
+    SYNTHETIC_GATES (real-image default 8); an explicit value wins, so a
+    direct caller's gate is honored rather than silently overridden."""
     from pyspark.sql import functions as F
 
     from ..operators.graph import connected_components
 
-    gate = SYNTHETIC_GATES.get("image_phash_clusters", {}).get(
-        "max_hamming", max_hamming
-    )
+    if max_hamming is not None:
+        gate = max_hamming
+    else:
+        gate = SYNTHETIC_GATES.get("image_phash_clusters", {}).get(
+            "max_hamming", 8
+        )
 
     def build():
         pairs = spark.sql(
@@ -3005,7 +3012,7 @@ def _phash_clusters_spark(spark, sf_dir, max_hamming: int = 8):
             F.col("url").alias("vec_id"), F.col("component").alias("cluster_id")
         ).localCheckpoint(eager=True)
 
-    final = _app_cached(spark, f"phash_clusters:{sf_dir}", build)
+    final = _app_cached(spark, f"phash_clusters:{sf_dir}:{gate}", build)
     sizes = final.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("long").alias("cluster_size")
     )

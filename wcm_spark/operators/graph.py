@@ -163,11 +163,15 @@ def degrees(
     dst: str = "dst",
 ) -> DataFrame:
     """Per-node (url, out_deg, in_deg) over the distinct edge set — two
-    hash aggregates and two node-sized left joins."""
-    out_d = edges.groupBy(F.col(src).alias("url")).agg(
+    hash aggregates and two node-sized left joins. Duplicate (src, dst)
+    rows in the input count once, matching the docstring's contract (the
+    distinct is a map-side-combinable aggregate, not an extra shuffle of
+    note at edge scale)."""
+    dedup = edges.select(src, dst).distinct()
+    out_d = dedup.groupBy(F.col(src).alias("url")).agg(
         F.count(F.lit(1)).alias("__o")
     )
-    in_d = edges.groupBy(F.col(dst).alias("url")).agg(
+    in_d = dedup.groupBy(F.col(dst).alias("url")).agg(
         F.count(F.lit(1)).alias("__i")
     )
     return (

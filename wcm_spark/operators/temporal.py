@@ -110,11 +110,25 @@ def asof_join(
     carry = list(right_cols)
     if tiebreak is not None and tiebreak not in carry:
         carry.append(tiebreak)
+    reserved = {"__side", "__m", "__r_on"} | {f"__r_{c}" for c in carry}
+    clash = reserved & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join internal name collision {sorted(clash)}: rename "
+            "these left-side columns before joining"
+        )
     # sort so the winning right row is the LAST non-null struct seen
     # scanning toward each left row: time ascending for backward,
     # descending for forward; right rows first at equal timestamps
-    # (inclusive match); greatest tiebreak wins in both directions
-    order = [F.col(on).asc() if back else F.col(on).desc(), F.col("__side").asc()]
+    # (inclusive match); greatest tiebreak wins in both directions.
+    # Null-`on` left rows must sort BEFORE every right row in scan order
+    # so they see no struct and come back unmatched — asc() already puts
+    # nulls first, desc() defaults to nulls LAST and would hand them the
+    # group's earliest right row.
+    order = [
+        F.col(on).asc() if back else F.col(on).desc_nulls_first(),
+        F.col("__side").asc(),
+    ]
     if tiebreak is not None:
         order.append(F.col(f"__r_{tiebreak}").asc_nulls_first())
 
@@ -169,13 +183,7 @@ def asof_join(
 
     keep: Column | None = None
     if tolerance_sec is not None:
-        dt = dict(left.dtypes)[on]
-        if dt.startswith("timestamp"):
-            gap = F.expr(f"timestampdiff(MICROSECOND, __m.__on, `{on}`)")
-        else:
-            gap = (
-                F.col(on).cast("double") - F.col("__m.__on").cast("double")
-            ) * F.lit(1e6)
+        gap = _age_us(out, on, "__m.__on")
         age = gap if back else -gap
         keep = age <= F.lit(float(tolerance_sec) * 1e6)
     sel = [F.col(c) for c in left.columns]
@@ -224,7 +232,9 @@ def range_join(
             "twice under right/full outer joins"
         )
     clash = {f"r_{c}" for c in right.columns} & set(left.columns)
-    clash |= {"__bucket", "__l_epoch"} & set(left.columns)
+    clash |= {"__bucket", "__l_epoch", "__bucket_r", "__r_epoch"} & set(
+        left.columns
+    )
     if clash:
         raise ValueError(
             f"range_join output name collision {sorted(clash)}: rename the "

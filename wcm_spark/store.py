@@ -136,16 +136,22 @@ class TableStore:
         # the new snapshot untouched. Rewriting the whole snapshot every
         # cycle would re-copy the full crawl history per maintenance run:
         # O(W^2/N) total write I/O over W waves instead of O(W).
-        small = [d for d in cur["dirs"] if self._dir_bytes([d]) < target_file_bytes]
-        keep = [d for d in cur["dirs"] if d not in small]
-        n_files = sum(
-            1
-            for d in small
-            for root, _, files in os.walk(d)
-            for f in files
-            if f.endswith(".parquet")
-        )
-        total = self._dir_bytes(small)
+        # one os.walk per dir, collecting (bytes, files) together — the
+        # maintenance run touches each small dir's metadata once, not 3x
+        stats: dict[str, tuple[int, int]] = {}
+        for d in cur["dirs"]:
+            b = n = 0
+            for root, _, files in os.walk(d):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        b += os.path.getsize(os.path.join(root, f))
+                        n += 1
+            stats[d] = (b, n)
+        small = [d for d in cur["dirs"] if stats[d][0] < target_file_bytes]
+        small_set = set(small)
+        keep = [d for d in cur["dirs"] if d not in small_set]
+        n_files = sum(stats[d][1] for d in small)
+        total = sum(stats[d][0] for d in small)
         want = max(1, -(-total // target_file_bytes))  # ceil
         if len(small) <= 1 and n_files <= want:
             return None
