@@ -82,6 +82,67 @@ def test_neardup_cluster_convergence(duck):
     assert base == deeper
 
 
+def test_image_caption_pick_convergence_and_geometry(duck):
+    """IMG_CC_ITERS covers the image fixture's cluster diameter (equal to
+    a 2-hops-deeper run), and the fixture keeps the REAL hamming<=8 gate
+    non-trivial: clusters exist, some LSH candidates are rejected by the
+    gate, and no cluster spans two unrelated base images."""
+    from wcm_spark.datapipe.queries import (
+        IMG_CC_ITERS,
+        _image_pair_ctes,
+        _q_image_caption_pick,
+    )
+
+    base = sorted(duck.execute(_q_image_caption_pick("duck", None)).fetchall())
+    deeper = sorted(
+        duck.execute(
+            _q_image_caption_pick("duck", None, iters=IMG_CC_ITERS + 2)
+        ).fetchall()
+    )
+    assert base == deeper
+    assert len(base) > 0
+    # gate non-trivial: the unbounded candidate set is strictly larger
+    n_cand, n_kept = duck.execute(
+        f"WITH {_image_pair_ctes('duck', 64)} SELECT "
+        "count(*), sum(CASE WHEN hamming <= 8 THEN 1 ELSE 0 END) FROM ipairs"
+    ).fetchone()
+    assert n_kept > 0 and n_cand > n_kept
+    # no cross-base pair survives the gate (image_id embeds the base idx)
+    [n_cross] = duck.execute(
+        f"WITH {_image_pair_ctes('duck', 8)} SELECT count(*) FROM ipairs "
+        "WHERE substr(ia, 11, 4) != substr(ib, 11, 4)"
+    ).fetchone()
+    assert n_cross == 0
+
+
+def test_image_shard_packing_geometry(duck):
+    """At the fixture override budget every group splits into multiple
+    shards, per-group offsets are dense (contiguous byte stream), and no
+    shard except possibly the last of a group overruns by more than one
+    sample (greedy first-byte assignment)."""
+    from wcm_spark.datapipe.queries import SYNTHETIC_GATES, _BUILDERS
+
+    gate = SYNTHETIC_GATES["image_shard_packing"]
+    rows = duck.execute(
+        _BUILDERS["image_shard_packing"]("duck", None, **gate)
+    ).fetchall()
+    by_grp: dict[int, list] = {}
+    for image_id, grp, n_bytes, start_off, shard_id in rows:
+        by_grp.setdefault(grp, []).append((image_id, n_bytes, start_off, shard_id))
+    assert len(by_grp) == 8
+    multi = 0
+    for grp, items in by_grp.items():
+        items.sort()  # FIFO by image_id
+        off = 0
+        for _, n_bytes, start_off, shard_id in items:
+            assert start_off == off  # dense cumsum
+            assert shard_id == start_off // gate["shard_bytes"]
+            off += n_bytes
+        if items[-1][3] > 0:
+            multi += 1
+    assert multi == len(by_grp)  # budget chosen so every group splits
+
+
 def test_spark_only_queries_run(spark):
     for name, fn in QUERIES.items():
         if name in ORACLES:

@@ -47,6 +47,8 @@ __all__ = [
     "multimodal_audio_oracle_sql",
     "CRAWL_FIXTURE",
     "SCRAPE_FIXTURE",
+    "images_table_path",
+    "IMAGES_FIXTURE_N",
 ]
 
 # (n_sites, pages_per_site, with_images) — must match the registry queries
@@ -551,3 +553,123 @@ def multimodal_audio_oracle_sql() -> str:
 FROM (VALUES {vals}) t(audio_id, duration_sec, band_no, energy)
 JOIN documents d ON t.audio_id = 'aud-' || CAST(d.doc_id AS VARCHAR)
 WHERE d.doc_id < 50"""
+
+
+# ---------------------------------------------------------------------------
+# north-rule input table: (image_id, bytes, w, h, fmt, caption, phash)
+# ---------------------------------------------------------------------------
+
+IMAGES_FIXTURE_N = 90  # base images; variants bring the table to ~150 rows
+
+_FIX_NOUNS = ["otter", "bridge", "lantern", "meadow",
+              "casserole", "pylon", "comet", "harbor"]
+_FIX_PLACES = ["rain", "fog", "autumn light", "neon glow"]
+_FIX_DIMS = [(32, 32), (48, 32), (32, 48)]
+
+
+def _images_fixture_rows(n_base: int) -> list[dict]:
+    """Deterministic rows of the BASELINE.json input_hint shape with
+    ENGINEERED near-dup geometry: every 3rd base gains 2 perturbed
+    variants (every 5th a 3rd, stronger one). The perturbation smooths a
+    v-scaled row band, moving the DCT phash by ~2v bits (measured spread
+    0-20), while unrelated noise bases sit >=18 bits apart — so the
+    real-data hamming<=8 gate is NON-TRIVIAL on this fixture (close
+    variants pass, strong ones fail, no cross-base false pairs) and the
+    image queries need no SYNTHETIC_GATES hamming override. Captions
+    vary per variant (short/long/empty) so a keep-best-caption policy
+    has real work; fmt alternates the engine's lossless/lossy codecs and
+    (w, h, phash) are taken from DECODING the stored bytes — the columns
+    describe the payload, as a real ingest's would."""
+    import numpy as np
+
+    from ..images import decode_image, encode_image, phash64
+
+    rows = []
+    for i in range(n_base):
+        w, h = _FIX_DIMS[i % 3]
+        seed = int.from_bytes(
+            hashlib.md5(f"imgfix/{i}".encode()).digest()[:4], "big"
+        )
+        base = (
+            np.random.RandomState(seed)
+            .randint(0, 256, (h, w, 3))
+            .astype(np.uint8)
+        )
+        variants = [0]
+        if i % 3 == 0:
+            variants += [1, 2]
+        if i % 5 == 0:
+            variants.append(3)
+        for v in variants:
+            arr = base
+            if v:
+                arr = base.astype(np.int16).copy()
+                r0 = 4 * v
+                arr[r0 : r0 + 3 * v, :, :] = arr[r0 : r0 + 3 * v, :, :].mean()
+                arr = np.clip(arr, 0, 255).astype(np.uint8)
+            fmt = "wclz" if (i + v) % 2 == 0 else "wcq6"
+            data = encode_image(arr, fmt)
+            dec, dec_fmt = decode_image(data)
+            noun = _FIX_NOUNS[i % 8]
+            place = _FIX_PLACES[i % 4]
+            if v == 0:
+                cap = "" if i % 11 == 0 else f"a photo of a {noun} {i} in {place}"
+            elif v == 1:
+                cap = f"a {noun} {i}"
+            elif v == 2:
+                cap = (
+                    f"a detailed photo of a {noun} {i} "
+                    f"captured in {place} at dusk"
+                )
+            else:
+                cap = f"{noun} {i} variant {v}"
+            rows.append(
+                dict(
+                    image_id=f"img://fix/{i:04d}/{v}",
+                    bytes=data,
+                    w=dec.shape[1],
+                    h=dec.shape[0],
+                    fmt=dec_fmt,
+                    caption=cap,
+                    phash=phash64(dec),
+                )
+            )
+    return rows
+
+
+@functools.lru_cache(maxsize=None)
+def images_table_path(n_base: int = IMAGES_FIXTURE_N) -> str:
+    """Write the north-rule image+caption input table as ONE parquet
+    (pyarrow, no Spark) and return its path; both engines read this
+    exact file (the crawl-fixture pattern at fixture_corpus_path)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = os.path.join(tempfile.gettempdir(), "wcm_fixtures")
+    os.makedirs(d, exist_ok=True)
+    rows = _images_fixture_rows(n_base)
+    h = hashlib.md5()
+    for r in rows:
+        h.update(repr((r["image_id"], r["phash"], r["caption"],
+                       len(r["bytes"]), r["w"], r["h"], r["fmt"])).encode())
+    path = os.path.join(
+        d, f"images_{n_base}_{h.hexdigest()[:10]}.parquet"
+    )
+    if os.path.exists(path):
+        return path
+    schema = pa.schema(
+        [
+            ("image_id", pa.string()),
+            ("bytes", pa.binary()),
+            ("w", pa.int32()),
+            ("h", pa.int32()),
+            ("fmt", pa.string()),
+            ("caption", pa.string()),
+            ("phash", pa.int64()),
+        ]
+    )
+    table = pa.Table.from_pylist(rows, schema=schema)
+    tmp = f"{path}.tmp{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)  # atomic: concurrent builders race benignly
+    return path

@@ -47,6 +47,7 @@ def _fn(d: str) -> dict[str, str]:
             AJOIN="array_join",
             LFILTER="filter",
             STR="STRING",
+            OCTLEN="length",  # Spark length() of binary = byte count
         )
     return dict(
         SPLIT="string_split_regex",
@@ -54,6 +55,7 @@ def _fn(d: str) -> dict[str, str]:
         AJOIN="array_to_string",
         LFILTER="list_filter",
         STR="VARCHAR",
+        OCTLEN="octet_length",
     )
 
 
@@ -62,6 +64,31 @@ def _hex2int(expr: str, d: str) -> str:
     if d == "spark":
         return f"cast(conv({expr}, 16, 10) as bigint)"
     return f"cast(('0x' || {expr}) as bigint)"
+
+
+def _shr(expr: str, n: int, d: str) -> str:
+    """Bigint right shift (DuckDB has >>, Spark the function form)."""
+    return f"shiftright({expr}, {n})" if d == "spark" else f"({expr} >> {n})"
+
+
+def _xor(a: str, b: str, d: str) -> str:
+    """Bigint xor — Spark's ^ is xor, DuckDB's ^ is exponentiation."""
+    return f"({a} ^ {b})" if d == "spark" else f"xor({a}, {b})"
+
+
+def _idiv(a: str, b: int, d: str) -> str:
+    """Exact integer division (never a double round-trip)."""
+    return f"({a} div {b})" if d == "spark" else f"({a} // {b})"
+
+
+def _images_tbl(d: str) -> str:
+    """The north-rule image+caption input table (BASELINE.json
+    input_hint shape), served from the shared pyarrow fixture parquet —
+    both engines read literally the same file (crawl-oracle pattern)."""
+    from .fixtures import images_table_path
+
+    p = images_table_path()
+    return f"parquet.`{p}`" if d == "spark" else f"read_parquet('{p}')"
 
 
 def _rx(raw: str, d: str) -> str:
@@ -160,6 +187,7 @@ SYNTHETIC_GATES: dict[str, dict] = {
     "ann_ivfpq_recall_at_k": {"m": 32, "k": 64},
     "doc_decontamination": {"n": 3},
     "sequence_packing": {"seq_len": 256},
+    "image_shard_packing": {"shard_bytes": 16384},
 }
 
 
@@ -1148,6 +1176,109 @@ pcsizes AS (
 )
 SELECT f.vec_id, f.cluster_id, s.cluster_size
 FROM pfinal f JOIN pcsizes s ON s.cluster_id = f.cluster_id"""
+
+
+IMG_CC_ITERS = 4  # fixture cluster diameter <= 3 (base + 3 variants)
+
+
+def _image_pair_ctes(d, max_hamming: int) -> str:
+    """LSH pair chain over the REAL phash column of the north-rule image
+    table: 4 bands of 16 bits sliced straight off the int64 (shift+mask
+    — no explode, unlike the embeddings stand-in's sign-bit path),
+    band-equal candidates, exact Hamming = bit_count(xor) on candidates
+    only. Ends in ``ipairs(ia, ib, hamming)``. The fixture is engineered
+    so the REAL hamming<=8 operating point is non-trivial (no synthetic
+    gate override)."""
+    t = _images_tbl(d)
+    band_sel = "\n  UNION ALL ".join(
+        f"SELECT image_id, {b} AS band_no, "
+        f"{_shr('phash', b * 16, d)} & 65535 AS sig FROM it"
+        for b in range(4)
+    )
+    return f"""it AS (SELECT image_id, phash, caption FROM {t}),
+ibands AS (
+  {band_sel}
+),
+icand AS (
+  SELECT DISTINCT a.image_id AS ia, b.image_id AS ib
+  FROM ibands a JOIN ibands b
+    ON a.band_no = b.band_no AND a.sig = b.sig AND a.image_id < b.image_id
+),
+ipairs AS (
+  SELECT c.ia, c.ib,
+         CAST(bit_count({_xor('ta.phash', 'tb.phash', d)}) AS BIGINT) AS hamming
+  FROM icand c
+  JOIN it ta ON ta.image_id = c.ia
+  JOIN it tb ON tb.image_id = c.ib
+  WHERE bit_count({_xor('ta.phash', 'tb.phash', d)}) <= {max_hamming}
+)"""
+
+
+@register("image_cluster_caption_pick")
+def _q_image_caption_pick(d, sf, max_hamming: int = 8, iters: int = IMG_CC_ITERS):
+    """Keep-best-caption per near-dup image cluster — the POLICY step a
+    100 TB image-caption ingest runs after image dedup: duplicates of
+    one picture usually carry different captions (alt text, file names,
+    boilerplate), and training wants the most descriptive one. Clusters
+    come from phash LSH pairs (real hamming<=8 gate over the int64 phash
+    column) resolved by fixed-iteration min-label propagation; per
+    cluster the keeper is the row with the MOST caption tokens (ties →
+    least image_id — deterministic). Output: one row per multi-image
+    cluster (singletons trivially keep themselves) with size, distinct
+    caption count, keeper id and its token count.
+
+    100 TB shape: the pair set is LSH-band-bounded shift/mask arithmetic
+    on an int64 — no explode, no all-pairs; propagation is the
+    link_graph_components loop (node-sized shuffle join + hash aggregate
+    per hop); the pick is one aggregate + one semi-join back. Reference
+    analog: none — the reference stops at fetch (WWW/Crawler/Mojo.pm),
+    this is the downstream curation the north rule's table exists for."""
+    mat = "MATERIALIZED " if d == "duck" else ""
+    f = _fn(d)
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f""",
+ilbl_{k} AS {mat}(
+  SELECT l.image_id,
+         least(l.component, coalesce(min(n.component), l.component)) AS component
+  FROM ilbl_{k - 1} l
+  LEFT JOIN iund e ON e.a = l.image_id
+  LEFT JOIN ilbl_{k - 1} n ON n.image_id = e.b
+  GROUP BY l.image_id, l.component
+)""")
+    toks = (
+        f"CAST({f['LEN']}({f['LFILTER']}({f['SPLIT']}"
+        f"(coalesce(t.caption, ''), ' '), x -> x != '')) AS BIGINT)"
+    )
+    return f"""WITH {_image_pair_ctes(d, max_hamming)},
+iund AS {mat}(
+  SELECT ia AS a, ib AS b FROM ipairs
+  UNION
+  SELECT ib, ia FROM ipairs
+),
+inodes AS (SELECT DISTINCT a AS image_id FROM iund),
+ilbl_0 AS (SELECT image_id, image_id AS component FROM inodes){''.join(steps)},
+ifinal AS (SELECT image_id, component AS cluster_id FROM ilbl_{iters}),
+iranked AS (
+  SELECT fi.cluster_id, fi.image_id, t.caption, {toks} AS cap_toks
+  FROM ifinal fi JOIN it t ON t.image_id = fi.image_id
+),
+iprofile AS (
+  SELECT cluster_id,
+         CAST(count(*) AS BIGINT) AS cluster_size,
+         CAST(count(DISTINCT caption) AS BIGINT) AS n_captions,
+         max(cap_toks) AS kept_caption_toks
+  FROM iranked GROUP BY cluster_id
+),
+ikeep AS (
+  SELECT r.cluster_id, min(r.image_id) AS kept_image_id
+  FROM iranked r JOIN iprofile p
+    ON p.cluster_id = r.cluster_id AND r.cap_toks = p.kept_caption_toks
+  GROUP BY r.cluster_id
+)
+SELECT p.cluster_id, p.cluster_size, p.n_captions,
+       k.kept_image_id, p.kept_caption_toks
+FROM iprofile p JOIN ikeep k ON k.cluster_id = p.cluster_id"""
 
 
 def _ivf_kmeans_ctes(d, sf):
@@ -2187,6 +2318,41 @@ packed AS (
 SELECT doc_id, shard, n_tok, start_off,
        CAST(floor(start_off / {seq_len}.0) AS BIGINT) AS seq_id
 FROM packed"""
+
+
+@register("image_shard_packing")
+def _q_image_shard_packing(d, sf, shard_bytes: int = 512 << 20, groups: int = 8):
+    """WebDataset-style training-shard assignment over the north-rule
+    image+caption table — the image-axis twin of sequence_packing:
+    samples (image bytes + caption) pack FIFO by image_id into
+    byte-budgeted shards, and each sample reports the shard its first
+    byte lands in (samples are never split; a shard may overrun by at
+    most one sample, the standard webdataset writer behavior).
+
+    100 TB shape: a single global order would serialize the world, so
+    packing is PER GROUP (stable md5 hash of image_id — in production
+    the group is the writer task): one shuffle on group id, one windowed
+    byte-cumsum per group partition. Fixture override shard_bytes=16 KiB
+    (SYNTHETIC_GATES): at the production 512 MiB the ~500 KB fixture
+    packs into one shard per group — vacuous."""
+    f = _fn(d)
+    bucket = _hex2int("substr(md5(image_id), 1, 15)", d)
+    return f"""WITH isized AS (
+  SELECT image_id, CAST({bucket} % {groups} AS INT) AS grp,
+         CAST({f['OCTLEN']}(bytes) AS BIGINT) AS n_bytes
+  FROM {_images_tbl(d)}
+),
+ipacked AS (
+  SELECT image_id, grp, n_bytes,
+         sum(n_bytes) OVER (
+           PARTITION BY grp ORDER BY image_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - n_bytes AS start_off
+  FROM isized
+)
+SELECT image_id, grp, n_bytes, CAST(start_off AS BIGINT) AS start_off,
+       CAST({_idiv('start_off', shard_bytes, d)} AS BIGINT) AS shard_id
+FROM ipacked"""
 
 
 @register("train_val_split")
