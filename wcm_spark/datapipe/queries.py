@@ -1281,6 +1281,73 @@ SELECT p.cluster_id, p.cluster_size, p.n_captions,
 FROM iprofile p JOIN ikeep k ON k.cluster_id = p.cluster_id"""
 
 
+def _image_caption_pick_spark(spark, sf_dir, max_hamming: int | None = None):
+    """image_cluster_caption_pick on the engine path: the LSH pair chain
+    is checkpointed ONCE and the propagation runs through the graph
+    module's connected_components — the SQL builder's unrolled CTE form
+    would be inlined by Catalyst into every hop (2^iters re-evaluations,
+    the measured round-3 failure mode) and stays the independent DuckDB
+    oracle. The pick itself is one aggregate + one semi-join back over
+    the node-sized label frame."""
+    from pyspark.sql import functions as F
+
+    from ..operators.graph import connected_components
+
+    gate = max_hamming if max_hamming is not None else 8
+
+    def build():
+        pairs = spark.sql(
+            f"WITH {_image_pair_ctes('spark', gate)} "
+            "SELECT ia, ib FROM ipairs"
+        ).localCheckpoint(eager=True)
+        n_edges = pairs.count()
+        nodes = (
+            pairs.select(F.col("ia").alias("image_id"))
+            .union(pairs.select(F.col("ib").alias("image_id")))
+            .distinct()
+        )
+        width = max(2, min(
+            spark.sparkContext.defaultParallelism, n_edges // 20_000 + 1
+        ))
+        lbl = connected_components(
+            nodes, pairs, iters=IMG_CC_ITERS, node_col="image_id",
+            src="ia", dst="ib", shuffle_width=width,
+        )
+        return lbl.select(
+            F.col("url").alias("image_id"),
+            F.col("component").alias("cluster_id"),
+        ).localCheckpoint(eager=True)
+
+    final = _app_cached(spark, f"image_caption_pick:{gate}", build)
+    imgs = spark.sql(f"SELECT image_id, caption FROM {_images_tbl('spark')}")
+    cap = F.coalesce(F.col("caption"), F.lit(""))
+    ranked = final.join(imgs, "image_id").select(
+        "cluster_id",
+        "image_id",
+        "caption",
+        F.size(F.filter(F.split(cap, " "), lambda x: x != ""))
+        .cast("long")
+        .alias("cap_toks"),
+    )
+    profile = ranked.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size"),
+        F.countDistinct("caption").cast("long").alias("n_captions"),
+        F.max("cap_toks").alias("kept_caption_toks"),
+    )
+    keep = (
+        ranked.join(
+            profile.select("cluster_id", "kept_caption_toks"), "cluster_id"
+        )
+        .filter(F.col("cap_toks") == F.col("kept_caption_toks"))
+        .groupBy("cluster_id")
+        .agg(F.min("image_id").alias("kept_image_id"))
+    )
+    return profile.join(keep, "cluster_id").select(
+        "cluster_id", "cluster_size", "n_captions",
+        "kept_image_id", "kept_caption_toks",
+    )
+
+
 def _ivf_kmeans_ctes(d, sf):
     """The shared 2-iteration Lloyd chain: WITH-clause text ending in
     ``final_asg(vec_id, cell)`` — the fitted cell assignment both
@@ -4143,6 +4210,7 @@ _SPARK_OVERRIDES = {
     "ann_cosine_topk": _ann_exact_spark,
     "near_dup_clusters": _neardup_clusters_spark,
     "image_phash_clusters": _phash_clusters_spark,
+    "image_cluster_caption_pick": _image_caption_pick_spark,
     "corpus_curation_pipeline": _corpus_curation_spark,
     "dedup_simhash": _simhash_spark,
     "doc_lang_pivot": _lang_pivot_spark,
