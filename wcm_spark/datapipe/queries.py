@@ -188,6 +188,7 @@ SYNTHETIC_GATES: dict[str, dict] = {
     "doc_decontamination": {"n": 3},
     "sequence_packing": {"seq_len": 256},
     "image_shard_packing": {"shard_bytes": 16384},
+    "image_curation_pipeline": {"min_px": 1100},
 }
 
 
@@ -1233,6 +1234,18 @@ def _q_image_caption_pick(d, sf, max_hamming: int = 8, iters: int = IMG_CC_ITERS
     per hop); the pick is one aggregate + one semi-join back. Reference
     analog: none — the reference stops at fetch (WWW/Crawler/Mojo.pm),
     this is the downstream curation the north rule's table exists for."""
+    return f"""WITH {_image_keep_ctes(d, max_hamming, iters)}
+SELECT p.cluster_id, p.cluster_size, p.n_captions,
+       k.kept_image_id, p.kept_caption_toks
+FROM iprofile p JOIN ikeep k ON k.cluster_id = p.cluster_id"""
+
+
+def _image_keep_ctes(d: str, max_hamming: int, iters: int) -> str:
+    """Pair chain + min-label propagation + keep-best-caption decision:
+    CTE text ending in ``iprofile(cluster_id, cluster_size, n_captions,
+    kept_caption_toks)`` and ``ikeep(cluster_id, kept_image_id)`` —
+    shared by image_cluster_caption_pick and image_curation_pipeline so
+    the keep policy has ONE definition."""
     mat = "MATERIALIZED " if d == "duck" else ""
     f = _fn(d)
     steps = []
@@ -1250,7 +1263,7 @@ ilbl_{k} AS {mat}(
         f"CAST({f['LEN']}({f['LFILTER']}({f['SPLIT']}"
         f"(coalesce(t.caption, ''), ' '), x -> x != '')) AS BIGINT)"
     )
-    return f"""WITH {_image_pair_ctes(d, max_hamming)},
+    return f"""{_image_pair_ctes(d, max_hamming)},
 iund AS {mat}(
   SELECT ia AS a, ib AS b FROM ipairs
   UNION
@@ -1275,25 +1288,67 @@ ikeep AS (
   FROM iranked r JOIN iprofile p
     ON p.cluster_id = r.cluster_id AND r.cap_toks = p.kept_caption_toks
   GROUP BY r.cluster_id
+)"""
+
+
+@register("image_curation_pipeline")
+def _q_image_curation(d, sf, max_hamming: int = 8, iters: int = IMG_CC_ITERS,
+                      min_px: int = 256 * 256):
+    """The image-axis curation ENDGAME (the twin of
+    corpus_curation_pipeline): near-dup keep-one (the caption-pick
+    keeper — ONE policy definition via _image_keep_ctes) → captionless
+    gate → resolution gate, audited per format: images in, dropped per
+    reason (first matching reason wins: dup, then captionless, then
+    low-res), kept images and kept payload bytes. The pre-training audit
+    a 100 TB image-caption ingest signs off on.
+
+    100 TB shape: the cluster chain is LSH-bounded (see
+    image_cluster_caption_pick); the gates are a projection over the
+    node-sized label frame LEFT-JOINed back to the table (never-clustered
+    images pass the dup gate by null cluster); the audit is one hash
+    aggregate. Fixture override min_px=1100 (SYNTHETIC_GATES): the
+    production 256x256 floor would drop every 32/48-px fixture image."""
+    f = _fn(d)
+    return f"""WITH {_image_keep_ctes(d, max_hamming, iters)},
+idecided AS (
+  SELECT t.fmt, CAST({f['OCTLEN']}(t.bytes) AS BIGINT) AS n_bytes,
+         CASE
+           WHEN fi.cluster_id IS NOT NULL AND t.image_id != k.kept_image_id
+             THEN 'dup'
+           WHEN coalesce(t.caption, '') = '' THEN 'captionless'
+           WHEN t.w * t.h < {min_px} THEN 'lowres'
+           ELSE 'kept'
+         END AS verdict
+  FROM {_images_tbl(d)} t
+  LEFT JOIN ifinal fi ON fi.image_id = t.image_id
+  LEFT JOIN ikeep k ON k.cluster_id = fi.cluster_id
 )
-SELECT p.cluster_id, p.cluster_size, p.n_captions,
-       k.kept_image_id, p.kept_caption_toks
-FROM iprofile p JOIN ikeep k ON k.cluster_id = p.cluster_id"""
+SELECT fmt,
+  CAST(count(*) AS BIGINT) AS n_in,
+  CAST(sum(CASE WHEN verdict = 'dup' THEN 1 ELSE 0 END) AS BIGINT) AS dup_dropped,
+  CAST(sum(CASE WHEN verdict = 'captionless' THEN 1 ELSE 0 END) AS BIGINT)
+    AS captionless_dropped,
+  CAST(sum(CASE WHEN verdict = 'lowres' THEN 1 ELSE 0 END) AS BIGINT)
+    AS lowres_dropped,
+  CAST(sum(CASE WHEN verdict = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+  CAST(sum(CASE WHEN verdict = 'kept' THEN n_bytes ELSE 0 END) AS BIGINT)
+    AS kept_bytes
+FROM idecided
+GROUP BY fmt"""
 
 
-def _image_caption_pick_spark(spark, sf_dir, max_hamming: int | None = None):
-    """image_cluster_caption_pick on the engine path: the LSH pair chain
-    is checkpointed ONCE and the propagation runs through the graph
-    module's connected_components — the SQL builder's unrolled CTE form
-    would be inlined by Catalyst into every hop (2^iters re-evaluations,
-    the measured round-3 failure mode) and stays the independent DuckDB
-    oracle. The pick itself is one aggregate + one semi-join back over
-    the node-sized label frame."""
+def _image_pick_frames(spark, gate: int):
+    """(labels, profile, keep) frames of the image keep-one policy on
+    the engine path: the LSH pair chain is checkpointed ONCE and the
+    propagation runs through the graph module's connected_components —
+    the SQL builders' unrolled CTE form would be inlined by Catalyst
+    into every hop (2^iters re-evaluations, the measured round-3 failure
+    mode) and stays the independent DuckDB oracle. Memoized per
+    application: caption pick and the curation pipeline share one
+    cluster+keep computation."""
     from pyspark.sql import functions as F
 
     from ..operators.graph import connected_components
-
-    gate = max_hamming if max_hamming is not None else 8
 
     def build():
         pairs = spark.sql(
@@ -1313,38 +1368,98 @@ def _image_caption_pick_spark(spark, sf_dir, max_hamming: int | None = None):
             nodes, pairs, iters=IMG_CC_ITERS, node_col="image_id",
             src="ia", dst="ib", shuffle_width=width,
         )
-        return lbl.select(
+        final = lbl.select(
             F.col("url").alias("image_id"),
             F.col("component").alias("cluster_id"),
         ).localCheckpoint(eager=True)
-
-    final = _app_cached(spark, f"image_caption_pick:{gate}", build)
-    imgs = spark.sql(f"SELECT image_id, caption FROM {_images_tbl('spark')}")
-    cap = F.coalesce(F.col("caption"), F.lit(""))
-    ranked = final.join(imgs, "image_id").select(
-        "cluster_id",
-        "image_id",
-        "caption",
-        F.size(F.filter(F.split(cap, " "), lambda x: x != ""))
-        .cast("long")
-        .alias("cap_toks"),
-    )
-    profile = ranked.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).cast("long").alias("cluster_size"),
-        F.countDistinct("caption").cast("long").alias("n_captions"),
-        F.max("cap_toks").alias("kept_caption_toks"),
-    )
-    keep = (
-        ranked.join(
-            profile.select("cluster_id", "kept_caption_toks"), "cluster_id"
+        imgs = spark.sql(
+            f"SELECT image_id, caption FROM {_images_tbl('spark')}"
         )
-        .filter(F.col("cap_toks") == F.col("kept_caption_toks"))
-        .groupBy("cluster_id")
-        .agg(F.min("image_id").alias("kept_image_id"))
-    )
+        cap = F.coalesce(F.col("caption"), F.lit(""))
+        ranked = final.join(imgs, "image_id").select(
+            "cluster_id",
+            "image_id",
+            "caption",
+            F.size(F.filter(F.split(cap, " "), lambda x: x != ""))
+            .cast("long")
+            .alias("cap_toks"),
+        )
+        profile = ranked.groupBy("cluster_id").agg(
+            F.count(F.lit(1)).cast("long").alias("cluster_size"),
+            F.countDistinct("caption").cast("long").alias("n_captions"),
+            F.max("cap_toks").alias("kept_caption_toks"),
+        )
+        keep = (
+            ranked.join(
+                profile.select("cluster_id", "kept_caption_toks"),
+                "cluster_id",
+            )
+            .filter(F.col("cap_toks") == F.col("kept_caption_toks"))
+            .groupBy("cluster_id")
+            .agg(F.min("image_id").alias("kept_image_id"))
+        )
+        return final, profile, keep
+
+    return _app_cached(spark, f"image_pick:{gate}", build)
+
+
+def _image_caption_pick_spark(spark, sf_dir, max_hamming: int | None = None):
+    """image_cluster_caption_pick on the engine path — see
+    _image_pick_frames."""
+    gate = max_hamming if max_hamming is not None else 8
+    _, profile, keep = _image_pick_frames(spark, gate)
     return profile.join(keep, "cluster_id").select(
         "cluster_id", "cluster_size", "n_captions",
         "kept_image_id", "kept_caption_toks",
+    )
+
+
+def _image_curation_spark(spark, sf_dir, max_hamming: int | None = None,
+                          min_px: int | None = None):
+    """image_curation_pipeline on the engine path — shares the memoized
+    cluster+keep frames with image_cluster_caption_pick; the gates are a
+    projection over the LEFT-joined label frame and the audit one hash
+    aggregate (identical to the SQL oracle's shape)."""
+    from pyspark.sql import functions as F
+
+    gate = max_hamming if max_hamming is not None else 8
+    if min_px is None:
+        min_px = SYNTHETIC_GATES.get("image_curation_pipeline", {}).get(
+            "min_px", 256 * 256
+        )
+    final, _, keep = _image_pick_frames(spark, gate)
+    t = spark.sql(
+        f"SELECT image_id, bytes, w, h, fmt, caption FROM {_images_tbl('spark')}"
+    )
+    decided = (
+        t.join(final, "image_id", "left")
+        .join(keep, "cluster_id", "left")
+        .select(
+            "fmt",
+            F.length("bytes").cast("long").alias("n_bytes"),
+            F.when(
+                F.col("cluster_id").isNotNull()
+                & (F.col("image_id") != F.col("kept_image_id")),
+                F.lit("dup"),
+            )
+            .when(F.coalesce("caption", F.lit("")) == "", F.lit("captionless"))
+            .when(F.col("w") * F.col("h") < min_px, F.lit("lowres"))
+            .otherwise(F.lit("kept"))
+            .alias("verdict"),
+        )
+    )
+    v = F.col("verdict")
+    return decided.groupBy("fmt").agg(
+        F.count(F.lit(1)).cast("long").alias("n_in"),
+        F.sum((v == "dup").cast("int")).cast("long").alias("dup_dropped"),
+        F.sum((v == "captionless").cast("int"))
+        .cast("long")
+        .alias("captionless_dropped"),
+        F.sum((v == "lowres").cast("int")).cast("long").alias("lowres_dropped"),
+        F.sum((v == "kept").cast("int")).cast("long").alias("kept"),
+        F.sum(F.when(v == "kept", F.col("n_bytes")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("kept_bytes"),
     )
 
 
@@ -4211,6 +4326,7 @@ _SPARK_OVERRIDES = {
     "near_dup_clusters": _neardup_clusters_spark,
     "image_phash_clusters": _phash_clusters_spark,
     "image_cluster_caption_pick": _image_caption_pick_spark,
+    "image_curation_pipeline": _image_curation_spark,
     "corpus_curation_pipeline": _corpus_curation_spark,
     "dedup_simhash": _simhash_spark,
     "doc_lang_pivot": _lang_pivot_spark,
