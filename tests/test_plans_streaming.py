@@ -217,6 +217,12 @@ def test_neardup_and_jaccard_have_no_pair_explosion(spark):
         "doc_decontamination",
         "sequence_packing",
         "train_val_split",
+        # north-rule image table family (round 4): candidates key on
+        # (band_no, sig) sliced off the int64 phash; the pick/curation
+        # joins are node-sized label/keeper equi-joins
+        "image_cluster_caption_pick",
+        "image_curation_pipeline",
+        "image_shard_packing",
     ):
         plan = formatted_plan(qs[name](spark, SF))
         assert "CartesianProduct" not in plan, name
