@@ -49,7 +49,7 @@ def _brute_asof(left_rows, right_rows, tolerance=None):
     for k, lts, lid in left_rows:
         best = None
         for rk, rts, rid, val in right_rows:
-            if rk != k or rts > lts:
+            if rk != k or lts is None or rts is None or rts > lts:
                 continue
             if tolerance is not None and (lts - rts).total_seconds() > tolerance:
                 continue
@@ -109,7 +109,7 @@ def _brute_range(left_rows, right_rows, lower, upper):
     for k, lts, lid in left_rows:
         n = 0
         for rk, rts, rid, val in right_rows:
-            if rk != k:
+            if rk != k or lts is None or rts is None:
                 continue
             off = (rts - lts).total_seconds()
             if lower <= off < upper:
@@ -177,12 +177,24 @@ def test_temporal_fuzz_vs_brute_force(spark, seed):
 
     rng = random.Random(seed)
     keys = ["a", "b", "c", "d"]
+    # ~10% null timestamps on BOTH sides: null left rows must come back
+    # unmatched, null right rows must never match (the forward-direction
+    # NULLS LAST regression lived exactly in this blind spot)
     left_rows = [
-        (rng.choice(keys), _ts(float(rng.randrange(0, 120))), i)
+        (
+            rng.choice(keys),
+            None if rng.random() < 0.1 else _ts(float(rng.randrange(0, 120))),
+            i,
+        )
         for i in range(60)
     ]
     right_rows = [
-        (rng.choice(keys), _ts(float(rng.randrange(0, 120))), 100 + i, float(i))
+        (
+            rng.choice(keys),
+            None if rng.random() < 0.1 else _ts(float(rng.randrange(0, 120))),
+            100 + i,
+            float(i),
+        )
         for i in range(80)
     ]
     left = spark.createDataFrame(left_rows, "key string, ts timestamp, lid int")
@@ -208,7 +220,7 @@ def _brute_asof_fwd(left_rows, right_rows, tolerance=None):
     for k, lts, lid in left_rows:
         best = None
         for rk, rts, rid, val in right_rows:
-            if rk != k or rts < lts:
+            if rk != k or lts is None or rts is None or rts < lts:
                 continue
             if tolerance is not None and (rts - lts).total_seconds() > tolerance:
                 continue
@@ -226,10 +238,20 @@ def test_asof_forward_matches_brute_force(spark, seed):
     rng = random.Random(seed)
     keys = ["a", "b", "c"]
     left_rows = [
-        (rng.choice(keys), _ts(float(rng.randrange(0, 60))), i) for i in range(40)
+        (
+            rng.choice(keys),
+            None if rng.random() < 0.1 else _ts(float(rng.randrange(0, 60))),
+            i,
+        )
+        for i in range(40)
     ]
     right_rows = [
-        (rng.choice(keys), _ts(float(rng.randrange(0, 60))), 100 + i, float(i))
+        (
+            rng.choice(keys),
+            None if rng.random() < 0.1 else _ts(float(rng.randrange(0, 60))),
+            100 + i,
+            float(i),
+        )
         for i in range(50)
     ]
     left = spark.createDataFrame(left_rows, "key string, ts timestamp, lid int")
