@@ -311,3 +311,38 @@ def test_stream_scrape_edges_matches_batch(spark, tmp_path):
         map(tuple, resolve_children(scrape_edges(spark.read.parquet(src))).select(*cols).collect())
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_image_gates_matches_batch(spark, tmp_path):
+    """Streaming curation gates == batch gates over the north-rule image
+    table: the fixture split across files streams through the SAME
+    projection (availableNow, memory sink) and yields exactly the batch
+    verdict rows; the fixture override budget makes every verdict class
+    non-empty."""
+    from wcm_spark.datapipe.fixtures import images_table_path
+    from wcm_spark.streaming.metrics import images_stream, stream_image_gates
+
+    src = str(tmp_path / "images")
+    imgs = spark.read.parquet(images_table_path())
+    imgs.repartition(4).write.mode("overwrite").parquet(src)
+
+    q = (
+        stream_image_gates(images_stream(spark, src, max_files_per_trigger=1),
+                           min_px=1100)
+        .writeStream.format("memory")
+        .queryName("image_gates_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(map(tuple, spark.sql("select * from image_gates_stream").collect()))
+    want = sorted(
+        map(
+            tuple,
+            stream_image_gates(spark.read.parquet(src), min_px=1100).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+    verdicts = {r[-1] for r in got}
+    assert verdicts == {"captionless", "lowres", "kept"}

@@ -19,7 +19,14 @@ from pyspark.sql import functions as F
 __all__ = [
     "visits_stream", "host_rate_metrics", "event_window_rollup",
     "stream_dedup_first_wins", "pages_stream", "stream_scrape_edges",
+    "images_stream", "stream_image_gates",
 ]
+
+# the north-rule input table shape (BASELINE.json input_hint)
+IMAGES_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, "
+    "caption string, phash long"
+)
 
 VISITS_SCHEMA = (
     "wave int, seq long, url string, request_url string, original_url string, "
@@ -57,6 +64,44 @@ def stream_scrape_edges(pages: DataFrame) -> DataFrame:
     from ..operators.scrape import resolve_children, scrape_edges
 
     return resolve_children(scrape_edges(pages))
+
+
+def images_stream(
+    spark: SparkSession, images_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """The north-rule image+caption table directory as a micro-batch
+    file source — the continuous-ingest landing zone of the image sink
+    (each crawl wave commits new parquet files of IMAGES_SCHEMA rows).
+    ``max_files_per_trigger`` bounds per-batch payload bytes, the
+    streaming analog of the batch loop's payload-budget partitioning."""
+    r = spark.readStream.schema(IMAGES_SCHEMA)
+    if max_files_per_trigger is not None:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    return r.parquet(images_dir)
+
+
+def stream_image_gates(images: DataFrame, min_px: int = 256 * 256) -> DataFrame:
+    """The curation gates under Structured Streaming: per image row a
+    verdict — ``exact_dup`` is the STATEFUL stage (chain
+    ``stream_dedup_first_wins`` keyed on phash upstream; this transform
+    is stateless so it stays micro-batch transparent), ``captionless``
+    and ``lowres`` are the same projections image_curation_pipeline
+    applies in batch. NEAR-dup clustering needs global pair state and
+    remains the batch compaction pass — the standard lambda split for a
+    continuous image ingest. Batch/stream row equivalence is pinned by
+    test (same fixture, availableNow vs batch)."""
+    cap = F.coalesce(F.col("caption"), F.lit(""))
+    return images.select(
+        "image_id",
+        "fmt",
+        F.length("bytes").cast("long").alias("n_bytes"),
+        "w",
+        "h",
+        F.when(cap == "", F.lit("captionless"))
+        .when(F.col("w") * F.col("h") < F.lit(min_px), F.lit("lowres"))
+        .otherwise(F.lit("kept"))
+        .alias("verdict"),
+    )
 
 
 def visits_stream(spark: SparkSession, visits_dir: str) -> DataFrame:
