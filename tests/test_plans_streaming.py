@@ -239,6 +239,16 @@ def test_neardup_and_jaccard_have_no_pair_explosion(spark):
     for name in ("bm25_topk", "domain_mix_rebalance"):
         plan = formatted_plan(qs[name](spark, SF))
         assert "CartesianProduct" not in plan, name
+    # the image cluster queries checkpoint their pair chain before the
+    # label/keeper joins the loop above sees — assert the pair chain's
+    # OWN plan too (candidates must equi-join on (band_no, sig), never
+    # pair the table with itself)
+    from wcm_spark.datapipe.queries import _image_pair_ctes
+
+    plan = formatted_plan(
+        spark.sql(f"WITH {_image_pair_ctes('spark', 8)} SELECT * FROM ipairs")
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
 def test_stream_dedup_first_wins(spark, tmp_path):

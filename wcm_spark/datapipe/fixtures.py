@@ -559,7 +559,7 @@ WHERE d.doc_id < 50"""
 # north-rule input table: (image_id, bytes, w, h, fmt, caption, phash)
 # ---------------------------------------------------------------------------
 
-IMAGES_FIXTURE_N = 90  # base images; variants bring the table to ~150 rows
+IMAGES_FIXTURE_N = 90  # base images; variants bring the table to 168 rows
 
 _FIX_NOUNS = ["otter", "bridge", "lantern", "meadow",
               "casserole", "pylon", "comet", "harbor"]
@@ -570,7 +570,9 @@ _FIX_DIMS = [(32, 32), (48, 32), (32, 48)]
 def _images_fixture_rows(n_base: int) -> list[dict]:
     """Deterministic rows of the BASELINE.json input_hint shape with
     ENGINEERED near-dup geometry: every 3rd base gains 2 perturbed
-    variants (every 5th a 3rd, stronger one). The perturbation smooths a
+    variants, and every 5th base a strong (usually gate-failing) one —
+    for i % 15 in {5, 10} the strong variant is the base's ONLY
+    variant, so those bases contribute singletons. The perturbation smooths a
     v-scaled row band, moving the DCT phash by ~2v bits (measured spread
     0-20), while unrelated noise bases sit >=18 bits apart — so the
     real-data hamming<=8 gate is NON-TRIVIAL on this fixture (close
@@ -603,7 +605,7 @@ def _images_fixture_rows(n_base: int) -> list[dict]:
         for v in variants:
             arr = base
             if v:
-                arr = base.astype(np.int16).copy()
+                arr = base.astype(np.int16)
                 r0 = 4 * v
                 arr[r0 : r0 + 3 * v, :, :] = arr[r0 : r0 + 3 * v, :, :].mean()
                 arr = np.clip(arr, 0, 255).astype(np.uint8)

@@ -1348,30 +1348,12 @@ def _image_pick_frames(spark, gate: int):
     cluster+keep computation."""
     from pyspark.sql import functions as F
 
-    from ..operators.graph import connected_components
-
     def build():
         pairs = spark.sql(
             f"WITH {_image_pair_ctes('spark', gate)} "
-            "SELECT ia, ib FROM ipairs"
-        ).localCheckpoint(eager=True)
-        n_edges = pairs.count()
-        nodes = (
-            pairs.select(F.col("ia").alias("image_id"))
-            .union(pairs.select(F.col("ib").alias("image_id")))
-            .distinct()
+            "SELECT ia AS a, ib AS b FROM ipairs"
         )
-        width = max(2, min(
-            spark.sparkContext.defaultParallelism, n_edges // 20_000 + 1
-        ))
-        lbl = connected_components(
-            nodes, pairs, iters=IMG_CC_ITERS, node_col="image_id",
-            src="ia", dst="ib", shuffle_width=width,
-        )
-        final = lbl.select(
-            F.col("url").alias("image_id"),
-            F.col("component").alias("cluster_id"),
-        ).localCheckpoint(eager=True)
+        final = _lsh_component_labels(spark, pairs, IMG_CC_ITERS, "image_id")
         imgs = spark.sql(
             f"SELECT image_id, caption FROM {_images_tbl('spark')}"
         )
@@ -1419,7 +1401,12 @@ def _image_curation_spark(spark, sf_dir, max_hamming: int | None = None,
     """image_curation_pipeline on the engine path — shares the memoized
     cluster+keep frames with image_cluster_caption_pick; the gates are a
     projection over the LEFT-joined label frame and the audit one hash
-    aggregate (identical to the SQL oracle's shape)."""
+    aggregate (identical to the SQL oracle's shape).
+
+    ``min_px=None`` (the registry path) takes the fixture gate from
+    SYNTHETIC_GATES (1100 — the production 256x256 floor would drop
+    every fixture image); a production caller passes the floor
+    explicitly and it wins."""
     from pyspark.sql import functions as F
 
     gate = max_hamming if max_hamming is not None else 8
@@ -3264,6 +3251,39 @@ def _simhash_spark(spark, sf_dir):
     )
 
 
+def _lsh_component_labels(spark, pairs, iters: int, out_col: str,
+                          checkpoint: bool = True):
+    """Shared engine-path propagation over an LSH-bounded candidate pair
+    frame ``pairs(a, b)``: pin the edge set (localCheckpoint, unless the
+    caller already did), size the propagation's shuffle width to the
+    edge count instead of paying the session's full width per tiny hop,
+    run the graph module's connected_components, and return a
+    checkpointed ``(out_col, cluster_id)`` frame. ONE definition for the
+    near-dup, phash-cluster and image-pick paths."""
+    from pyspark.sql import functions as F
+
+    from ..operators.graph import connected_components
+
+    if checkpoint:
+        pairs = pairs.localCheckpoint(eager=True)
+    n_edges = pairs.count()
+    nodes = (
+        pairs.select(F.col("a").alias("node"))
+        .union(pairs.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    width = max(2, min(
+        spark.sparkContext.defaultParallelism, n_edges // 20_000 + 1
+    ))
+    lbl = connected_components(
+        nodes, pairs, iters=iters, node_col="node",
+        src="a", dst="b", shuffle_width=width,
+    )
+    return lbl.select(
+        F.col("url").alias(out_col), F.col("component").alias("cluster_id")
+    ).localCheckpoint(eager=True)
+
+
 def _neardup_labels_df(spark, sf_dir):
     """(doc_id, cluster_id) near-dup component labels on the engine path:
     the SAME shared bucket frame as the other LSH queries (one
@@ -3274,29 +3294,13 @@ def _neardup_labels_df(spark, sf_dir):
     def build():
         from pyspark.sql import functions as F
 
-        from ..operators.graph import connected_components
-
         # the memoized candidate frame IS the (checkpointed) edge set —
         # the probe side of every propagation iteration
         cand = _minhash_cand_df(spark, sf_dir)
-        edges = cand.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        nodes = edges.select(F.col("a").alias("doc_id")).union(
-            edges.select(F.col("b").alias("doc_id"))
-        ).distinct()
-        # the candidate edge set is checkpointed (count is a pinned-rows
-        # job) and LSH-bounded — size the propagation's shuffle width to
-        # it instead of paying the session's full width per tiny hop
-        n_edges = cand.count()
-        width = max(2, min(
-            spark.sparkContext.defaultParallelism, n_edges // 20_000 + 1
-        ))
-        lbl = connected_components(
-            nodes, edges, iters=NEARDUP_CC_ITERS, node_col="doc_id",
-            src="a", dst="b", shuffle_width=width,
+        pairs = cand.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        return _lsh_component_labels(
+            spark, pairs, NEARDUP_CC_ITERS, "doc_id", checkpoint=False
         )
-        return lbl.select(
-            F.col("url").alias("doc_id"), F.col("component").alias("cluster_id")
-        ).localCheckpoint(eager=True)
 
     return _app_cached(spark, f"neardup_labels:{sf_dir}", build)
 
@@ -3329,8 +3333,6 @@ def _phash_clusters_spark(spark, sf_dir, max_hamming: int | None = None):
     direct caller's gate is honored rather than silently overridden."""
     from pyspark.sql import functions as F
 
-    from ..operators.graph import connected_components
-
     if max_hamming is not None:
         gate = max_hamming
     else:
@@ -3341,24 +3343,9 @@ def _phash_clusters_spark(spark, sf_dir, max_hamming: int | None = None):
     def build():
         pairs = spark.sql(
             f"WITH {_phash_pair_ctes('spark', sf_dir, gate)} "
-            "SELECT vec_a, vec_b FROM phash_pairs"
-        ).localCheckpoint(eager=True)
-        n_edges = pairs.count()
-        nodes = (
-            pairs.select(F.col("vec_a").alias("vec_id"))
-            .union(pairs.select(F.col("vec_b").alias("vec_id")))
-            .distinct()
+            "SELECT vec_a AS a, vec_b AS b FROM phash_pairs"
         )
-        width = max(2, min(
-            spark.sparkContext.defaultParallelism, n_edges // 20_000 + 1
-        ))
-        lbl = connected_components(
-            nodes, pairs, iters=PHASH_CC_ITERS, node_col="vec_id",
-            src="vec_a", dst="vec_b", shuffle_width=width,
-        )
-        return lbl.select(
-            F.col("url").alias("vec_id"), F.col("component").alias("cluster_id")
-        ).localCheckpoint(eager=True)
+        return _lsh_component_labels(spark, pairs, PHASH_CC_ITERS, "vec_id")
 
     final = _app_cached(spark, f"phash_clusters:{sf_dir}:{gate}", build)
     sizes = final.groupBy("cluster_id").agg(
