@@ -249,6 +249,46 @@ SELECT seq, url, host_id FROM ranked WHERE hr <= 2
 ORDER BY seq LIMIT 50"""
 
 
+@register("frontier_priority_cut")
+def _q_priority_cut(d, sf):
+    """North-rule priority queue: the wave cut under a non-FIFO order —
+    shallow-first (depth ASC) priority with seq as the deterministic
+    tiebreak; per-host rank <= 2, then global top-50 under the SAME
+    total order. The Spark side runs the ENGINE's salted two-phase
+    Crawler._wave_cut with priority_expr='-depth'
+    (_priority_cut_spark override), so the driver compare pins the real
+    operator; this SQL is the independent restatement. FIFO stays the
+    engine default — the reference's queue order
+    (Queue/Memory.pm:20-35), required for visit-order parity."""
+    return f"""WITH {_frontier_cte(d, sf)},
+ranked AS (
+  SELECT seq, url, host_id, depth,
+         row_number() OVER (PARTITION BY host_id ORDER BY depth, seq) AS hr
+  FROM frontier
+)
+SELECT seq, url, host_id, depth FROM ranked WHERE hr <= 2
+ORDER BY depth, seq LIMIT 50"""
+
+
+def _priority_cut_spark(spark, sf_dir):
+    """frontier_priority_cut on the engine path — the actual
+    Crawler._wave_cut (salted two-phase per-host top-K + TakeOrdered
+    global cap) under priority_expr='-depth'."""
+    from ..scheduler import Crawler, CrawlConfig
+
+    pending = spark.sql(
+        f"WITH {_frontier_cte('spark', sf_dir)} "
+        "SELECT seq, host_key, host_id, depth, url, "
+        "CAST(seq % 64 AS INT) AS host_salt FROM frontier"
+    )
+    cfg = CrawlConfig(
+        fetch_mode="http", max_conn_per_host=2, max_conn=50,
+        priority_expr="-depth",
+    )
+    cut = Crawler(spark, None, cfg)._wave_cut(pending)
+    return cut.select("seq", "url", "host_id", "depth")
+
+
 # robots fixture shared by the SQL (both dialects) and the engine-path
 # Spark override: hosts with host_id % 3 == 1 serve this file; the
 # wcm-spark agent falls into the '*' group. Longest-path-prefix match,
@@ -4331,6 +4371,7 @@ _SPARK_OVERRIDES = {
     # side runs the engine's own operator (robots broadcast gate, F8
     # credential dimension join)
     "robots_gate": _robots_spark,
+    "frontier_priority_cut": _priority_cut_spark,
     "credentials_attach": _creds_spark,
 }
 

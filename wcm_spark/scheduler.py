@@ -102,6 +102,12 @@ class CrawlConfig:
     http_timeout: float = 10.0             # per-request timeout in http mode
     http_concurrency: int = 16             # sockets per partition in http mode
     min_delay_sec: float = 0.0             # F6 in wall-clock form (http mode): spacing between same-host requests
+    priority_expr: str | None = None       # north-rule priority queue: a SQL expression over
+                                           # frontier columns (url, depth, host_key, seq, ...);
+                                           # the wave cut ranks per host by (priority DESC, seq)
+                                           # instead of pure FIFO. None (default) = FIFO — the
+                                           # reference's queue order, required for visit-order
+                                           # parity (Queue/Memory.pm dequeues insertion order)
 
 
 @dataclass
@@ -580,6 +586,15 @@ class Crawler:
                 )
                 .drop("last_wave")
             )
+        # the wave-cut total order: FIFO by default (reference parity),
+        # (priority DESC, seq) under the north-rule priority queue —
+        # seq stays the tiebreak so the order remains total and the cut
+        # deterministic for any priority expression
+        order = (
+            [F.expr(cfg.priority_expr).desc(), F.col("seq")]
+            if cfg.priority_expr
+            else [F.col("seq")]
+        )
         if cfg.max_conn_per_host is not None:
             k = cfg.max_conn_per_host
             # two-phase per-host top-K (the reason frontier rows carry
@@ -587,15 +602,16 @@ class Crawler:
             # spreading a skewed host over cfg.salts tasks instead of
             # funneling its millions of pending rows through ONE window
             # task; phase 2 ranks the <= K*salts survivors per host. The
-            # true per-host top-K by seq is always contained in the union
-            # of per-shard top-Ks, so the result is identical.
-            w1 = Window.partitionBy("host_key", "host_salt").orderBy("seq")
+            # true per-host top-K is always contained in the union of
+            # per-shard top-Ks under the SAME total order, so the result
+            # is identical for FIFO and priority cuts alike.
+            w1 = Window.partitionBy("host_key", "host_salt").orderBy(*order)
             wave = (
                 wave.withColumn("__hs", F.row_number().over(w1))
                 .filter(F.col("__hs") <= k)
                 .drop("__hs")
             )
-            w = Window.partitionBy("host_key").orderBy("seq")
+            w = Window.partitionBy("host_key").orderBy(*order)
             wave = (
                 wave.withColumn("__hr", F.row_number().over(w))
                 .filter(F.col("__hr") <= k)
@@ -604,7 +620,7 @@ class Crawler:
         if cfg.max_conn is not None:
             # TakeOrdered top-K: per-partition heads merged on one reducer,
             # K rows — not a global sort of the frontier
-            wave = wave.orderBy("seq").limit(cfg.max_conn)
+            wave = wave.orderBy(*order).limit(cfg.max_conn)
         return wave
 
     # -- main loop ----------------------------------------------------------
