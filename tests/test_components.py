@@ -525,3 +525,34 @@ def test_long_chain_crawl_consolidates_seen_broadcast(spark):
     assert vis == [f"http://chain.test/p{i}.html" for i in range(n)]
     assert res.waves == n  # one new URL per wave; no duplicate fetches
     assert res.seen.count() == n
+
+
+def test_priority_crawl_same_coverage_different_order(spark):
+    """priority_expr changes the wave-cut ORDER, never the crawl's
+    coverage: a capped drain with a shallow-first/url-length priority
+    fetches exactly the FIFO crawl's URL set, and the cut genuinely
+    reorders at least one capped wave (non-vacuous)."""
+    from wcm_spark.corpus import corpus_df, seed_urls
+    from wcm_spark.scheduler import CrawlConfig, Crawler
+
+    corpus = corpus_df(spark, 2, 8).cache()
+    base = dict(
+        expected_urls=10_000, use_bloom=False,
+        max_conn_per_host=3, max_conn=6,
+    )
+    fifo = Crawler(spark, corpus, CrawlConfig(**base)).run(seed_urls(2))
+    fifo_rows = [
+        (r["pos"], r["url"])
+        for r in fifo.visits.select("pos", "url").orderBy("pos").collect()
+    ]
+    pri = Crawler(
+        spark, corpus,
+        CrawlConfig(**base, priority_expr="length(url)"),
+    ).run(seed_urls(2))
+    pri_rows = [
+        (r["pos"], r["url"])
+        for r in pri.visits.select("pos", "url").orderBy("pos").collect()
+    ]
+    assert {u for _, u in fifo_rows} == {u for _, u in pri_rows}
+    assert len(fifo_rows) == len(pri_rows)
+    assert fifo_rows != pri_rows  # the priority actually reordered waves
