@@ -122,3 +122,70 @@ def test_trade_graph_plan(spark):
     # the orderkey join must prune both scans to the two join columns
     assert "o_orderstatus" not in plan
     assert "l_extendedprice" not in plan
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_components_match_union_find_on_random_graphs(spark, seed):
+    """Seeded sparse random graphs vs a pure-Python union-find: the
+    fixed-iteration min-label propagation (run to the graph's diameter
+    bound) produces exactly the union-find components with min-node
+    labels."""
+    import random
+
+    rng = random.Random(seed)
+    n = 60
+    nodes = [f"n{i:02d}" for i in range(n)]
+    edges = sorted(
+        {
+            tuple(sorted((rng.choice(nodes), rng.choice(nodes))))
+            for _ in range(45)
+        }
+    )
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = {u: u for u in nodes}
+
+    def find(u):
+        while parent[u] != u:
+            parent[u] = parent[parent[u]]
+            u = parent[u]
+        return u
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    want = {}
+    for u in nodes:
+        r = find(u)
+        want.setdefault(r, []).append(u)
+    expect = {u: min(members) for members in want.values() for u in members}
+
+    # iterations sized to the true diameter (BFS per component) + 1 —
+    # the bound min-label propagation needs, without paying n hops
+    from collections import deque
+
+    adj = {u: set() for u in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    diameter = 0
+    for s in nodes:
+        dist = {s: 0}
+        dq = deque([s])
+        while dq:
+            u = dq.popleft()
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    dq.append(v)
+        diameter = max(diameter, max(dist.values()))
+
+    ndf = spark.createDataFrame([(u,) for u in nodes], "url string")
+    # connected_components treats the edge frame as directed messages —
+    # feed both directions explicitly, like the production callers do
+    both = edges + [(b, a) for a, b in edges]
+    edf = spark.createDataFrame(both, "src string, dst string")
+    got = {
+        r["url"]: r["component"]
+        for r in connected_components(ndf, edf, iters=diameter + 1).collect()
+    }
+    assert got == expect
