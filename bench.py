@@ -102,6 +102,10 @@ HEADLINE_QUERIES = [
     "events_asof_join",
     "events_asof_forward",
     "events_range_join",
+    "frontier_priority_cut",
+    "image_cluster_caption_pick",
+    "image_curation_pipeline",
+    "image_shard_packing",
 ]
 
 
@@ -897,6 +901,17 @@ def _run_sweep(spark) -> dict:
     without it the first entry absorbs 5-6s of session cold-start),
     then each headline query timed to completion."""
     from wcm_spark.datapipe.queries import spark_queries
+
+    # the image-family queries read the north-rule fixture table, whose
+    # size is sf-independent — raise it for the sweep so their entries
+    # measure a non-toy table (~15k rows / ~46 MB payloads at 8000; the
+    # driver's oracle compare keeps the pinned 90-base default). Build
+    # cost is one-time (~11 s) and cached content-addressed on disk,
+    # paid OUTSIDE any timed entry (the path call below materializes it).
+    os.environ.setdefault("WCM_IMAGES_N", "8000")
+    from wcm_spark.datapipe.fixtures import images_table_path
+
+    images_table_path()
 
     qs = spark_queries()
     (

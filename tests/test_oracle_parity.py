@@ -115,6 +115,21 @@ def test_image_caption_pick_convergence_and_geometry(duck):
     assert n_cross == 0
 
 
+def test_images_table_size_override(duck):
+    """images_table_path scales with an explicit n_base (bench raises it
+    via WCM_IMAGES_N for non-toy sweep entries) and stays
+    content-addressed per size — the pinned 90-base default is untouched."""
+    from wcm_spark.datapipe.fixtures import images_table_path
+
+    small = images_table_path(12)
+    default = images_table_path()
+    assert small != default
+    [n] = duck.execute(
+        f"SELECT count(*) FROM read_parquet('{small}')"
+    ).fetchone()
+    assert 12 < n <= 12 * 2  # bases + engineered variants
+
+
 def test_image_shard_packing_geometry(duck):
     """At the fixture override budget every group splits into multiple
     shards, per-group offsets are dense (contiguous byte stream), and no

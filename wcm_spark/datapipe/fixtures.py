@@ -639,11 +639,24 @@ def _images_fixture_rows(n_base: int) -> list[dict]:
     return rows
 
 
-@functools.lru_cache(maxsize=None)
-def images_table_path(n_base: int = IMAGES_FIXTURE_N) -> str:
+def images_table_path(n_base: int | None = None) -> str:
     """Write the north-rule image+caption input table as ONE parquet
     (pyarrow, no Spark) and return its path; both engines read this
-    exact file (the crawl-fixture pattern at fixture_corpus_path)."""
+    exact file (the crawl-fixture pattern at fixture_corpus_path).
+
+    ``n_base=None`` resolves WCM_IMAGES_N (default IMAGES_FIXTURE_N=90,
+    the pinned correctness-fixture size): bench.py raises it so the
+    image-family sweep entries measure a non-toy table (~1.9 rows/base,
+    ~3 KB/row), while the driver's oracle compare keeps the default —
+    the env is read at SQL-build time, so Spark query and DuckDB oracle
+    always resolve the SAME table within one process."""
+    if n_base is None:
+        n_base = int(os.environ.get("WCM_IMAGES_N", IMAGES_FIXTURE_N))
+    return _images_table_path_cached(n_base)
+
+
+@functools.lru_cache(maxsize=None)
+def _images_table_path_cached(n_base: int) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
