@@ -323,6 +323,52 @@ def test_stream_scrape_edges_matches_batch(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_stream_image_ingest_chain(spark, tmp_path):
+    """The full continuous image-ingest decomposition: file source →
+    watermark-bounded exact-dup on phash (first wins) → curation gates.
+    The source holds every fixture row TWICE (second copy under a new
+    image_id, same phash), so dedup must halve it; every surviving row's
+    verdict must equal the batch gate of that exact row."""
+    from wcm_spark.datapipe.fixtures import images_table_path
+    from wcm_spark.streaming.metrics import (
+        images_stream,
+        stream_dedup_first_wins,
+        stream_image_gates,
+    )
+
+    src = str(tmp_path / "ingest")
+    imgs = spark.read.parquet(images_table_path())
+    n = imgs.count()
+    dup = imgs.withColumn("image_id", F.concat(F.col("image_id"), F.lit("#2")))
+    imgs.unionByName(dup).repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = images_stream(spark, src, max_files_per_trigger=2).withColumn(
+        "event_ts",
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.crc32("image_id") % 1000),
+    )
+    chained = stream_image_gates(
+        stream_dedup_first_wins(stream, key_col="phash"), min_px=1100
+    )
+    q = (
+        chained.writeStream.format("memory")
+        .queryName("image_ingest_chain")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("select * from image_ingest_chain").collect()
+    assert len(got) == n  # exactly one survivor per phash
+    # each survivor's verdict equals the batch gate of that exact row
+    batch = {
+        r["image_id"]: r["verdict"]
+        for r in stream_image_gates(
+            spark.read.parquet(src), min_px=1100
+        ).collect()
+    }
+    assert all(batch[r["image_id"]] == r["verdict"] for r in got)
+
+
 def test_stream_image_gates_matches_batch(spark, tmp_path):
     """Streaming curation gates == batch gates over the north-rule image
     table: the fixture split across files streams through the SAME
