@@ -385,10 +385,12 @@ def _creds_spark(spark, sf_dir):
         f"WITH {_frontier_cte('spark', sf_dir)} "
         "SELECT seq, url, host_id, host_key FROM frontier"
     )
+    # the 37 host keys are fixed by _frontier_cte (doc_id % 37) — build
+    # the credential dimension directly instead of a full-table distinct
     creds = {
-        r["host_key"]: f"u{r['host_id']}:pw{r['host_id']}"
-        for r in frontier.select("host_id", "host_key").distinct().collect()
-        if r["host_id"] % 5 == 2
+        f"http://host{h}.example.test": f"u{h}:pw{h}"
+        for h in range(37)
+        if h % 5 == 2
     }
     crawler = Crawler(
         spark, None, CrawlConfig(fetch_mode="http", credentials=creds)
