@@ -84,6 +84,17 @@ def test_image_payload_fidelity(spark, corpus_df):
         if r["caption"] is not None:
             assert r["caption"] == f"caption site {site} image {tag}"
         assert isinstance(r["phash"], int)
+    # the sink's schema IS the north-rule input table: the curation
+    # gates (and by extension the whole image-table query family)
+    # consume it directly, no adaptation layer
+    from wcm_spark.streaming.metrics import stream_image_gates
+
+    verdicts = {
+        r["image_id"]: r["verdict"]
+        for r in stream_image_gates(res.images, min_px=1024).collect()
+    }
+    assert len(verdicts) == len(rows)
+    assert set(verdicts.values()) <= {"kept", "captionless", "lowres"}
 
 
 def test_kill_resume_live_http_no_refetch(spark, tmp_path):
