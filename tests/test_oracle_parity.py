@@ -164,3 +164,131 @@ def test_spark_only_queries_run(spark):
             continue
         df = fn(spark, SF_DIR)
         assert df.count() >= 0, name
+
+
+# ---------------------------------------------------------------------------
+# third-implementation pins for the scrub/ingest family: pure-Python
+# recomputes (re + hashlib), independent of both SQL dialects
+# ---------------------------------------------------------------------------
+
+_PII_RULES = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+]
+
+
+def _pii_inject(doc_id: int, text: str) -> str:
+    if doc_id % 7 == 0:
+        text += f" contact user{doc_id}@mail.example.com now"
+    if doc_id % 11 == 0:
+        text += f" call 415-{doc_id % 1000:03d}-0199"
+    if doc_id % 13 == 0:
+        text += f" node 10.0.{doc_id % 256}.{(doc_id * 7) % 256}"
+    return text
+
+
+def test_pii_redact_python_recompute(spark):
+    """Every doc's counts AND scrubbed-text digest vs an re/hashlib
+    recompute — Java regex, RE2 and Python re must agree on the
+    lookaround-free pattern subset, and the replacement chain order
+    (email -> ip -> phone) is pinned."""
+    import hashlib
+    import re
+
+    got = {
+        r["doc_id"]: r for r in QUERIES["pii_redact"](spark, SF_DIR).collect()
+    }
+    raw = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    assert len(got) == len(raw)
+    saw = [0, 0, 0]
+    for r in raw:
+        text = _pii_inject(r["doc_id"], r["text"])
+        counts = [len(re.findall(p, text)) for p, _ in _PII_RULES]
+        scrub = text
+        for p, rep in _PII_RULES:
+            scrub = re.sub(p, rep, scrub)
+        g = got[r["doc_id"]]
+        assert (g["n_emails"], g["n_ipv4"], g["n_phones"]) == tuple(counts)
+        assert g["scrub_digest"] == hashlib.md5(scrub.encode()).hexdigest()
+        assert g["scrub_len"] == len(scrub)
+        saw = [a + b for a, b in zip(saw, counts)]
+    assert all(s > 0 for s in saw)  # every PII kind exercised
+
+
+def test_dedup_incremental_engine_path(spark):
+    """The bloom-prefilter engine path vs a pure-Python replay of the
+    snapshot rule; all three verdicts must actually occur."""
+    rows = QUERIES["dedup_incremental"](spark, SF_DIR).collect()
+    ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+
+    def key(i):
+        if i % 9 == 1:
+            return i - 1
+        if i % 30 == 12:
+            return i - 6
+        return i
+
+    corpus = {key(i) for i in ids if i % 3 != 0}
+    batch = sorted(i for i in ids if i % 3 == 0)
+    firsts: dict[int, int] = {}
+    want = {}
+    for i in batch:
+        k = key(i)
+        firsts.setdefault(k, i)
+        want[i] = (
+            "dup_corpus"
+            if k in corpus
+            else ("dup_batch" if i > firsts[k] else "ingest")
+        )
+    assert {r["doc_id"]: r["action"] for r in rows} == want
+    assert {r["action"] for r in rows} == {"ingest", "dup_batch", "dup_corpus"}
+
+
+def test_passage_dedup_scrub_python_recompute(spark):
+    """First-wins scrub + ordered reassembly vs a pure-Python replay:
+    n_kept and the md5 of every doc's reassembled text must match."""
+    import hashlib
+    import re
+
+    from wcm_spark.datapipe.queries import SYNTHETIC_GATES
+
+    chunk = SYNTHETIC_GATES["passage_dedup_scrub"]["chunk"]
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["passage_dedup_scrub"](spark, SF_DIR).collect()
+    }
+    raw = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    passages = []  # (pk, doc_id, pos, chunk_text)
+    for r in raw:
+        toks = [t for t in re.split(r"[^a-z0-9]+", r["text"].lower()) if t]
+        for i in range(len(toks) // chunk):
+            c = " ".join(toks[i * chunk : (i + 1) * chunk])
+            passages.append((r["doc_id"] * 1_000_000 + i, r["doc_id"], i, c))
+    first_pk: dict[str, int] = {}
+    for pk, _, _, c in sorted(passages):
+        first_pk.setdefault(c, pk)
+    per_doc: dict[int, list] = {}
+    for pk, doc_id, pos, c in sorted(passages):
+        per_doc.setdefault(doc_id, []).append((pos, c, first_pk[c] == pk))
+    dropped_any = 0
+    for doc_id, items in per_doc.items():
+        kept = [c for _, c, k in items if k]
+        g = got[doc_id]
+        assert g["n_passages"] == len(items)
+        assert g["n_kept"] == len(kept)
+        assert g["scrub_digest"] == hashlib.md5(
+            " ".join(kept).encode()
+        ).hexdigest()
+        dropped_any += len(items) - len(kept)
+    assert dropped_any > 0  # the fixture must actually exercise drops
+    assert set(got) == set(per_doc)

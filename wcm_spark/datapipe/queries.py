@@ -181,6 +181,7 @@ SYNTHETIC_GATES: dict[str, dict] = {
     "embedding_neardup": {"min_cosine": 0.35},
     "ann_lsh_bucketed": {"min_cosine": 0.25},
     "passage_dedup_rate": {"chunk": 3},
+    "passage_dedup_scrub": {"chunk": 3},
     "ann_pq_adc": {"m": 32, "k": 64},
     "ann_pq_recall_at_k": {"m": 32, "k": 64},
     "ann_ivfpq_adc": {"m": 32, "k": 64},
@@ -2446,6 +2447,163 @@ FROM packed p JOIN firsts f ON f.h = p.h
 GROUP BY p.doc_id"""
 
 
+@register("passage_dedup_scrub")
+def _q_passage_scrub(d, sf, chunk: int = 10):
+    """The transform passage_dedup_rate only *measures*, applied: corpus-
+    wide first-wins passage dedup — later occurrences of a repeated
+    ``chunk``-token passage are dropped and each doc is reassembled from
+    its kept passages in stream order (Lee et al. 2022's substring dedup
+    as an actual scrub pass, the form a training pipeline ships). The
+    reassembled text is pinned via md5 so replacement semantics — not
+    just counts — are verified cross-engine.
+    100 TB shape: explode + one hash-aggregate for first occurrences (no
+    self-join, no corpus-wide window); order sensitivity lives INSIDE the
+    per-doc reassembly aggregate (sort of ≤n_passages kept chunks), so
+    partition order never matters. ``chunk=10`` is the real operating
+    point; SYNTHETIC_GATES overrides to 3 on the word-soup fixtures."""
+    if d == "spark":
+        chunks = (
+            f"transform(sequence(1, CAST(floor(size(tokens) / {chunk}) AS INT)), "
+            f"i -> concat_ws(' ', slice(tokens, (i - 1) * {chunk} + 1, {chunk})))"
+        )
+        chunk_rows = (
+            "SELECT doc_id, pos, c, md5(c) AS h FROM "
+            "(SELECT doc_id, chunklist FROM chunked) t "
+            "LATERAL VIEW posexplode(chunklist) x AS pos, c"
+        )
+        # ordered reassembly without a window: sort the per-doc kept
+        # chunks inside the aggregate (collect_list skips the NULLs the
+        # CASE leaves for dropped passages)
+        digest = (
+            "md5(concat_ws(' ', transform(array_sort("
+            "collect_list(CASE WHEN kept THEN named_struct('pos', pos, 'c', c) END)), "
+            "s -> s.c)))"
+        )
+    else:
+        chunks = (
+            f"[array_to_string(list_slice(tokens, (i - 1) * {chunk} + 1, i * {chunk}), ' ') "
+            f"for i in generate_series(1, CAST(floor(len(tokens) / {chunk}) AS INT))]"
+        )
+        chunk_rows = (
+            "SELECT doc_id, generate_subscripts(chunklist, 1) - 1 AS pos, "
+            "unnest(chunklist) AS c, md5(unnest(chunklist)) AS h FROM chunked"
+        )
+        digest = (
+            "md5(coalesce(string_agg(CASE WHEN kept THEN c END, ' ' ORDER BY pos), ''))"
+        )
+    return f"""WITH {_tokens_cte(d, sf)},
+chunked AS (SELECT doc_id, {chunks} AS chunklist FROM toks),
+chunk_rows AS ({chunk_rows}),
+packed AS (
+  SELECT doc_id, pos, c, h, doc_id * 1000000 + pos AS pk FROM chunk_rows
+),
+firsts AS (SELECT h, min(pk) AS first_pk FROM packed GROUP BY h),
+flagged AS (
+  SELECT p.doc_id, p.pos, p.c, (p.pk = f.first_pk) AS kept
+  FROM packed p JOIN firsts f ON f.h = p.h
+)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_passages,
+  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  {digest} AS scrub_digest
+FROM flagged
+GROUP BY doc_id"""
+
+
+def _re_replace_all(expr: str, pat: str, rep: str, d: str) -> str:
+    """Global regexp_replace — Spark replaces every match by default,
+    DuckDB only the first unless passed the 'g' option."""
+    if d == "spark":
+        return f"regexp_replace({expr}, {pat}, '{rep}')"
+    return f"regexp_replace({expr}, {pat}, '{rep}', 'g')"
+
+
+# Patterns restricted to the Java-regex ∩ RE2 common subset (no
+# lookaround): \b, \d, bounded repetition behave identically in both.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+@register("pii_redact")
+def _q_pii_redact(d, sf):
+    """PII scrub — the mandatory pre-training privacy pass: detect and
+    redact emails / NANP phone numbers / IPv4 literals; per-doc counts
+    plus an md5 of the scrubbed text so the replacement itself (order,
+    boundaries, token form) is pinned cross-engine, not just the counts.
+    The word-soup fixture contains no PII, so deterministic PII strings
+    are injected in SQL on doc_id residues (the frontier-CTE pattern) —
+    both engines see identical rows.
+    100 TB shape: a single narrow projection (regexp_extract_all +
+    chained regexp_replace per row, JVM whole-stage codegen, zero
+    shuffles) — embarrassingly parallel with executors."""
+    f = _fn(d)
+    email, phone, ipv4 = (_rx(p, d) for p in (_PII_EMAIL, _PII_PHONE, _PII_IPV4))
+    scrub = _re_replace_all("text", email, "<EMAIL>", d)
+    scrub = _re_replace_all(scrub, ipv4, "<IP>", d)
+    scrub = _re_replace_all(scrub, phone, "<PHONE>", d)
+
+    def n(pat: str) -> str:
+        # group index 0 explicit: Spark defaults to 1 (requires a group)
+        return f"CAST({f['LEN']}(regexp_extract_all(text, {pat}, 0)) AS BIGINT)"
+
+    return f"""WITH injected AS (
+  SELECT doc_id,
+    text
+      || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS {f['STR']}) || '@mail.example.com now' ELSE '' END
+      || CASE WHEN doc_id % 11 = 0 THEN ' call 415-' || lpad(CAST(doc_id % 1000 AS {f['STR']}), 3, '0') || '-0199' ELSE '' END
+      || CASE WHEN doc_id % 13 = 0 THEN ' node 10.0.' || CAST(doc_id % 256 AS {f['STR']}) || '.' || CAST((doc_id * 7) % 256 AS {f['STR']}) ELSE '' END
+      AS text
+  FROM {_tbl('documents', d, sf)}
+)
+SELECT doc_id,
+  {n(email)} AS n_emails,
+  {n(phone)} AS n_phones,
+  {n(ipv4)} AS n_ipv4,
+  md5({scrub}) AS scrub_digest,
+  CAST(length({scrub}) AS BIGINT) AS scrub_len
+FROM injected"""
+
+
+@register("dedup_incremental")
+def _q_dedup_incremental(d, sf):
+    """Incremental (cross-snapshot) exact dedup — the continuous-ingest
+    shape: yesterday's corpus snapshot provides the seen content-hash
+    set; a new batch dedups against it first (``dup_corpus``), then
+    first-wins within itself (``dup_batch``); only ``ingest`` rows
+    append. The fixture word-soup is duplicate-free, so duplication is
+    induced deterministically: content keys are doc_id with two sparse
+    collision rules (id%9==1 → pairs with id-1, mostly cross-snapshot;
+    id%30==12 → pairs with id-6, in-batch), yielding a real mix of all
+    three verdicts in both engines. The Spark engine path (_dedup_incremental_spark) runs the
+    crawler's REAL seen-set machinery — distributed bloom build over the
+    snapshot + bloom_prefilter + exact anti-join (operators/dedup.py:
+    154,175,197) — with this SQL text as the independent oracle.
+    100 TB shape: the bloom ships n_bits/8 bytes per partition regardless
+    of row count; definite-fresh rows skip the anti-join shuffle; only
+    bloom-positives (true dups + fpp) pay it."""
+    f = _fn(d)
+    key = (
+        "CASE WHEN doc_id % 9 = 1 THEN doc_id - 1 "
+        "WHEN doc_id % 30 = 12 THEN doc_id - 6 ELSE doc_id END"
+    )
+    return f"""WITH snap AS (
+  SELECT doc_id,
+         md5('content-' || CAST({key} AS {f['STR']})) AS content_hash
+  FROM {_tbl('documents', d, sf)}
+),
+corpus AS (SELECT DISTINCT content_hash FROM snap WHERE doc_id % 3 != 0),
+batch AS (SELECT doc_id, content_hash FROM snap WHERE doc_id % 3 = 0),
+firsts AS (SELECT content_hash, min(doc_id) AS first_id FROM batch GROUP BY content_hash)
+SELECT b.doc_id, b.content_hash,
+  CASE WHEN c.content_hash IS NOT NULL THEN 'dup_corpus'
+       WHEN b.doc_id > f2.first_id THEN 'dup_batch'
+       ELSE 'ingest' END AS action
+FROM batch b
+LEFT JOIN corpus c ON c.content_hash = b.content_hash
+JOIN firsts f2 ON f2.content_hash = b.content_hash"""
+
+
 def _ngram_cte(d: str, sf, n: int) -> str:
     """``toks`` + ``grams(doc_id, shingles)`` for arbitrary n — the
     variable-width sibling of _shingles_cte (which pins n=3 for the LSH
@@ -4344,7 +4502,50 @@ def _range_spark(spark, sf_dir):
     )
 
 
+def _dedup_incremental_spark(spark, sf_dir):
+    """Engine path for dedup_incremental: the crawler's real seen-set
+    operators — a distributed bloom built over the corpus snapshot
+    (build_bloom: per-partition partial bit arrays, OR-merged), then
+    bloom_prefilter + exact anti-join via seen_anti_join's scale path
+    (seen_count=None forces the bloom branch, the >4M-digest shape).
+    dup_batch resolves with the same first-wins min-aggregate the wave
+    loop uses. The templated SQL builder is the independent oracle."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import NumpyBloom, build_bloom, seen_anti_join
+
+    key = (
+        F.when(F.col("doc_id") % 9 == 1, F.col("doc_id") - 1)
+        .when(F.col("doc_id") % 30 == 12, F.col("doc_id") - 6)
+        .otherwise(F.col("doc_id"))
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.md5(F.concat(F.lit("content-"), key.cast("string"))).alias("digest"),
+    )
+    corpus = docs.filter("doc_id % 3 != 0").select("digest").distinct()
+    batch = docs.filter("doc_id % 3 = 0")
+    bloom = NumpyBloom.sized(capacity=max(corpus.count(), 1), fpp=0.01)
+    build_bloom(corpus, bloom)
+    fresh = seen_anti_join(batch, corpus, bloom=bloom)
+    fresh_ids = fresh.select("doc_id").withColumn("__fresh", F.lit(True))
+    firsts = batch.groupBy("digest").agg(F.min("doc_id").alias("first_id"))
+    return (
+        batch.join(fresh_ids, "doc_id", "left")
+        .join(firsts, "digest")
+        .select(
+            "doc_id",
+            F.col("digest").alias("content_hash"),
+            F.when(F.col("__fresh").isNull(), F.lit("dup_corpus"))
+            .when(F.col("doc_id") > F.col("first_id"), F.lit("dup_batch"))
+            .otherwise(F.lit("ingest"))
+            .alias("action"),
+        )
+    )
+
+
 _SPARK_OVERRIDES = {
+    "dedup_incremental": _dedup_incremental_spark,
     "events_asof_join": _asof_spark,
     "events_asof_forward": _asof_fwd_spark,
     "events_range_join": _range_spark,
