@@ -94,6 +94,9 @@ HEADLINE_QUERIES = [
     "status_histogram",
     "trade_graph_pagerank",
     "passage_dedup_rate",
+    "passage_dedup_scrub",
+    "pii_redact",
+    "dedup_incremental",
     "doc_decontamination",
     "sequence_packing",
     "train_val_split",

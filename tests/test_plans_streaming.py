@@ -223,6 +223,12 @@ def test_neardup_and_jaccard_have_no_pair_explosion(spark):
         "image_cluster_caption_pick",
         "image_curation_pipeline",
         "image_shard_packing",
+        # scrub/ingest family (round 4): passage scrub equi-joins the
+        # exploded passages with their first-occurrence aggregate on the
+        # passage hash; incremental dedup is bloom-prefilter + equi
+        # anti-join + two node-sized equi-joins
+        "passage_dedup_scrub",
+        "dedup_incremental",
     ):
         plan = formatted_plan(qs[name](spark, SF))
         assert "CartesianProduct" not in plan, name
@@ -239,6 +245,14 @@ def test_neardup_and_jaccard_have_no_pair_explosion(spark):
     for name in ("bm25_topk", "domain_mix_rebalance"):
         plan = formatted_plan(qs[name](spark, SF))
         assert "CartesianProduct" not in plan, name
+    # pii_redact must stay a single narrow projection: no shuffle at all
+    from wcm_spark.plans.inspect import shuffle_count
+
+    pii = qs["pii_redact"](spark, SF)
+    assert shuffle_count(pii) == 0, "pii_redact must not shuffle"
+    plan = formatted_plan(pii)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     # the image cluster queries checkpoint their pair chain before the
     # label/keeper joins the loop above sees — assert the pair chain's
     # OWN plan too (candidates must equi-join on (band_no, sig), never
