@@ -109,6 +109,8 @@ HEADLINE_QUERIES = [
     "image_cluster_caption_pick",
     "image_curation_pipeline",
     "image_shard_packing",
+    "image_caption_neardup",
+    "image_exact_dedup",
 ]
 
 

@@ -292,3 +292,39 @@ def test_passage_dedup_scrub_python_recompute(spark):
         dropped_any += len(items) - len(kept)
     assert dropped_any > 0  # the fixture must actually exercise drops
     assert set(got) == set(per_doc)
+
+
+def test_shingle_builders_survive_short_docs(spark, tmp_path):
+    """Real-data robustness: docs shorter than the shingle/chunk window
+    must yield empty windows, not a crash — Spark's sequence(1, 0)
+    descends ([1, 0]) and element_at/slice then error or fabricate
+    windows (the _seq1 guard). Pins every variable-length builder over
+    a 0/1/2/5-token corpus at the REAL operating points (no synthetic
+    gate overrides)."""
+    import pandas as pd
+
+    from wcm_spark.datapipe.queries import _BUILDERS
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["", "one", "two words", "five tokens in this doc"],
+            "lang": ["en"] * 4,
+            "fetched_at": pd.to_datetime(["2026-01-01"] * 4),
+        }
+    )
+    d = tmp_path / "documents.parquet"
+    spark.createDataFrame(pdf).write.parquet(str(d))
+    for name in (
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "minhash_est_vs_exact",
+        "passage_dedup_rate",
+        "passage_dedup_scrub",
+        "doc_decontamination",
+    ):
+        # real defaults on purpose: chunk=10 / n-gram windows wider than
+        # every fixture doc here
+        sql = _BUILDERS[name]("spark", str(tmp_path))
+        rows = spark.sql(sql).collect()
+        assert isinstance(rows, list), name

@@ -101,6 +101,18 @@ def _rx(raw: str, d: str) -> str:
     return f"'{body}'"
 
 
+def _seq1(n_expr: str) -> str:
+    """Spark-side 1..n index sequence that is EMPTY when n <= 0.
+
+    sequence(1, 0) DESCENDS to [1, 0] (and an explicit step of 1 raises
+    "Illegal sequence boundaries"), so every variable-length shingle /
+    chunk builder would crash or emit bogus windows on inputs shorter
+    than its window — real-data short docs/captions hit this. The
+    filter keeps the lambda variable distinct (j) from the consuming
+    transform's i."""
+    return f"filter(sequence(1, greatest({n_expr}, 1)), j -> j <= {n_expr})"
+
+
 # The synthetic frontier: one row per document, fully determined by doc_id.
 # 37 hosts, every 13th row a POST form, every 11th a query string.
 def _frontier_cte(d: str, sf_dir: str | None) -> str:
@@ -137,7 +149,7 @@ def _shingles_cte(d: str, sf_dir: str | None, n: int = 3) -> str:
     candidate self-join never skews the way unigram tokens do."""
     if d == "spark":
         gram = (
-            "transform(sequence(1, greatest(size(tokens) - 2, 0)), "
+            f"transform({_seq1('size(tokens) - 2')}, "
             "i -> concat(element_at(tokens, i), ' ', element_at(tokens, i + 1), "
             "' ', element_at(tokens, i + 2)))"
         )
@@ -825,13 +837,15 @@ _MINHASH_HASHED = (
 )
 
 
-def _minhash_chain_ctes(d, sf) -> str:
+def _minhash_chain_ctes(d, sf, shingles_cte: str | None = None) -> str:
     """shingles → distinct shingle set (+ sizes) → 2-md5 hashes → 8-col
     signatures → 4 bands of 2 → exploded (doc_id, band_no, bucket) rows:
     THE one LSH scheme every minhash-family query builds on
-    (dedup_minhash_lsh, dedup_ngram_jaccard, minhash_est_vs_exact) — a
-    band/signature change lands in all three at once. Unused CTEs are
-    pruned by both engines."""
+    (dedup_minhash_lsh, dedup_ngram_jaccard, minhash_est_vs_exact,
+    image_caption_neardup) — a band/signature change lands in all at
+    once. ``shingles_cte`` swaps the anchor: any CTE text providing the
+    ``shingled(doc_id, shingles)`` contract (default: 3-gram document
+    shingles). Unused CTEs are pruned by both engines."""
     if d == "spark":
         tok_rows = "SELECT doc_id, tok FROM shingled LATERAL VIEW explode(shingles) x AS tok"
     else:
@@ -843,7 +857,7 @@ def _minhash_chain_ctes(d, sf) -> str:
         f"SELECT doc_id, {i} AS band_no, band{i} AS bucket FROM banded"
         for i in range(4)
     )
-    return f"""{_shingles_cte(d, sf)},
+    return f"""{shingles_cte or _shingles_cte(d, sf)},
 tok_rows AS ({tok_rows}),
 tok_set AS (SELECT DISTINCT doc_id, tok FROM tok_rows),
 sizes AS (SELECT doc_id, count(*) AS n FROM tok_set GROUP BY doc_id),
@@ -2414,7 +2428,7 @@ def _q_passage_dedup(d, sf, chunk: int = 10):
     10-token windows never repeat."""
     if d == "spark":
         chunks = (
-            f"transform(sequence(1, CAST(floor(size(tokens) / {chunk}) AS INT)), "
+            f"transform({_seq1(f'CAST(floor(size(tokens) / {chunk}) AS INT)')}, "
             f"i -> concat_ws(' ', slice(tokens, (i - 1) * {chunk} + 1, {chunk})))"
         )
         chunk_rows = (
@@ -2463,7 +2477,7 @@ def _q_passage_scrub(d, sf, chunk: int = 10):
     point; SYNTHETIC_GATES overrides to 3 on the word-soup fixtures."""
     if d == "spark":
         chunks = (
-            f"transform(sequence(1, CAST(floor(size(tokens) / {chunk}) AS INT)), "
+            f"transform({_seq1(f'CAST(floor(size(tokens) / {chunk}) AS INT)')}, "
             f"i -> concat_ws(' ', slice(tokens, (i - 1) * {chunk} + 1, {chunk})))"
         )
         chunk_rows = (
@@ -2610,7 +2624,7 @@ def _ngram_cte(d: str, sf, n: int) -> str:
     family's shared frames)."""
     if d == "spark":
         gram = (
-            f"transform(sequence(1, greatest(size(tokens) - {n - 1}, 0)), "
+            f"transform({_seq1(f'size(tokens) - {n - 1}')}, "
             f"i -> concat_ws(' ', slice(tokens, i, {n})))"
         )
     else:
@@ -2687,6 +2701,84 @@ packed AS (
 SELECT doc_id, shard, n_tok, start_off,
        CAST(floor(start_off / {seq_len}.0) AS BIGINT) AS seq_id
 FROM packed"""
+
+
+def _caption_shingles_cte(d: str) -> str:
+    """Caption bigram shingles over the north-rule images table, emitting
+    the ``shingled(doc_id, shingles)`` contract _minhash_chain_ctes
+    anchors on (doc_id := image_id). Bigrams, not the document family's
+    3-grams: captions are 1-10 words, so 3-gram sets are too sparse to
+    overlap."""
+    f = _fn(d)
+    toks = (
+        f"{f['LFILTER']}({f['SPLIT']}(lower(caption), '[^a-z0-9]+'), x -> x != '')"
+    )
+    if d == "spark":
+        gram = (
+            f"transform({_seq1('size(tokens) - 1')}, "
+            "i -> concat(element_at(tokens, i), ' ', element_at(tokens, i + 1)))"
+        )
+    else:
+        gram = (
+            "[list_extract(tokens, i) || ' ' || list_extract(tokens, i + 1) "
+            "for i in generate_series(1, greatest(len(tokens) - 1, 0))]"
+        )
+    # the >= 2 guard is load-bearing on the Spark side: sequence(1, 0)
+    # DESCENDS ([1, 0]) rather than returning empty, so a 0/1-token
+    # caption would hit element_at past the end (ANSI error)
+    return f"""ctoks AS (
+  SELECT image_id AS doc_id, {toks} AS tokens FROM {_images_tbl(d)}
+),
+shingled AS (
+  SELECT doc_id, {gram} AS shingles FROM ctoks WHERE {f['LEN']}(tokens) >= 2
+)"""
+
+
+@register("image_caption_neardup")
+def _q_image_caption_neardup(d, sf, min_jaccard: float = 0.5):
+    """Caption-level near-dup pairs over the north-rule images table —
+    the OTHER modality of image dedup (LAION-style curation dedups on
+    caption text as well as pixels: near-identical captions mark
+    re-posts / template spam even when pixels differ). Same banded
+    MinHash-LSH scheme as the document family (_minhash_chain_ctes with
+    the caption-bigram anchor), exact bigram Jaccard verified ONLY on
+    in-bucket candidates.
+    100 TB shape: identical bound to dedup_minhash_lsh — candidates key
+    on (band_no, bucket), never a caption self-join."""
+    return f"""WITH {_minhash_chain_ctes(d, sf, _caption_shingles_cte(d))},
+{_MINHASH_CAND_CTE},
+{_MINHASH_INTER_CTE}
+SELECT img_a, img_b, jaccard FROM (
+  SELECT i.doc_a AS img_a, i.doc_b AS img_b,
+         round(CAST(i.both AS DOUBLE) / (sa.n + sb.n - i.both), 4) AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+) t WHERE jaccard >= {min_jaccard}"""
+
+
+@register("image_exact_dedup")
+def _q_image_exact_dedup(d, sf):
+    """Exact payload dedup over the crawl's image sink — the same bytes
+    fetched under different URLs (mirrors, CDNs, re-crawls) collapse on
+    a content digest, keep-min-image_id. The fixture's payloads are
+    unique by construction, so the re-crawl case is induced
+    deterministically: images whose phash % 5 == 0 are unioned back
+    under a '/mirror' URL suffix — the standard mirror-dup shape.
+    md5(hex(bytes)) because DuckDB's md5 takes VARCHAR only; hex() is
+    identical in both engines, so the digest stays portable.
+    100 TB shape: one hash-aggregate on the digest, no joins."""
+    return f"""WITH crawled AS (
+  SELECT image_id, bytes FROM {_images_tbl(d)}
+  UNION ALL
+  SELECT image_id || '/mirror' AS image_id, bytes
+  FROM {_images_tbl(d)} WHERE phash % 5 = 0
+)
+SELECT md5(hex(bytes)) AS content_digest,
+       min(image_id) AS keeper_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM crawled
+GROUP BY md5(hex(bytes))"""
 
 
 @register("image_shard_packing")
@@ -2813,7 +2905,7 @@ def _q_repetition(d, sf):
     f = _fn(d)
     if d == "spark":
         bigram = (
-            "transform(sequence(1, greatest(size(tokens) - 1, 0)), "
+            f"transform({_seq1('size(tokens) - 1')}, "
             "i -> concat(element_at(tokens, i), ' ', element_at(tokens, i + 1)))"
         )
     else:
@@ -3156,7 +3248,7 @@ def _shingle_set_df(spark, sf_dir):
     shingles = toks.select(
         "doc_id",
         F.expr(
-            "transform(sequence(1, greatest(size(tokens) - 2, 0)), "
+            f"transform({_seq1('size(tokens) - 2')}, "
             "i -> concat(element_at(tokens, i), ' ', element_at(tokens, i + 1), "
             "' ', element_at(tokens, i + 2)))"
         ).alias("shingles"),
