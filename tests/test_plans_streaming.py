@@ -416,3 +416,68 @@ def test_stream_image_gates_matches_batch(spark, tmp_path):
     assert got == want and len(got) > 0
     verdicts = {r[-1] for r in got}
     assert verdicts == {"captionless", "lowres", "kept"}
+
+
+def test_stream_caption_pii_scrub_matches_batch(spark, tmp_path):
+    """Streaming caption PII gate == the batch projection, and both ==
+    a Python re replay: fixture captions get deterministic PII appended
+    (the fixture itself is PII-free), stream availableNow through the
+    scrub, and compare row-for-row."""
+    import hashlib
+    import re
+
+    from pyspark.sql import functions as F
+
+    from wcm_spark.datapipe.fixtures import images_table_path
+    from wcm_spark.streaming.metrics import images_stream, stream_caption_pii_scrub
+
+    src = str(tmp_path / "images")
+    imgs = spark.read.parquet(images_table_path()).withColumn(
+        "caption",
+        F.concat(
+            F.coalesce(F.col("caption"), F.lit("")),
+            F.when(
+                F.col("phash") % 3 == 0,
+                F.concat(F.lit(" by user"), F.crc32("image_id") % 100, F.lit("@ex.com")),
+            ).otherwise(F.lit("")),
+            F.when(F.col("phash") % 5 == 0, F.lit(" at 10.1.2.3")).otherwise(F.lit("")),
+            F.when(F.col("phash") % 7 == 0, F.lit(" call 415-555-0199")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    imgs.repartition(4).write.mode("overwrite").parquet(src)
+
+    q = (
+        stream_caption_pii_scrub(images_stream(spark, src, max_files_per_trigger=1))
+        .writeStream.format("memory")
+        .queryName("caption_pii_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(map(tuple, spark.sql("select * from caption_pii_stream").collect()))
+    want = sorted(
+        map(tuple, stream_caption_pii_scrub(spark.read.parquet(src)).collect())
+    )
+    assert got == want and len(got) > 0
+
+    # third implementation: Python re over the same written rows
+    rules = [
+        (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+        (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+        (r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    ]
+    raw = {r["image_id"]: r["caption"] or "" for r in spark.read.parquet(src).collect()}
+    saw = [0, 0, 0]
+    for image_id, n_emails, n_phones, n_ipv4, scrubbed in got:
+        cap = raw[image_id]
+        counts = [len(re.findall(p, cap)) for p, _ in rules]
+        assert (n_emails, n_ipv4, n_phones) == tuple(counts), image_id
+        expect = cap
+        for p, rep in rules:
+            expect = re.sub(p, rep, expect)
+        assert scrubbed == expect, image_id
+        saw = [a + b for a, b in zip(saw, counts)]
+    assert all(s > 0 for s in saw)  # every PII kind fired in-stream

@@ -104,6 +104,38 @@ def stream_image_gates(images: DataFrame, min_px: int = 256 * 256) -> DataFrame:
     )
 
 
+def stream_caption_pii_scrub(images: DataFrame) -> DataFrame:
+    """pii_redact's detect+redact chain as a stateless streaming
+    projection over the image table's caption column — the privacy gate
+    a continuous image+caption ingest applies before rows land in the
+    training store. Same patterns and replacement order (email -> ip ->
+    phone) as datapipe.queries._q_pii_redact, so the batch query and the
+    streaming gate can never drift; JVM regexp functions keep the
+    projection whole-stage-codegen inside each micro-batch (stateless:
+    micro-batch transparent, no watermark needed)."""
+    from ..datapipe.queries import _PII_EMAIL, _PII_IPV4, _PII_PHONE
+
+    cap = F.coalesce(F.col("caption"), F.lit(""))
+    scrub = cap
+    counts = {}
+    for name, pat, rep in (
+        ("n_emails", _PII_EMAIL, "<EMAIL>"),
+        ("n_ipv4", _PII_IPV4, "<IP>"),
+        ("n_phones", _PII_PHONE, "<PHONE>"),
+    ):
+        counts[name] = F.size(
+            F.regexp_extract_all(cap, F.lit(pat), F.lit(0))
+        ).cast("long")
+        scrub = F.regexp_replace(scrub, pat, rep)
+    return images.select(
+        "image_id",
+        counts["n_emails"].alias("n_emails"),
+        counts["n_phones"].alias("n_phones"),
+        counts["n_ipv4"].alias("n_ipv4"),
+        scrub.alias("caption_scrubbed"),
+    )
+
+
 def visits_stream(spark: SparkSession, visits_dir: str) -> DataFrame:
     """File-source stream over the store's committed visit snapshots."""
     return (
