@@ -111,6 +111,7 @@ HEADLINE_QUERIES = [
     "image_shard_packing",
     "image_caption_neardup",
     "image_exact_dedup",
+    "broken_links_report",
 ]
 
 

@@ -54,6 +54,9 @@ __all__ = [
 # (n_sites, pages_per_site, with_images) — must match the registry queries
 CRAWL_FIXTURE = (2, 8, True)
 SCRAPE_FIXTURE = (1, 6, False)
+# checkbot wants a corpus with plenty of dangling targets: no image
+# payloads, so every img/css url() target is a dead link
+CHECKBOT_FIXTURE = (3, 12, False)
 
 
 @functools.lru_cache(maxsize=None)
@@ -300,6 +303,33 @@ def scrape_edges_oracle_sql() -> str:
     return f"""WITH {_edges_sql(path)}
 SELECT page_url, emit_idx, lit AS literal_uri, tag, context_kind
 FROM edges ORDER BY page_url, emit_idx"""
+
+
+def broken_links_oracle_sql() -> str:
+    """checkbot (reference example/checkbot.pl): the broken-link report.
+
+    DuckDB independently recomputes the GET link targets (edges +
+    resolve + R3 query merge — the same shared CTE text the crawl BFS
+    oracle uses, so the two cannot drift) and left-joins them against
+    the corpus's fetch statuses: a target with no corpus row is
+    unreachable (the engine's status-NULL error channel), reported as
+    -1; any >= 400 status would surface the same way."""
+    path = fixture_corpus_path(*CHECKBOT_FIXTURE)
+    return f"""WITH {_edges_sql(path)},
+targets AS (
+  SELECT DISTINCT page_url AS referrer,
+         CASE WHEN coalesce(method, 'GET') = 'GET' AND params IS NOT NULL
+              THEN ru || (CASE WHEN contains(ru, '?') THEN '&' ELSE '?' END) || params
+              ELSE ru END AS target
+  FROM (
+    SELECT page_url, method, params, {resolve_case_sql()} AS ru
+    FROM (SELECT page_url, trim(lit) AS t, method, params FROM edges
+          WHERE coalesce(method, 'GET') <> 'POST')
+  ) WHERE ru IS NOT NULL
+)
+SELECT t.referrer, t.target, CAST(coalesce(c.status, -1) AS INT) AS status
+FROM targets t LEFT JOIN corpus c ON c.url = t.target
+WHERE c.status IS NULL OR c.status >= 400"""
 
 
 def crawl_bfs_oracle_sql() -> str:

@@ -4711,6 +4711,43 @@ def _q_scrape(spark, sf_dir):
     )
 
 
+@spark_only("broken_links_report")
+def _q_broken_links(spark, sf_dir):
+    """checkbot (reference example/checkbot.pl): crawl-side broken-link
+    report — the full GET edge set (P1-P9 scrape + R1-R3 resolve, the
+    engine's REAL operators) left-joined against fetch statuses; targets
+    with no fetchable row are the status-NULL error-channel class,
+    reported as -1 (any >= 400 status surfaces identically).
+    ORACLE-CHECKED: DuckDB recomputes edges + resolution + the status
+    join from the same parquet (fixtures.broken_links_oracle_sql).
+    100 TB shape: scrape (Arrow-batched mapInPandas) + ONE equi-join of
+    the distinct target set against the fetch table — never a pair
+    explosion; the report is the standard post-crawl QA pass."""
+    from pyspark.sql import functions as F
+
+    from ..operators.scrape import resolve_children, scrape_edges
+    from .fixtures import CHECKBOT_FIXTURE, fixture_corpus_path
+
+    pages = spark.read.parquet(fixture_corpus_path(*CHECKBOT_FIXTURE))
+    children = resolve_children(scrape_edges(pages)).filter(
+        F.coalesce(F.col("method"), F.lit("GET")) != "POST"
+    )
+    statuses = pages.select(F.col("url").alias("target"), "status")
+    return (
+        children.select(
+            F.col("referrer_url").alias("referrer"), F.col("url").alias("target")
+        )
+        .distinct()
+        .join(statuses, "target", "left")
+        .filter(F.col("status").isNull() | (F.col("status") >= 400))
+        .select(
+            "referrer",
+            "target",
+            F.coalesce(F.col("status"), F.lit(-1)).cast("int").alias("status"),
+        )
+    )
+
+
 @spark_only("image_pipeline")
 def _q_images(spark, sf_dir):
     """S7 image+caption sink: decode, dimensions, phash, caption lineage.
@@ -5092,6 +5129,7 @@ def oracle_sqls() -> dict[str, str]:
     # the crawl/scrape oracles recompute results from the shared fixture
     # parquet; the multimodal oracles pin generator-computed expectations
     from .fixtures import (
+        broken_links_oracle_sql,
         crawl_bfs_oracle_sql,
         image_pipeline_oracle_sql,
         multimodal_audio_oracle_sql,
@@ -5103,6 +5141,7 @@ def oracle_sqls() -> dict[str, str]:
 
     out["crawl_bfs_e2e"] = crawl_bfs_oracle_sql()
     out["scrape_edges_e2e"] = scrape_edges_oracle_sql()
+    out["broken_links_report"] = broken_links_oracle_sql()
     out["image_pipeline"] = image_pipeline_oracle_sql()
     out["image_caption_stats"] = _image_caption_stats_oracle_sql()
     out["multimodal_image_meta"] = multimodal_image_meta_oracle_sql()
