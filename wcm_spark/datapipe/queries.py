@@ -747,6 +747,83 @@ FROM purchases p LEFT JOIN errors e
 GROUP BY p.event_id, p.user_id"""
 
 
+@register("recrawl_due_schedule")
+def _q_recrawl(d, sf):
+    """Change-rate-driven recrawl scheduler (freshness frontier).
+
+    The reference crawls once and stops (Mojo.pm:60-66 — the loop drains
+    the queue and fires ``empty``); a production frontier RE-enqueues.
+    Per URL: estimate a change rate from its fetch history (fraction of
+    revisits whose content fingerprint differed from the previous one),
+    derive a revisit interval inversely proportional to that rate
+    (the Cho & Garcia-Molina uniform-allocation shape, clamped by the
+    formula itself to [base/10, base]), and emit the next recrawl batch
+    per host with the same politeness-style top-K cut the wave cut uses
+    (F1) so a hot host cannot monopolize the recrawl budget.
+
+    Fixture mapping: events = fetch log (user_id = url entity, ts =
+    fetch time, props.$.k = content fingerprint), host = url_id % 16.
+    Cross-engine determinism: all timestamp math in epoch MICROS
+    (unix_micros / epoch_us) with explicit floor() before the BIGINT
+    cast (Spark CAST truncates, DuckDB CAST rounds); window orderings
+    carry event_id / url_id tie-breaks.
+
+    100 TB shape: one shuffle on url_id serves both the lag window and
+    the per-URL aggregate; the host cut is a second window over the
+    per-URL (not per-fetch) rowset — tiny by then. No joins.
+    """
+    if d == "spark":
+        fp = "CAST(get_json_object(props, '$.k') AS BIGINT)"
+        # parquet ts loads as TIMESTAMP_NTZ; session tz is pinned UTC so
+        # the cast to TIMESTAMP is an identity relabel, matching DuckDB's
+        # UTC-naive epoch_us
+        us = "unix_micros(CAST({} AS TIMESTAMP))"
+    else:
+        fp = "CAST(json_extract_string(props, '$.k') AS BIGINT)"
+        us = "epoch_us({})"
+    base_h = 168.0  # weekly base revisit interval
+    return f"""WITH hist AS (
+  SELECT user_id AS url_id, event_id, ts, {fp} AS fp
+  FROM {_tbl('events', d, sf)} WHERE props IS NOT NULL
+),
+steps AS (
+  SELECT url_id, ts, fp,
+         lag(fp) OVER (PARTITION BY url_id ORDER BY ts, event_id) AS prev_fp
+  FROM hist
+),
+rates AS (
+  SELECT url_id,
+         CAST(count(*) AS BIGINT) AS n_obs,
+         CAST(sum(CASE WHEN prev_fp IS NOT NULL AND fp <> prev_fp
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+         max(ts) AS last_ts
+  FROM steps GROUP BY url_id
+),
+sched AS (
+  SELECT url_id, n_obs, n_changes,
+         CASE WHEN n_obs > 1
+              THEN CAST(n_changes AS DOUBLE) / CAST(n_obs - 1 AS DOUBLE)
+              ELSE 1.0 END AS change_rate,
+         last_ts
+  FROM rates
+),
+due AS (
+  SELECT url_id % 16 AS host, url_id, n_obs, n_changes, change_rate,
+         {us.format('last_ts')}
+           + CAST(floor({base_h} / (1.0 + 9.0 * change_rate) * 3600000000.0)
+                  AS BIGINT) AS next_due_us
+  FROM sched
+)
+SELECT host, url_id, n_obs, n_changes, change_rate, next_due_us,
+       CAST(slot AS BIGINT) AS slot
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY host
+                               ORDER BY next_due_us, url_id) AS slot
+  FROM due
+) WHERE slot <= 4
+ORDER BY host, slot"""
+
+
 @register("crawl_metrics_grouping_sets")
 def _q_grouping_sets(d, sf):
     """Grouping sets (SURVEY §2.6): per-(host, status), per-host and grand
@@ -2736,25 +2813,50 @@ shingled AS (
 
 @register("image_caption_neardup")
 def _q_image_caption_neardup(d, sf, min_jaccard: float = 0.5):
-    """Caption-level near-dup pairs over the north-rule images table —
+    """Caption-level near-dup SCRUB over the north-rule images table —
     the OTHER modality of image dedup (LAION-style curation dedups on
     caption text as well as pixels: near-identical captions mark
     re-posts / template spam even when pixels differ). Same banded
     MinHash-LSH scheme as the document family (_minhash_chain_ctes with
-    the caption-bigram anchor), exact bigram Jaccard verified ONLY on
-    in-bucket candidates.
-    100 TB shape: identical bound to dedup_minhash_lsh — candidates key
-    on (band_no, bucket), never a caption self-join."""
+    the caption-bigram anchor), exact bigram Jaccard verified against
+    each bucket's min-id REPRESENTATIVE only.
+
+    Why representative-verify, not the pair list: short template
+    captions make the near-dup relation itself near-quadratic — at the
+    bench fixture's 14,206 distinct captions the jaccard>=0.5 PAIR list
+    is 3.68M rows (measured), and one LSH bucket holds 3,839 captions.
+    Emitting pairs is the scale bug regardless of how they're found.
+    The curation deliverable is per-image: (image_id, rep_id, jaccard)
+    for each image whose caption verifies >= the gate against the
+    representative of some shared bucket — the keep/drop decision, with
+    lineage to the survivor. Work is O(sum bucket sizes) = O(4N) verify
+    pairs instead of O(sum bucket^2); output is <= one row per image.
+    Known miss (disclosed): a true near-dup pair of two non-reps that
+    never share a bucket with their rep — same order as the LSH band
+    miss probability the family already accepts.
+    """
+    rep_cand = """cand AS (
+  SELECT DISTINCT r.rep AS doc_a, b.doc_id AS doc_b
+  FROM buckets b
+  JOIN (SELECT band_no, bucket, min(doc_id) AS rep
+        FROM buckets GROUP BY band_no, bucket) r
+    ON r.band_no = b.band_no AND r.bucket = b.bucket AND b.doc_id > r.rep
+)"""
     return f"""WITH {_minhash_chain_ctes(d, sf, _caption_shingles_cte(d))},
-{_MINHASH_CAND_CTE},
+{rep_cand},
 {_MINHASH_INTER_CTE}
-SELECT img_a, img_b, jaccard FROM (
-  SELECT i.doc_a AS img_a, i.doc_b AS img_b,
-         round(CAST(i.both AS DOUBLE) / (sa.n + sb.n - i.both), 4) AS jaccard
-  FROM inter i
-  JOIN sizes sa ON sa.doc_id = i.doc_a
-  JOIN sizes sb ON sb.doc_id = i.doc_b
-) t WHERE jaccard >= {min_jaccard}"""
+SELECT image_id, rep_id, jaccard FROM (
+  SELECT image_id, rep_id, jaccard,
+         row_number() OVER (PARTITION BY image_id
+                            ORDER BY jaccard DESC, rep_id) AS rn
+  FROM (
+    SELECT i.doc_b AS image_id, i.doc_a AS rep_id,
+           round(CAST(i.both AS DOUBLE) / (sa.n + sb.n - i.both), 4) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+  ) v WHERE jaccard >= {min_jaccard}
+) t WHERE rn = 1"""
 
 
 @register("image_exact_dedup")
