@@ -105,6 +105,7 @@ HEADLINE_QUERIES = [
     "events_asof_join",
     "events_asof_forward",
     "events_range_join",
+    "recrawl_due_schedule",
     "frontier_priority_cut",
     "image_cluster_caption_pick",
     "image_curation_pipeline",

@@ -136,10 +136,23 @@ def _frontier_cte(d: str, sf_dir: str | None) -> str:
 
 def _tokens_cte(d: str, sf_dir: str | None) -> str:
     f = _fn(d)
+    if d == "spark":
+        # the documents table is one small parquet split; without an
+        # exchange BELOW the tokenize projection the whole CPU-bound
+        # tokenize->shingle/chunk->md5 chain of every SQL-path consumer
+        # runs on 1 core (the session-3 lesson, applied to the SQL
+        # dialect: hint inside the subquery so the round-robin exchange
+        # sits between the scan and the tokenizer)
+        src = (
+            "(SELECT /*+ REPARTITION */ doc_id, text FROM "
+            f"{_tbl('documents', d, sf_dir)})"
+        )
+    else:
+        src = _tbl("documents", d, sf_dir)
     return f"""toks AS (
   SELECT doc_id,
          {f['LFILTER']}({f['SPLIT']}(lower(text), '[^a-z0-9]+'), x -> x != '') AS tokens
-  FROM {_tbl('documents', d, sf_dir)}
+  FROM {src}
 )"""
 
 
@@ -2496,10 +2509,12 @@ def _q_passage_dedup(d, sf, chunk: int = 10):
     occurrence is DUPLICATE if the same hash appeared at a smaller
     (doc_id, chunk_idx) — first-wins, like the crawl's D3. Output: per
     doc, total/duplicate passage counts and the duplicate fraction.
-    100 TB shape: one explode + two hash aggregates (per-hash min packed
-    position, then per-doc counts) — no self-join, no window over the
-    corpus; the first-occurrence rule is min() over an integer-packed
-    position, so both engines agree exactly in any partition order.
+    100 TB shape: one explode, then ONE pass over the chunk rows — the
+    first-occurrence rule is min() over an integer-packed position as a
+    window over the hash key, so the tokenize->chunk->md5 chain (the
+    dominant scan at scale) is computed once, not once per branch of a
+    groupBy+self-join (the rewrite halved the measured sf0.1 cost); the
+    packed-position min keeps both engines exact in any partition order.
     ``chunk=10`` is the real operating point; the registry overrides to
     3 on the synthetic word-soup fixtures (SYNTHETIC_GATES) where
     10-token windows never repeat."""
@@ -2528,14 +2543,16 @@ chunk_rows AS ({chunk_rows}),
 packed AS (
   SELECT doc_id, h, doc_id * 1000000 + pos AS pk FROM chunk_rows
 ),
-firsts AS (SELECT h, min(pk) AS first_pk FROM packed GROUP BY h)
-SELECT p.doc_id,
+flagged AS (
+  SELECT doc_id, pk, min(pk) OVER (PARTITION BY h) AS first_pk FROM packed
+)
+SELECT doc_id,
   CAST(count(*) AS BIGINT) AS n_passages,
-  CAST(sum(CASE WHEN p.pk > f.first_pk THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
-  round(CAST(sum(CASE WHEN p.pk > f.first_pk THEN 1 ELSE 0 END) AS DOUBLE)
+  CAST(sum(CASE WHEN pk > first_pk THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+  round(CAST(sum(CASE WHEN pk > first_pk THEN 1 ELSE 0 END) AS DOUBLE)
         / count(*), 4) AS dup_frac
-FROM packed p JOIN firsts f ON f.h = p.h
-GROUP BY p.doc_id"""
+FROM flagged
+GROUP BY doc_id"""
 
 
 @register("passage_dedup_scrub")
@@ -2547,8 +2564,10 @@ def _q_passage_scrub(d, sf, chunk: int = 10):
     as an actual scrub pass, the form a training pipeline ships). The
     reassembled text is pinned via md5 so replacement semantics — not
     just counts — are verified cross-engine.
-    100 TB shape: explode + one hash-aggregate for first occurrences (no
-    self-join, no corpus-wide window); order sensitivity lives INSIDE the
+    100 TB shape: explode + one first-occurrence pass as a window over
+    the passage HASH key (hash-partitioned like a groupBy — not a
+    corpus-wide ordering — and one chain pass instead of the
+    groupBy+self-join's two); order sensitivity lives INSIDE the
     per-doc reassembly aggregate (sort of ≤n_passages kept chunks), so
     partition order never matters. ``chunk=10`` is the real operating
     point; SYNTHETIC_GATES overrides to 3 on the word-soup fixtures."""
@@ -2588,10 +2607,10 @@ chunk_rows AS ({chunk_rows}),
 packed AS (
   SELECT doc_id, pos, c, h, doc_id * 1000000 + pos AS pk FROM chunk_rows
 ),
-firsts AS (SELECT h, min(pk) AS first_pk FROM packed GROUP BY h),
 flagged AS (
-  SELECT p.doc_id, p.pos, p.c, (p.pk = f.first_pk) AS kept
-  FROM packed p JOIN firsts f ON f.h = p.h
+  SELECT doc_id, pos, c,
+         (pk = min(pk) OVER (PARTITION BY h)) AS kept
+  FROM packed
 )
 SELECT doc_id,
   CAST(count(*) AS BIGINT) AS n_passages,
