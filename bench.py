@@ -106,6 +106,7 @@ HEADLINE_QUERIES = [
     "events_asof_forward",
     "events_range_join",
     "recrawl_due_schedule",
+    "crawl_budget_allocate",
     "frontier_priority_cut",
     "image_cluster_caption_pick",
     "image_curation_pipeline",

@@ -275,6 +275,55 @@ SELECT seq, url, host_id FROM ranked WHERE hr <= 2
 ORDER BY seq LIMIT 50"""
 
 
+@register("crawl_budget_allocate")
+def _q_budget_allocate(d, sf, budget: int = 300, cap: int = 200):
+    """Global wave-budget allocator: split a fixed per-wave fetch budget
+    across hosts proportionally to their (politeness-capped) pending
+    counts, exactly — largest-remainder apportionment, the global-budget
+    complement of the per-host wave cut (F1/F6). The reference caps each
+    host independently (UserAgent.pm:46-56 active_conn_per_host); at
+    cluster scale the binding constraint flips to the TOTAL fetch rate a
+    wave may emit, and the fair split of that total is this query.
+
+    Integer-exact cross-engine: shares are floor(B*e_i/P) with the
+    leftover B - sum(floor) distributed by rank of the INTEGER remainder
+    (B*e_i) % P (desc, host_id tiebreak) — no doubles anywhere, so both
+    engines agree bit-for-bit. Each quota is clamped to the host's
+    eligible count, so sum(quota) == min(B, sum(eligible)): exactly B
+    when the budget binds, everything pending when it doesn't.
+
+    100 TB shape: one hash-aggregate over the frontier to per-host
+    counts, then all allocation math on the HOST dimension (thousands of
+    rows, window over the whole host dim is driver-trivial); the
+    frontier itself is never re-scanned or joined."""
+    return f"""WITH {_frontier_cte(d, sf)},
+counts AS (
+  SELECT host_id, CAST(count(*) AS BIGINT) AS pending
+  FROM frontier WHERE status IS NOT NULL GROUP BY host_id
+),
+capped AS (
+  SELECT host_id, pending, least(pending, CAST({cap} AS BIGINT)) AS eligible
+  FROM counts
+),
+shares AS (
+  SELECT host_id, pending, eligible,
+         ({budget} * eligible) {'div' if d == 'spark' else '//'} (sum(eligible) OVER ()) AS base_q,
+         ({budget} * eligible) % (sum(eligible) OVER ()) AS rem
+  FROM capped
+),
+ranked AS (
+  SELECT host_id, pending, eligible, base_q,
+         row_number() OVER (ORDER BY rem DESC, host_id) AS rk,
+         {budget} - sum(base_q) OVER () AS leftover
+  FROM shares
+)
+SELECT host_id, pending, eligible,
+       CAST(least(eligible,
+                  base_q + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)
+            AS BIGINT) AS quota
+FROM ranked"""
+
+
 @register("frontier_priority_cut")
 def _q_priority_cut(d, sf):
     """North-rule priority queue: the wave cut under a non-FIFO order —
