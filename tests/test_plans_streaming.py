@@ -223,12 +223,18 @@ def test_neardup_and_jaccard_have_no_pair_explosion(spark):
         "image_cluster_caption_pick",
         "image_curation_pipeline",
         "image_shard_packing",
-        # scrub/ingest family (round 4): passage scrub equi-joins the
-        # exploded passages with their first-occurrence aggregate on the
-        # passage hash; incremental dedup is bloom-prefilter + equi
-        # anti-join + two node-sized equi-joins
+        # scrub/ingest family (round 4): passage scrub flags first
+        # occurrences with a window min over the passage hash (one chain
+        # pass, no join at all); incremental dedup is bloom-prefilter +
+        # equi anti-join + two node-sized equi-joins
         "passage_dedup_scrub",
         "dedup_incremental",
+        # round-4 additions: rep-verify caption scrub (candidates key on
+        # (band_no, bucket) against the bucket-min representative);
+        # recrawl/budget are window+aggregate only
+        "image_caption_neardup",
+        "recrawl_due_schedule",
+        "crawl_budget_allocate",
     ):
         plan = formatted_plan(qs[name](spark, SF))
         assert "CartesianProduct" not in plan, name
