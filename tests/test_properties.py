@@ -166,3 +166,52 @@ def test_resolve_fast_path_matches_full(base, href):
     except ValueError:
         return
     assert got == want, (base, href)
+
+
+@given(
+    pendings=st.lists(st.integers(min_value=1, max_value=400),
+                      min_size=1, max_size=60),
+    budget=st.integers(min_value=1, max_value=2000),
+    cap=st.integers(min_value=1, max_value=300),
+)
+@settings(max_examples=60, deadline=None)
+def test_budget_allocate_invariants(pendings, budget, cap):
+    """Largest-remainder apportionment invariants on arbitrary pending
+    distributions (DuckDB side of crawl_budget_allocate — the same SQL
+    text the Spark dialect mirrors token-for-token apart from div/%):
+    sum(quota) == min(B, sum(eligible)); 0 <= quota <= eligible;
+    proportional bases never under-allocate by more than 1 per host."""
+    import duckdb
+
+    from wcm_spark.datapipe.queries import _q_budget_allocate
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (SELECT "
+        "unnest(range(%d)) AS doc_id, '' AS text, '' AS lang, '' AS source, "
+        "0 AS n_chars)" % 1
+    )
+    # build a frontier-shaped host/pending table directly and inline it
+    # into the allocator's SQL by swapping the counts CTE input
+    sql = _q_budget_allocate("duck", None, budget=budget, cap=cap)
+    values = ", ".join(
+        f"({h}, {p})" for h, p in enumerate(pendings)
+    )
+    sql = sql.replace(
+        sql[sql.index("counts AS ("):sql.index("capped AS (")],
+        f"counts(host_id, pending) AS (VALUES {values}),\n",
+    )
+    rows = con.execute(sql).fetchall()
+    assert len(rows) == len(pendings)
+    eligible_total = sum(min(p, cap) for p in pendings)
+    got_total = sum(r[3] for r in rows)
+    assert got_total == min(budget, eligible_total)
+    for host_id, pending, eligible, quota in rows:
+        assert eligible == min(pending, cap)
+        assert 0 <= quota <= eligible
+        # largest-remainder never strays more than 1 from the real-valued
+        # proportional share (when the budget binds)
+        if budget <= eligible_total:
+            exact = budget * eligible / eligible_total
+            assert quota <= exact + 1
+            assert quota >= exact - 1
