@@ -10,6 +10,7 @@ from wcm_spark.operators.graph import (
     INIT_MICRO,
     connected_components,
     degrees,
+    hits,
     pagerank,
 )
 
@@ -48,6 +49,40 @@ def test_pagerank_matches_integer_reference(spark):
     assert got["e"] == BASE_MICRO
     # the all-inlink hub outranks cycle members
     assert got["d"] > got["a"]
+
+
+def _py_hits(nodes, edges, iters):
+    """Reference with the operator's exact integer L-inf rules."""
+    hub = {u: INIT_MICRO for u in nodes}
+    auth = {}
+    for _ in range(iters):
+        araw = {u: 0 for u in nodes}
+        for s, d in edges:
+            araw[d] += hub[s]
+        mx = max(max(araw.values()), 1)
+        auth = {u: (araw[u] * INIT_MICRO) // mx for u in nodes}
+        hraw = {u: 0 for u in nodes}
+        for s, d in edges:
+            hraw[s] += auth[d]
+        mx = max(max(hraw.values()), 1)
+        hub = {u: (hraw[u] * INIT_MICRO) // mx for u in nodes}
+    return auth, hub
+
+
+def test_hits_matches_integer_reference(spark):
+    nodes, edges, ndf, edf = _toy(spark)
+    rows = hits(ndf, edf, iters=4).collect()
+    got_a = {r["url"]: r["auth_micro"] for r in rows}
+    got_h = {r["url"]: r["hub_micro"] for r in rows}
+    ref_a, ref_h = _py_hits(nodes, edges, 4)
+    assert got_a == ref_a
+    assert got_h == ref_h
+    # d is the pure authority (everyone points at it, it points nowhere)
+    assert got_a["d"] == INIT_MICRO and got_h["d"] == 0
+    # orphan e scores zero on both axes
+    assert got_a["e"] == 0 and got_h["e"] == 0
+    # cycle members are the hubs (each points at d + one cycle member)
+    assert max(got_h["a"], got_h["b"], got_h["c"]) == INIT_MICRO
 
 
 def test_components_and_degrees_toy(spark):
@@ -107,6 +142,10 @@ def test_graph_plans_have_no_pair_explosion(spark, fixture_graph):
         plan = formatted_plan(df)
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+    # hits rescales by a ONE-ROW max crossed back in — a scalar
+    # broadcast is the right plan; only an unbounded cartesian is not
+    plan = formatted_plan(hits(nodes, edges, iters=3))
+    assert "CartesianProduct" not in plan
 
 
 def test_trade_graph_plan(spark):

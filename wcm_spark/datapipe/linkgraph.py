@@ -29,6 +29,8 @@ __all__ = [
     "pagerank_oracle_sql",
     "components_oracle_sql",
     "degree_oracle_sql",
+    "hits_oracle_sql",
+    "HITS_ITERS",
     "PR_ITERS",
     "COMP_ITERS",
 ]
@@ -183,3 +185,48 @@ SELECT n.url,
 FROM gnodes n
 LEFT JOIN (SELECT src, count(*) AS c FROM gedges GROUP BY src) o ON o.src = n.url
 LEFT JOIN (SELECT dst, count(*) AS c FROM gedges GROUP BY dst) i ON i.dst = n.url"""
+
+
+HITS_ITERS = 5
+
+
+def hits_oracle_sql(iters: int = HITS_ITERS) -> str:
+    """Unrolled integerized HITS (operators/graph.py::hits): per
+    iteration authorities from current hubs then hubs from the NEW
+    authorities, each L-infinity-rescaled in integer micro-units
+    ``(raw * 10^6) // max(raw)`` — max/sum are order-independent, so
+    the value-hash compare against the Spark operator is exact."""
+    from ..operators.graph import INIT_MICRO
+
+    parts = [
+        _graph_sql_prefix(),
+        f",\nhub_0 AS (SELECT url, CAST({INIT_MICRO} AS BIGINT) AS hub_micro FROM gnodes)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(f""",
+araw_{k} AS MATERIALIZED (
+  SELECT e.dst AS url, sum(h.hub_micro) AS raw
+  FROM gedges e JOIN hub_{p} h ON h.url = e.src GROUP BY e.dst
+),
+auth_{k} AS MATERIALIZED (
+  SELECT n.url,
+         CAST((coalesce(a.raw, 0) * {INIT_MICRO})
+              // (SELECT greatest(max(raw), 1) FROM araw_{k}) AS BIGINT) AS auth_micro
+  FROM gnodes n LEFT JOIN araw_{k} a ON a.url = n.url
+),
+hraw_{k} AS MATERIALIZED (
+  SELECT e.src AS url, sum(a.auth_micro) AS raw
+  FROM gedges e JOIN auth_{k} a ON a.url = e.dst GROUP BY e.src
+),
+hub_{k} AS MATERIALIZED (
+  SELECT n.url,
+         CAST((coalesce(h.raw, 0) * {INIT_MICRO})
+              // (SELECT greatest(max(raw), 1) FROM hraw_{k}) AS BIGINT) AS hub_micro
+  FROM gnodes n LEFT JOIN hraw_{k} h ON h.url = n.url
+)""")
+    parts.append(
+        f"\nSELECT a.url, a.auth_micro, h.hub_micro"
+        f"\nFROM auth_{iters} a JOIN hub_{iters} h ON h.url = a.url"
+    )
+    return "".join(parts)

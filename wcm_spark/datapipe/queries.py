@@ -5036,6 +5036,23 @@ def _q_lg_pagerank(spark, sf_dir):
     return pagerank(nodes, edges, iters=PR_ITERS)
 
 
+@spark_only("link_graph_hits")
+def _q_lg_hits(spark, sf_dir):
+    """HITS hubs/authorities over the engine-built crawl link graph —
+    the hub/spam-structure complement to PageRank's quality prior
+    (nav/sitemap pages surface as hubs, link targets as authorities).
+    5 fixed iterations, integer micro-units, L-infinity rescale per
+    half-step (operators/graph.py::hits — max/sum commute, so the
+    result is shuffle-order-exact). Oracle: DuckDB rebuilds the same
+    graph and unrolls the same integer iterations
+    (linkgraph.hits_oracle_sql)."""
+    from ..operators.graph import hits
+    from .linkgraph import HITS_ITERS
+
+    nodes, edges = _graph(spark)
+    return hits(nodes, edges, iters=HITS_ITERS)
+
+
 @spark_only("link_graph_components")
 def _q_lg_components(spark, sf_dir):
     """Connected components (site clustering) of the link graph by
@@ -5321,10 +5338,12 @@ def oracle_sqls() -> dict[str, str]:
     from .linkgraph import (
         components_oracle_sql,
         degree_oracle_sql,
+        hits_oracle_sql,
         pagerank_oracle_sql,
     )
 
     out["link_graph_pagerank"] = pagerank_oracle_sql()
+    out["link_graph_hits"] = hits_oracle_sql()
     out["link_graph_components"] = components_oracle_sql()
     out["link_graph_degree"] = degree_oracle_sql()
     out["trade_graph_pagerank"] = _trade_pagerank_oracle_sql()

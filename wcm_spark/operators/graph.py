@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["pagerank", "connected_components", "degrees"]
+__all__ = ["pagerank", "connected_components", "degrees", "hits"]
 
 #: PageRank damping in percent and the per-node base in micro-units:
 #: rank' = BASE_MICRO + (DAMP_PCT * sum(contribs)) div 100, with the
@@ -184,3 +184,80 @@ def degrees(
             F.coalesce("__i", F.lit(0)).cast("long").alias("in_deg"),
         )
     )
+
+
+def hits(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iters: int = 5,
+    node_col: str = "url",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration integerized HITS → (url, auth_micro, hub_micro).
+
+    Kleinberg's hubs-and-authorities over the directed edge set: each
+    iteration updates authorities from the CURRENT hubs (sum over
+    in-edges), then hubs from the NEW authorities (sum over out-edges).
+    Normalization is L-infinity — divide by the iteration's max — kept
+    in integer micro-units: ``(raw * 10^6) div max(raw)``. Max and sum
+    are partition-order-independent, so like :func:`pagerank` the result
+    is bit-identical under any shuffle order (the driver value-hash
+    compare requires it; L2 normalization would need a sqrt and break
+    integrality). The max itself is a ONE-ROW aggregate crossed back in
+    — a scalar broadcast, the same shape the registry's corpus-stats
+    queries pin (never a node×node pairing).
+
+    100 TB shape per half-iteration: one shuffle join of node-sized
+    scores against edges + one hash aggregate + the scalar rescale —
+    edges are never self-joined. Intermediate ``raw * 10^6`` fits BIGINT
+    while N * 10^12 < 9.2e18, i.e. up to ~9M nodes per component at the
+    default unit; trim ``unit`` for larger graphs (scores are relative).
+    """
+    ed = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
+    node_urls = nodes.select(F.col(node_col).alias("url"))
+    unit = F.lit(INIT_MICRO).cast("long")
+    hub = node_urls.select("url", unit.alias("hub_micro"))
+    auth = None
+    for _ in range(iters):
+        a_raw = (
+            ed.join(hub, ed["__src"] == hub["url"])
+            .groupBy(F.col("__dst").alias("url"))
+            .agg(F.sum("hub_micro").alias("__raw"))
+        )
+        a_max = a_raw.agg(
+            F.greatest(F.max("__raw"), F.lit(1)).alias("__mx")
+        )
+        auth = (
+            node_urls.join(a_raw, "url", "left")
+            .crossJoin(F.broadcast(a_max))
+            .select(
+                "url",
+                F.expr(
+                    f"(coalesce(__raw, CAST(0 AS BIGINT)) * {INIT_MICRO}) div __mx"
+                ).cast("long").alias("auth_micro"),
+            )
+        )
+        h_raw = (
+            ed.join(auth, ed["__dst"] == auth["url"])
+            .groupBy(F.col("__src").alias("url"))
+            .agg(F.sum("auth_micro").alias("__raw"))
+        )
+        h_max = h_raw.agg(
+            F.greatest(F.max("__raw"), F.lit(1)).alias("__mx")
+        )
+        hub = (
+            node_urls.join(h_raw, "url", "left")
+            .crossJoin(F.broadcast(h_max))
+            .select(
+                "url",
+                F.expr(
+                    f"(coalesce(__raw, CAST(0 AS BIGINT)) * {INIT_MICRO}) div __mx"
+                ).cast("long").alias("hub_micro"),
+            )
+        )
+        # both frames feed the next iteration twice (join side + the
+        # node-sized left join): truncate lineage like components does
+        auth = auth.localCheckpoint(eager=False)
+        hub = hub.localCheckpoint(eager=False)
+    return auth.join(hub, "url").select("url", "auth_micro", "hub_micro")
