@@ -12,6 +12,7 @@ from wcm_spark.operators.graph import (
     degrees,
     hits,
     pagerank,
+    triangles,
 )
 
 
@@ -85,6 +86,22 @@ def test_hits_matches_integer_reference(spark):
     assert max(got_h["a"], got_h["b"], got_h["c"]) == INIT_MICRO
 
 
+def test_triangles_toy(spark):
+    # undirected closure of _toy is K4 on {a,b,c,d}: 4 triangles, every
+    # corner in 3; orphan e in none; reciprocal/duplicate edges count once
+    _, _, ndf, edf = _toy(spark)
+    got = {r["url"]: r["triangles"] for r in triangles(ndf, edf).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3, "e": 0}
+    rev = edf.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    dup = {
+        r["url"]: r["triangles"]
+        for r in triangles(ndf, edf.union(rev)).collect()
+    }
+    assert dup == got
+
+
 def test_components_and_degrees_toy(spark):
     _, _, ndf, edf = _toy(spark)
     comp = {r["url"]: r["component"] for r in connected_components(ndf, edf, iters=4).collect()}
@@ -146,6 +163,9 @@ def test_graph_plans_have_no_pair_explosion(spark, fixture_graph):
     # broadcast is the right plan; only an unbounded cartesian is not
     plan = formatted_plan(hits(nodes, edges, iters=3))
     assert "CartesianProduct" not in plan
+    plan = formatted_plan(triangles(nodes, edges))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_trade_graph_plan(spark):

@@ -30,6 +30,7 @@ __all__ = [
     "components_oracle_sql",
     "degree_oracle_sql",
     "hits_oracle_sql",
+    "triangles_oracle_sql",
     "HITS_ITERS",
     "PR_ITERS",
     "COMP_ITERS",
@@ -230,3 +231,30 @@ hub_{k} AS MATERIALIZED (
         f"\nFROM auth_{iters} a JOIN hub_{iters} h ON h.url = a.url"
     )
     return "".join(parts)
+
+
+def triangles_oracle_sql() -> str:
+    """Per-node triangle counts (operators/graph.py::triangles): the same
+    canonical a < b edge list, ordered wedge join, closure against the
+    edge list, and 3-corner credit — rebuilt from the fixture parquet."""
+    return f"""{_graph_sql_prefix()},
+canon AS MATERIALIZED (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM gedges WHERE src <> dst
+  GROUP BY 1, 2
+),
+tri AS MATERIALIZED (
+  SELECT ab.a AS ta, ab.b AS tb, bc.b AS tc
+  FROM canon ab
+  JOIN canon bc ON bc.a = ab.b
+  JOIN canon ac ON ac.a = ab.a AND ac.b = bc.b
+),
+corners AS (
+  SELECT ta AS url FROM tri
+  UNION ALL SELECT tb FROM tri
+  UNION ALL SELECT tc FROM tri
+)
+SELECT n.url, CAST(coalesce(c.t, 0) AS BIGINT) AS triangles
+FROM gnodes n
+LEFT JOIN (SELECT url, count(*) AS t FROM corners GROUP BY url) c
+  ON c.url = n.url"""

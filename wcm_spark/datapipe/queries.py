@@ -5053,6 +5053,20 @@ def _q_lg_hits(spark, sf_dir):
     return hits(nodes, edges, iters=HITS_ITERS)
 
 
+@spark_only("link_graph_triangles")
+def _q_lg_triangles(spark, sf_dir):
+    """Per-node triangle counts over the engine-built crawl link graph —
+    the local clustering signal (organic neighborhoods close triangles;
+    link farms are near-bipartite). Ordered wedge join, bounded by
+    sum(deg^2) under the canonical a < b orientation — never a
+    cartesian (operators/graph.py::triangles). Oracle: DuckDB rebuilds
+    the graph and re-enumerates (linkgraph.triangles_oracle_sql)."""
+    from ..operators.graph import triangles
+
+    nodes, edges = _graph(spark)
+    return triangles(nodes, edges)
+
+
 @spark_only("link_graph_components")
 def _q_lg_components(spark, sf_dir):
     """Connected components (site clustering) of the link graph by
@@ -5340,10 +5354,12 @@ def oracle_sqls() -> dict[str, str]:
         degree_oracle_sql,
         hits_oracle_sql,
         pagerank_oracle_sql,
+        triangles_oracle_sql,
     )
 
     out["link_graph_pagerank"] = pagerank_oracle_sql()
     out["link_graph_hits"] = hits_oracle_sql()
+    out["link_graph_triangles"] = triangles_oracle_sql()
     out["link_graph_components"] = components_oracle_sql()
     out["link_graph_degree"] = degree_oracle_sql()
     out["trade_graph_pagerank"] = _trade_pagerank_oracle_sql()
