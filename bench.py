@@ -107,6 +107,7 @@ HEADLINE_QUERIES = [
     "events_range_join",
     "recrawl_due_schedule",
     "crawl_budget_allocate",
+    "url_template_mine",
     "frontier_priority_cut",
     "image_cluster_caption_pick",
     "image_curation_pipeline",

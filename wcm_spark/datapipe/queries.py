@@ -275,6 +275,39 @@ SELECT seq, url, host_id FROM ranked WHERE hr <= 2
 ORDER BY seq LIMIT 50"""
 
 
+@register("url_template_mine")
+def _q_url_templates(d, sf, topk: int = 3):
+    """URL template discovery: collapse numeric path/query segments to
+    placeholders and rank each host's templates by URL count — the
+    structure signal a production crawler mines for parameter-dedup
+    and per-template crawl priorities (e.g. /doc/{n} vs endless
+    /search?q={n} spaces). The reference resolves URLs one at a time
+    (ScraperUtil.pm:147-156) and never sees corpus structure; at 100 TB
+    the template histogram IS the crawl-policy input.
+
+    Dialect note: Spark's 3-arg regexp_replace is global, DuckDB needs
+    the explicit 'g' flag. Output ranks are deterministic (count DESC,
+    template ASC tiebreak). One hash aggregate on (host, template) +
+    one window over the aggregated (tiny) rowset."""
+    g = ", 'g'" if d == "duck" else ""
+    tpl = f"regexp_replace(url, '[0-9]+', '(n)'{g})"
+    return f"""WITH {_frontier_cte(d, sf)},
+tpls AS (
+  SELECT host_id, {tpl} AS template,
+         CAST(count(*) AS BIGINT) AS n_urls,
+         min(url) AS example_url
+  FROM frontier
+  GROUP BY host_id, {tpl}
+)
+SELECT host_id, template, n_urls, example_url,
+       CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY host_id
+                               ORDER BY n_urls DESC, template) AS rk
+  FROM tpls
+) t WHERE rk <= {topk}"""
+
+
 @register("crawl_budget_allocate")
 def _q_budget_allocate(d, sf, budget: int = 300, cap: int = 200):
     """Global wave-budget allocator: split a fixed per-wave fetch budget
