@@ -487,3 +487,54 @@ def test_stream_caption_pii_scrub_matches_batch(spark, tmp_path):
         assert scrubbed == expect, image_id
         saw = [a + b for a, b in zip(saw, counts)]
     assert all(s > 0 for s in saw)  # every PII kind fired in-stream
+
+
+def test_stream_commit_to_store_exactly_once(spark, tmp_path):
+    """foreachBatch -> TableStore sink: every source row lands exactly
+    once; re-running the drained query on the same checkpoint commits
+    nothing; a REPLAYED batch id (the at-least-once crash window) is
+    skipped via the store's committed stream_batch_id meta."""
+    from wcm_spark.store import TableStore
+    from wcm_spark.streaming.metrics import stream_commit_to_store
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    store = TableStore(str(tmp_path / "store"))
+    spark.createDataFrame(
+        [(i, f"http://a/{i}") for i in range(20)], "seq long, url string"
+    ).coalesce(2).write.mode("overwrite").parquet(src)
+
+    def run():
+        stream = spark.readStream.schema("seq long, url string").parquet(src)
+        q = stream_commit_to_store(stream, store, "ingest", ckpt)
+        q.awaitTermination(120)
+
+    run()
+    v1 = store.current_version("ingest")
+    assert v1 >= 1
+    got = store.read(spark, "ingest")
+    assert got.count() == 20
+    assert store.latest_meta("ingest")["stream_batch_id"] is not None
+
+    # drained source + same checkpoint: nothing new to commit
+    run()
+    assert store.current_version("ingest") == v1
+
+    # simulated at-least-once replay: re-delivering an already-committed
+    # batch id must be a no-op; the NEXT id commits
+    last = store.latest_meta("ingest")["stream_batch_id"]
+    batch = spark.read.parquet(src).limit(3)
+
+    # call the sink body exactly as foreachBatch would
+    def sink(df, bid):
+        meta = store.latest_meta("ingest") or {}
+        lastid = meta.get("stream_batch_id")
+        if lastid is not None and bid <= lastid:
+            return
+        store.commit("ingest", df, mode="append", meta={"stream_batch_id": bid})
+
+    sink(batch, last)          # replay: skipped
+    assert store.current_version("ingest") == v1
+    sink(batch, last + 1)      # genuinely new batch: commits
+    assert store.current_version("ingest") == v1 + 1
+    assert store.read(spark, "ingest").count() == 23

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "visits_stream", "host_rate_metrics", "event_window_rollup",
     "stream_dedup_first_wins", "pages_stream", "stream_scrape_edges",
-    "images_stream", "stream_image_gates",
+    "images_stream", "stream_image_gates", "stream_commit_to_store",
 ]
 
 # the north-rule input table shape (BASELINE.json input_hint)
@@ -198,4 +198,45 @@ def stream_dedup_first_wins(
     """
     return candidates.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         [key_col]
+    )
+
+
+def stream_commit_to_store(
+    df: DataFrame,
+    store,
+    name: str,
+    checkpoint_dir: str,
+    mode: str = "append",
+):
+    """Exactly-once streaming sink into the snapshot TableStore.
+
+    ``foreachBatch`` gives at-least-once delivery: after a crash between
+    the sink's write and the checkpoint commit, Structured Streaming
+    REPLAYS the last micro-batch. The store's own snapshot meta carries
+    the last committed ``stream_batch_id``, and a replayed batch id
+    (``<=`` the recorded one — batch ids are monotonic within one
+    checkpoint lineage) is skipped, upgrading the pipeline to
+    exactly-once the same way the crawl's resume path skips re-fetching
+    committed waves (scheduler checkpoint contract). Meta rides in the
+    table's committed manifest, so idempotence survives process death —
+    not just session state.
+
+    Returns the started query; callers pick the trigger cadence via the
+    stream they pass (tests use availableNow file streams).
+    """
+
+    def commit_batch(batch_df, batch_id: int) -> None:
+        meta = store.latest_meta(name) or {}
+        last = meta.get("stream_batch_id")
+        if last is not None and batch_id <= last:
+            return  # replay after a sink-commit/checkpoint race: durable
+        store.commit(
+            name, batch_df, mode=mode, meta={"stream_batch_id": batch_id}
+        )
+
+    return (
+        df.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
     )
