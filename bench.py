@@ -108,6 +108,7 @@ HEADLINE_QUERIES = [
     "recrawl_due_schedule",
     "crawl_budget_allocate",
     "url_template_mine",
+    "events_funnel_conversion",
     "frontier_priority_cut",
     "image_cluster_caption_pick",
     "image_curation_pipeline",

@@ -919,6 +919,62 @@ FROM (
 ORDER BY host, slot"""
 
 
+@register("events_funnel_conversion")
+def _q_funnel(d, sf):
+    """Three-stage conversion funnel (view -> click -> purchase): per
+    user the FIRST view, the first click strictly after it, the first
+    purchase strictly after that click; output per stage = users
+    reaching it plus the average inter-stage gap. The sequential-order
+    constraint is what distinguishes a funnel from three counts — and
+    what the as-of family's per-event forms don't aggregate.
+
+    Determinism: gaps are epoch-micros BIGINTs and the average is
+    INTEGER division (sum div count) — no doubles, identical in both
+    engines regardless of partition order.
+
+    100 TB shape: three per-user hash aggregates chained by broadcast-
+    or shuffle-equi joins on user_id (each stage frame shrinks), never
+    an event-event pair join; the final stage union is three one-row
+    aggregates."""
+    idiv = "div" if d == "spark" else "//"
+    us = (
+        "unix_micros(CAST({} AS TIMESTAMP))" if d == "spark" else "epoch_us({})"
+    )
+
+    def stage(src_t, prev, prev_t, etype, out_t):
+        return f"""
+  SELECT e.user_id, min({us.format('e.ts')}) AS {out_t}
+  FROM {src_t} e JOIN {prev} p ON p.user_id = e.user_id
+  WHERE e.event_type = '{etype}' AND {us.format('e.ts')} > p.{prev_t}
+  GROUP BY e.user_id"""
+
+    ev = _tbl("events", d, sf)
+    return f"""WITH v AS (
+  SELECT user_id, min({us.format('ts')}) AS t1
+  FROM {ev} WHERE event_type = 'view' GROUP BY user_id
+),
+c AS ({stage(ev, 'v', 't1', 'click', 't2')}
+),
+pz AS ({stage(ev, 'c', 't2', 'purchase', 't3')}
+),
+gaps AS (
+  SELECT c.user_id, c.t2 - v.t1 AS g12, pz.t3 - c.t2 AS g23
+  FROM v JOIN c ON c.user_id = v.user_id
+  LEFT JOIN pz ON pz.user_id = c.user_id
+)
+SELECT 1 AS stage, 'view' AS name, CAST(count(*) AS BIGINT) AS n_users,
+       CAST(0 AS BIGINT) AS avg_gap_us
+FROM v
+UNION ALL
+SELECT 2, 'click', CAST(count(*) AS BIGINT),
+       CAST(sum(g12) {idiv} count(*) AS BIGINT)
+FROM gaps
+UNION ALL
+SELECT 3, 'purchase', CAST(count(g23) AS BIGINT),
+       CAST(sum(g23) {idiv} greatest(count(g23), 1) AS BIGINT)
+FROM gaps"""
+
+
 @register("crawl_metrics_grouping_sets")
 def _q_grouping_sets(d, sf):
     """Grouping sets (SURVEY §2.6): per-(host, status), per-host and grand
