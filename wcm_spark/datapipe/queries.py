@@ -4895,8 +4895,52 @@ def _dedup_incremental_spark(spark, sf_dir):
     )
 
 
+def _decon_spark(spark, sf_dir):
+    """doc_decontamination with the distinct gram frame materialized
+    ONCE (per-app memoized eager checkpoint): the SQL dialect's eval and
+    train branches each re-derive the tokenize->shingle->explode->
+    distinct chain — the last two-branch chain in the sweep; the engine
+    path serves both branches (and repeat calls) from one
+    materialization. Semantics identical to the SQL builder row-for-row."""
+    from pyspark.sql import functions as F
+
+    n = SYNTHETIC_GATES.get("doc_decontamination", {}).get("n", 13)
+
+    def build():
+        rows = spark.sql(
+            f"WITH {_ngram_cte('spark', sf_dir, n)} "
+            "SELECT doc_id, g FROM grams LATERAL VIEW explode(shingles) x AS g"
+        )
+        return rows.dropDuplicates().localCheckpoint(eager=True)
+
+    gram_rows = _app_cached(spark, f"decon_grams:{n}:{sf_dir}", build)
+    ev = (
+        gram_rows.filter(F.col("doc_id") % 97 == 0)
+        .select(F.col("g").alias("ge"))
+        .distinct()
+    )
+    train = gram_rows.filter(F.col("doc_id") % 97 != 0)
+    return (
+        train.join(F.broadcast(ev), train["g"] == F.col("ge"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.count("ge").cast("long").alias("hit_grams"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "hit_grams",
+            F.when(F.col("hit_grams") > 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("contaminated"),
+        )
+    )
+
+
 _SPARK_OVERRIDES = {
     "dedup_incremental": _dedup_incremental_spark,
+    "doc_decontamination": _decon_spark,
     "events_asof_join": _asof_spark,
     "events_asof_forward": _asof_fwd_spark,
     "events_range_join": _range_spark,
