@@ -207,6 +207,7 @@ def stream_commit_to_store(
     name: str,
     checkpoint_dir: str,
     mode: str = "append",
+    trigger: dict | None = None,
 ):
     """Exactly-once streaming sink into the snapshot TableStore.
 
@@ -221,8 +222,10 @@ def stream_commit_to_store(
     table's committed manifest, so idempotence survives process death —
     not just session state.
 
-    Returns the started query; callers pick the trigger cadence via the
-    stream they pass (tests use availableNow file streams).
+    Returns the started query. ``trigger`` passes through to
+    ``writeStream.trigger`` (default ``availableNow=True`` — drain the
+    source and stop; continuous ingest passes
+    ``{"processingTime": "30 seconds"}``-style cadences).
     """
 
     def commit_batch(batch_df, batch_id: int) -> None:
@@ -237,6 +240,6 @@ def stream_commit_to_store(
     return (
         df.writeStream.foreachBatch(commit_batch)
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
+        .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
