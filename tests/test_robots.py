@@ -199,3 +199,87 @@ def test_fetch_time_robots_gate_drains_frontier(spark):
         assert hits.get("/private/x.html", 0) == 0  # gated, never requested
     finally:
         srv.shutdown()
+
+
+def test_crawl_delay_parse_and_state():
+    body = (
+        "User-agent: *\nCrawl-delay: 2\nDisallow: /x\n\n"
+        "User-agent: wcm-spark\nCrawl-delay: 0.5\nDisallow: /y\n"
+    )
+    # matched group's delay wins over *'s
+    assert parse_robots(body, agent="wcm-spark").crawl_delay == 0.5
+    assert parse_robots(body, agent="otherbot").crawl_delay == 2.0
+    # absent / unparsable / negative delays are ignored
+    assert parse_robots("User-agent: *\nDisallow: /x\n").crawl_delay is None
+    assert parse_robots("User-agent: *\nCrawl-delay: soon\n").crawl_delay is None
+    assert parse_robots("User-agent: *\nCrawl-delay: -1\n").crawl_delay is None
+    # a crawl-delay-only group still matches (delay without path rules)
+    only = parse_robots("User-agent: *\nCrawl-delay: 3\n")
+    assert only.crawl_delay == 3.0 and only.allowed("/anything")
+
+    cache = RobotsCache({
+        "http://a": "User-agent: *\nCrawl-delay: 1.5\nDisallow: /no\n",
+        "http://b": "User-agent: *\nDisallow: /no\n",
+    })
+    assert cache.delay("http://a") == 1.5
+    assert cache.delay("http://b") == 0.0
+    assert cache.delay(None) == 0.0
+    assert cache.host_delays() == {"http://a": 1.5}
+    # delay survives the broadcast state roundtrip (and old states
+    # without a delays key still restore)
+    back = RobotsCache.from_state(cache.to_bodies_state())
+    assert back.host_delays() == {"http://a": 1.5}
+    legacy = {"agent": "wcm-spark", "rules": {"http://a": ((False, "/no"),)}}
+    assert RobotsCache.from_state(legacy).host_delays() == {}
+
+
+def test_live_crawl_delay_spaces_requests(spark):
+    """robots.txt Crawl-delay drives per-host wall-clock spacing with NO
+    global min_delay_sec configured — server timestamps prove the gap."""
+    import threading
+    import time as _time
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from wcm_spark.scheduler import Crawler, CrawlConfig
+
+    stamps: dict = {}
+    lock = threading.Lock()
+
+    class H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            with lock:
+                stamps[self.path] = _time.monotonic()
+            if self.path == "/robots.txt":
+                body, ct = b"User-agent: *\nCrawl-delay: 0.4\n", "text/plain"
+            elif self.path == "/root.html":
+                body = (
+                    b'<a href="/a.html">a</a><a href="/b.html">b</a>'
+                    b'<a href="/c.html">c</a>'
+                )
+                ct = "text/html"
+            else:
+                body, ct = b"leaf", "text/html"
+            self.send_response(200)
+            self.send_header("Content-Type", ct)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        cfg = CrawlConfig(
+            fetch_mode="http", use_bloom=False, expected_urls=100,
+            http_timeout=5.0, respect_robots=True,
+        )
+        res = Crawler(spark, None, cfg).run([f"{base}/root.html"])
+        assert res.fetched == 4
+        ts = sorted(stamps[p] for p in ("/a.html", "/b.html", "/c.html"))
+        gaps = [ts[1] - ts[0], ts[2] - ts[1]]
+        assert all(g >= 0.35 for g in gaps), gaps
+    finally:
+        srv.shutdown()

@@ -27,6 +27,8 @@ __all__ = ["RobotsRules", "parse_robots", "RobotsCache"]
 class RobotsRules:
     # (allow: bool, path_pattern: str) in file order
     rules: tuple
+    # Crawl-delay of the matched agent group (seconds), None when absent
+    crawl_delay: float | None = None
 
     def allowed(self, path: str) -> bool:
         if not path:
@@ -58,6 +60,7 @@ def _match_len(pattern: str, path: str) -> int | None:
 def parse_robots(body: str, agent: str = "wcm-spark") -> RobotsRules:
     agent = agent.lower()
     groups: dict[str, list] = {}
+    delays: dict[str, float] = {}
     current_agents: list[str] = []
     seen_rule_since_agent = True
     for raw in (body or "").splitlines():
@@ -82,16 +85,28 @@ def parse_robots(body: str, agent: str = "wcm-spark") -> RobotsRules:
                 continue  # empty Disallow = allow all (no rule)
             for a in current_agents:
                 groups.setdefault(a, []).append((field == "allow", value))
-    best: tuple[int, list] | None = None
-    for name, rules in groups.items():
+        elif field == "crawl-delay":
+            # non-standard but honored by major crawlers; the matched
+            # group's delay feeds per-host wall-clock politeness (F6)
+            seen_rule_since_agent = True
+            try:
+                d = float(value)
+            except ValueError:
+                continue
+            if d >= 0:
+                for a in current_agents:
+                    groups.setdefault(a, [])
+                    delays[a] = d
+    best_name: str | None = None
+    for name in groups:
         if name != "*" and name in agent:
-            if best is None or len(name) > best[0]:
-                best = (len(name), rules)
-    if best is not None:
-        return RobotsRules(tuple(best[1]))
-    if "*" in groups:
-        return RobotsRules(tuple(groups["*"]))
-    return RobotsRules(())
+            if best_name is None or len(name) > len(best_name):
+                best_name = name
+    if best_name is None and "*" in groups:
+        best_name = "*"
+    if best_name is None:
+        return RobotsRules(())
+    return RobotsRules(tuple(groups[best_name]), delays.get(best_name))
 
 
 class RobotsCache:
@@ -118,11 +133,39 @@ class RobotsCache:
             return True
         return rules.allowed(path)
 
+    def delay(self, host_key: str | None) -> float:
+        """Matched-group Crawl-delay for the host (seconds; 0.0 = none)."""
+        if host_key is None:
+            return 0.0
+        rules = self._rules.get(host_key)
+        return rules.crawl_delay or 0.0 if rules is not None else 0.0
+
+    def host_delays(self) -> dict[str, float]:
+        """{host_key: crawl_delay} for hosts that declare one — the
+        broadcast-friendly politeness dimension the fetcher consumes."""
+        return {
+            k: v.crawl_delay
+            for k, v in self._rules.items()
+            if v.crawl_delay
+        }
+
     def to_bodies_state(self) -> dict:
-        return {"agent": self.agent, "rules": {k: v.rules for k, v in self._rules.items()}}
+        return {
+            "agent": self.agent,
+            "rules": {k: v.rules for k, v in self._rules.items()},
+            "delays": {
+                k: v.crawl_delay
+                for k, v in self._rules.items()
+                if v.crawl_delay is not None
+            },
+        }
 
     @classmethod
     def from_state(cls, state: dict) -> "RobotsCache":
         out = cls(agent=state["agent"])
-        out._rules = {k: RobotsRules(tuple(map(tuple, v))) for k, v in state["rules"].items()}
+        delays = state.get("delays", {})  # absent in pre-delay checkpoints
+        out._rules = {
+            k: RobotsRules(tuple(map(tuple, v)), delays.get(k))
+            for k, v in state["rules"].items()
+        }
         return out

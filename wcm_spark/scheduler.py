@@ -423,7 +423,16 @@ class Crawler:
             from .sources.httpfetch import http_fetch_wave
 
             wave = self._with_credentials(wave)
-            if self.config.min_delay_sec > 0:
+            host_delays = {}
+            if self._robots_bc is not None:
+                # robots Crawl-delay of the matched agent group raises the
+                # per-host request spacing above the global min_delay_sec
+                from .robots import RobotsCache
+
+                host_delays = RobotsCache.from_state(
+                    self._robots_bc.value
+                ).host_delays()
+            if self.config.min_delay_sec > 0 or host_delays:
                 # a host must not span partitions, or in-partition request
                 # spacing would not be globally polite for the wave
                 wave = wave.repartition(
@@ -437,6 +446,7 @@ class Crawler:
                 user_agent=self.config.robots_agent,
                 creds=dict(self._creds),
                 min_delay_sec=self.config.min_delay_sec,
+                host_delays=host_delays,
             )
         wave = self._with_credentials(wave)
         w = wave.join(self._closure, wave.url == self._closure.src, "left").select(

@@ -168,6 +168,7 @@ def http_fetch_wave(
     max_body: int = 16 * 1024 * 1024,
     creds: dict | None = None,
     min_delay_sec: float = 0.0,
+    host_delays: dict | None = None,
 ):
     """Frontier wave -> fetched frame, same shape as the corpus-join fetch.
 
@@ -177,9 +178,12 @@ def http_fetch_wave(
 
     ``min_delay_sec`` is the UserAgent-throttling analog in wall-clock
     time: requests to the SAME host are serialized with that spacing
-    while different hosts still fetch in parallel. The caller must
-    repartition the wave by host_key first so a host never spans two
-    partitions (the scheduler does this automatically) — then the
+    while different hosts still fetch in parallel. ``host_delays``
+    ({host_key: seconds}, e.g. from robots.txt Crawl-delay via
+    RobotsCache.host_delays) raises the spacing PER HOST — the
+    effective gap is max(min_delay_sec, host_delays[host]). The caller
+    must repartition the wave by host_key first so a host never spans
+    two partitions (the scheduler does this automatically) — then the
     in-partition serialization is globally correct for the wave.
     """
 
@@ -187,6 +191,7 @@ def http_fetch_wave(
         import time as _t
 
         local_creds = dict(creds) if creds else {}
+        local_delays = dict(host_delays) if host_delays else {}
 
         def fetch_t(t):
             return _fetch_one(
@@ -194,13 +199,16 @@ def http_fetch_wave(
                 user_agent, max_body, local_creds,
             )
 
-        def fetch_host_group(rows):
-            # rows: [(idx, (url, method, params)), ...] — one host,
-            # sequential, spaced by min_delay_sec (F6 in wall-clock form)
+        def fetch_host_group(item):
+            # (host_key, [(idx, (url, method, params)), ...]) — one host,
+            # sequential, spaced by the host's effective delay (F6 in
+            # wall-clock form; robots Crawl-delay raises it per host)
+            hk, rows = item
+            gap = max(min_delay_sec, local_delays.get(hk, 0.0))
             out = []
             for j, (idx, t) in enumerate(rows):
-                if j:
-                    _t.sleep(min_delay_sec)
+                if j and gap > 0:
+                    _t.sleep(gap)
                 out.append((idx, fetch_t(t)))
             return out
 
@@ -212,12 +220,12 @@ def http_fetch_wave(
                 triples = list(
                     zip(pdf["fetch_auth_url"], pdf["method"], pdf["params"])
                 )
-                if min_delay_sec > 0:
+                if min_delay_sec > 0 or local_delays:
                     groups: dict = {}
                     for idx, (t, hk) in enumerate(zip(triples, pdf["host_key"])):
                         groups.setdefault(hk, []).append((idx, t))
                     results = [None] * n
-                    for chunk in pool.map(fetch_host_group, groups.values()):
+                    for chunk in pool.map(fetch_host_group, groups.items()):
                         for idx, r in chunk:
                             results[idx] = r
                 else:
