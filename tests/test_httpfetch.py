@@ -288,3 +288,66 @@ def test_min_delay_sec_spaces_same_host_requests(spark):
         assert all(g >= 0.35 for g in gaps), gaps
     finally:
         srv.shutdown()
+
+
+def test_backoff_status_rests_host_and_retries(spark):
+    """F10 backoff: a 429 rests the whole host for backoff_waves waves
+    and the row re-queues through the retry channel — the retry lands
+    AFTER the cooldown and succeeds; other hosts are unaffected."""
+    import threading
+    from collections import Counter
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from wcm_spark.scheduler import Crawler, CrawlConfig
+
+    hits: Counter = Counter()
+    lock = threading.Lock()
+
+    class H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            with lock:
+                hits[self.path] += 1
+                n = hits[self.path]
+            if self.path == "/busy.html" and n == 1:
+                self.send_response(429)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            body = (
+                b'<a href="/busy.html">busy</a><a href="/ok.html">ok</a>'
+                if self.path == "/root.html"
+                else b"leaf"
+            )
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        cfg = CrawlConfig(
+            fetch_mode="http", use_bloom=False, expected_urls=100,
+            http_timeout=5.0, retry_errors=2,
+            backoff_statuses=(429,), backoff_waves=2, max_waves=12,
+        )
+        res = Crawler(spark, None, cfg).run([f"{base}/root.html"])
+        visits = sorted(
+            (r["wave"], r["request_url"], r["status"])
+            for r in res.visits.collect()
+        )
+        busy = [(w, s) for w, u, s in visits if u.endswith("/busy.html")]
+        # first attempt 429, retry succeeds
+        assert [s for _, s in busy] == [429, 200], busy
+        assert hits["/busy.html"] == 2
+        # the retry waited out the cooldown: > backoff_waves waves later
+        assert busy[1][0] - busy[0][0] > 2, busy
+        # the sibling on the same wave was unaffected
+        assert any(u.endswith("/ok.html") and s == 200 for _, u, s in visits)
+    finally:
+        srv.shutdown()

@@ -102,6 +102,12 @@ class CrawlConfig:
     http_timeout: float = 10.0             # per-request timeout in http mode
     http_concurrency: int = 16             # sockets per partition in http mode
     min_delay_sec: float = 0.0             # F6 in wall-clock form (http mode): spacing between same-host requests
+    backoff_statuses: tuple = ()           # F10 extension: statuses (e.g. 429, 503) that rest the
+                                           # whole HOST for backoff_waves waves — the server said
+                                           # "slow down"; its pending rows stay in the frontier and
+                                           # re-enter the cut when the cooldown lapses. In-memory
+                                           # state (advisory politeness): a resume restarts cooldowns
+    backoff_waves: int = 4                 # cooldown length for backoff_statuses hosts
     priority_expr: str | None = None       # north-rule priority queue: a SQL expression over
                                            # frontier columns (url, depth, host_key, seq, ...);
                                            # the wave cut ranks per host by (priority DESC, seq)
@@ -583,18 +589,29 @@ class Crawler:
     def _wave_cut(self, pending: DataFrame, host_state: DataFrame | None = None, wave_id: int = 0) -> DataFrame:
         cfg = self.config
         wave = pending
-        if cfg.min_delay_waves > 0 and host_state is not None:
-            # F6 min-delay: a host fetched at wave w rests until w + delay.
+        gates = []
+        if cfg.min_delay_waves > 0:
+            # F6 min-delay: a host fetched at wave w rests until w + delay
+            gates.append(
+                F.col("last_wave").isNull()
+                | (F.lit(wave_id) - F.col("last_wave") > cfg.min_delay_waves)
+            )
+        if cfg.backoff_statuses:
+            # F10 backoff: a 429/503 host rests until its rest_until wave
+            gates.append(
+                F.col("rest_until").isNull()
+                | (F.lit(wave_id) > F.col("rest_until"))
+            )
+        if gates and host_state is not None:
             # host_state is one small row per host — broadcast join, no
             # frontier shuffle (the UserAgent active-host analog as data)
-            hs = F.broadcast(host_state)
+            cond = gates[0]
+            for g in gates[1:]:
+                cond = cond & g
             wave = (
-                wave.join(hs, "host_key", "left")
-                .filter(
-                    F.col("last_wave").isNull()
-                    | (F.lit(wave_id) - F.col("last_wave") > cfg.min_delay_waves)
-                )
-                .drop("last_wave")
+                pending.join(F.broadcast(host_state), "host_key", "left")
+                .filter(cond)
+                .drop("last_wave", "rest_until")
             )
         # the wave-cut total order: FIFO by default (reference parity),
         # (priority DESC, seq) under the north-rule priority queue —
@@ -749,14 +766,17 @@ class Crawler:
         waves_run = 0
         total_fetched = 0
         host_state = None
-        if cfg.min_delay_waves > 0:
-            host_state = spark.createDataFrame([], "host_key string, last_wave int")
+        if cfg.min_delay_waves > 0 or cfg.backoff_statuses:
+            host_state = spark.createDataFrame(
+                [], "host_key string, last_wave int, rest_until int"
+            )
 
         pending_count = pending.count()
         drain_level = (
             cfg.max_conn is None
             and cfg.max_conn_per_host is None
             and cfg.min_delay_waves == 0
+            and not cfg.backoff_statuses
         )
         # Drain-level corpus crawls with no durable store can defer the
         # per-wave visits materialization: every wave's visits frame is a
@@ -813,12 +833,16 @@ class Crawler:
             if host_state is not None and wave_count:
                 host_state = (
                     host_state.unionByName(
-                        wave.select("host_key").distinct().withColumn(
-                            "last_wave", F.lit(wave_id)
-                        )
+                        wave.select("host_key")
+                        .distinct()
+                        .withColumn("last_wave", F.lit(wave_id))
+                        .withColumn("rest_until", F.lit(None).cast("int"))
                     )
                     .groupBy("host_key")
-                    .agg(F.max("last_wave").alias("last_wave"))
+                    .agg(
+                        F.max("last_wave").alias("last_wave"),
+                        F.max("rest_until").alias("rest_until"),
+                    )
                     .localCheckpoint(eager=True)
                 )
             # Corpus mode: deliberately NOT persisted — caching would
@@ -866,6 +890,30 @@ class Crawler:
             fetched = self._fetch_wave(wave)
             if cfg.fetch_mode == "http":
                 fetched = fetched.localCheckpoint(eager=True)
+            if cfg.backoff_statuses and host_state is not None:
+                # the server said "slow down": rest the whole host for
+                # backoff_waves waves; its unfetched rows stay pending and
+                # re-enter the wave cut when the cooldown lapses
+                backoff_hosts = (
+                    fetched.filter(
+                        F.col("status").isin(list(cfg.backoff_statuses))
+                    )
+                    .select("host_key")
+                    .distinct()
+                    .withColumn("last_wave", F.lit(None).cast("int"))
+                    .withColumn(
+                        "rest_until", F.lit(wave_id + cfg.backoff_waves)
+                    )
+                )
+                host_state = (
+                    host_state.unionByName(backoff_hosts)
+                    .groupBy("host_key")
+                    .agg(
+                        F.max("last_wave").alias("last_wave"),
+                        F.max("rest_until").alias("rest_until"),
+                    )
+                    .localCheckpoint(eager=True)
+                )
 
             # 'wave' on a visit = the fetch wave (the enqueue wave lives on
             # the frontier row); pos ordering below needs the fetch wave
@@ -939,11 +987,19 @@ class Crawler:
                 fresh = children  # probe already applied in-UDF, exactly
             fresh = _dedup_min(fresh, "digest", ["parent_seq", "emit_idx"])  # D3
 
-            # error channel (F10): requeue with retries+1, bypassing seen-check (S2)
+            # error channel (F10): requeue with retries+1, bypassing seen-check (S2).
+            # With backoff configured, backoff statuses (429/503) requeue
+            # through the same channel — the row retries after its host's
+            # cooldown instead of being recorded as a terminal visit only
             retry = None
             if cfg.retry_errors > 0:
+                err_cond = F.col("status").isNull()
+                if cfg.backoff_statuses:
+                    err_cond = err_cond | F.col("status").isin(
+                        list(cfg.backoff_statuses)
+                    )
                 retry = (
-                    fetched.filter(F.col("status").isNull())
+                    fetched.filter(err_cond)
                     .filter(F.col("retries") < cfg.retry_errors)
                     .select(
                         F.col("request_url").alias("url"), "method", "params", "digest",
