@@ -215,3 +215,56 @@ def test_budget_allocate_invariants(pendings, budget, cap):
             exact = budget * eligible / eligible_total
             assert quota <= exact + 1
             assert quota >= exact - 1
+
+
+def test_recrawl_schedule_formula_edges():
+    """recrawl_due_schedule branches the fixture can't reach: a
+    single-observation entity defaults to change_rate 1.0 (crawl soon),
+    a never-changing entity gets the full base interval (168h), an
+    always-changing one the minimum (16.8h) — pinned through the
+    query's own SQL over an inline events table (DuckDB side; the Spark
+    dialect differs only in the micros/json accessors)."""
+    import duckdb
+
+    from wcm_spark.datapipe.queries import _q_recrawl
+
+    con = duckdb.connect()
+    rows = []
+    # entity 1: one observation only
+    rows.append((100, "2024-01-01 00:00:00", 1, '{"k": 5}'))
+    # entity 2: three observations, fingerprint never changes
+    for i, ts in enumerate(
+        ["2024-01-01 00:00:00", "2024-01-02 00:00:00", "2024-01-03 00:00:00"]
+    ):
+        rows.append((200 + i, ts, 2, '{"k": 7}'))
+    # entity 3: three observations, changes every time
+    for i, ts in enumerate(
+        ["2024-01-01 00:00:00", "2024-01-02 00:00:00", "2024-01-03 00:00:00"]
+    ):
+        rows.append((300 + i, ts, 3, '{"k": %d}' % i))
+    con.execute(
+        "CREATE TABLE events AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({eid}, TIMESTAMP '{ts}', {uid}, 'view', 0.0, '{props}')"
+            for eid, ts, uid, props in rows
+        )
+        + ") t(event_id, ts, user_id, event_type, value, props)"
+    )
+    got = {
+        r[1]: r  # url_id -> row
+        for r in con.execute(_q_recrawl("duck", None)).fetchall()
+    }
+    h = 3_600_000_000  # micros per hour
+    base = con.execute("SELECT epoch_us(TIMESTAMP '2024-01-01')").fetchone()[0]
+    day = 24 * h
+    # single obs: rate 1.0 -> 16.8h after its only fetch
+    assert got[1][4] == 1.0
+    assert got[1][5] == base + int(16.8 * h)
+    # never changes: rate 0.0 -> full 168h after the last fetch
+    assert got[2][4] == 0.0
+    assert got[2][5] == base + 2 * day + 168 * h
+    # always changes: rate 1.0 -> 16.8h after the last fetch
+    assert got[3][4] == 1.0
+    assert got[3][5] == base + 2 * day + int(16.8 * h)
+    # the always-changing entity is due BEFORE the static one
+    assert got[3][5] < got[2][5]
