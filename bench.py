@@ -116,6 +116,10 @@ HEADLINE_QUERIES = [
     "image_caption_neardup",
     "image_exact_dedup",
     "broken_links_report",
+    # ninth session: the last pytest-only operator rows in driver signal
+    "form_weave_goldens",
+    "scrape_containers_e2e",
+    "charset_decode_goldens",
 ]
 
 

@@ -718,3 +718,385 @@ def _images_table_path_cached(n_base: int) -> str:
     pq.write_table(table, tmp)
     os.replace(tmp, path)  # atomic: concurrent builders race benignly
     return path
+
+
+# ---------------------------------------------------------------------------
+# P5/R4 in driver signal: the t/form.t:149-333 seventeen-form golden block
+# ---------------------------------------------------------------------------
+
+# The reference's own form-emulation fixture (t/form.t:149-333), verbatim
+# markup shape. The CONTENT ground truth (which name=value pairs each form
+# contributes) is the reference test's to_hash expectations; the pair ORDER
+# is the engine's pinned canonicalization (first-seen name order, values in
+# document order — urlkit.serialize_params; Mojo::Parameters order is Perl
+# hash iteration, nondeterministic by construction, so the reference pins
+# no order and we must).
+FORM_GOLDEN_HTML = """<html>
+    <body>
+        <form action="/receptor1" method="post">
+            <input type="text" name="foo" value="fooValue">
+            <input type="text" name="bar" value="barValue">
+            <input type="hidden" name="baz" value="bazValue">
+            <input type="hidden" name="yada" value="yadaValue" disabled="disabled">
+            <input type="submit" name='btn' value="send">
+            <input type="submit" name='btn' value="send2">
+            <input type="submit" name='btn3' value="send3">
+        </form>
+        <form action="/receptor1" method="post">
+            <input type="text" name="foo" value="fooValue">
+            <input type="submit" value="send">
+        </form>
+        <form action="/receptor1" method="post">
+            <input type="radio" name="foo" value="fooValue2"> fooValue2
+            <input type="radio" name="foo" value="fooValue3"> fooValue3
+            <input type="submit" value="send">
+        </form>
+        <form action="/receptor1" method="post">
+            <input type="radio" name="foo" value="fooValue2"> fooValue2
+            <input type="radio" name="foo" value="fooValue3" checked="checked"> fooValue3
+            <input type="submit" value="send">
+        </form>
+        <form action="/receptor1" method="post">
+            <input type="hidden" name="foo" value="">
+            <input type="radio" name="foo" value="fooValue1"> fooValue1
+            <input type="radio" name="foo" value="fooValue2" checked="checked"> fooValue2
+            <input type="submit" value="send">
+        </form>
+        <form action="/receptor1" method="post">
+            <input type="radio" name="foo" value="fooValue1"> fooValue1
+            <input type="radio" name="foo" value="fooValue2" checked> fooValue2
+            <input type="radio" name="foo" value="fooValue3"> fooValue3
+            <input type="submit" value="send">
+        </form>
+        <form action="/receptor1" method="post">
+            <select name="foo">
+                <option value="">a</option>
+                <option value="fooValue1">a</option>
+                <option value="fooValue2">b</option>
+                <option value="a&quot;b">b</option>
+                <option value="a/b">b</option>
+            </select>
+            <input type="submit" value="send">
+        </form>
+        <form action="/receptor1" method="post">
+            <input type="text" name="foo" value="" pattern="\\d\\d\\d">
+            <input type="submit" value="send">
+        </form>
+        <form action="/receptor1" method="post">
+            <input type="number" name="foo" value="" min="5" max="10">
+            <input type="submit" value="send">
+        </form>
+        <form action="/receptor3" method="post">
+        </form>
+        <form action="/receptor1" method="post">
+            <input type="text" name="foo" value="">
+            <input type="file" name="bar">
+            <input type="submit" value="send">
+        </form>
+        <form action="/receptor1" method="post">
+            <input type="hidden" name="foo" value="value1">
+            <select name="foo" multiple>
+                <option value="value2" selected>a</option>
+                <option value="value3" selected>a</option>
+                <option value="value4">a</option>
+            </select>
+            <input type="submit" value="send">
+        </form>
+        <form action="/receptor1" method="post">
+            <input type="hidden" name="foo" value="やったー">
+        </form>
+        <form action="/receptor1" method="post">
+            <textarea name="foo">foo default</textarea>
+            <textarea name="bar" disabled>bar default</textarea>
+            <textarea name="baz" required>baz default</textarea>
+            <input type="submit" value="send">
+        </form>
+        <form action="/receptor1" method="post">
+            <input type="hidden" name="foo" value="value1">
+            <select name="foo">
+                <option value="value2" selected>a</option>
+                <option value="value3" selected>a</option>
+            </select>
+            <input type="submit" value="send">
+        </form>
+        <form action="/receptor1" method="post">
+            <input type="hidden" name="foo" value="value1">
+            <select name="foo">
+                <option value="value2">a</option>
+                <option value="value3" selected>a</option>
+            </select>
+            <input type="submit" value="send">
+        </form>
+        <form action="/receptor1" method="post">
+            <input type="hidden" name="foo" value="value1">
+            <select name="foo">
+                <option value="value2">a</option>
+                <option value="value3">a</option>
+            </select>
+            <input type="submit" value="send">
+        </form>
+    </body>
+</html>
+"""
+
+# (action, METHOD, serialized params) per form, document order. Derived BY
+# HAND from the markup above + t/form.t's hash expectations, then confirmed
+# against the engine: disabled controls included (t/form.t:156,259-266),
+# first-submit-only-and-only-if-named, checkbox/radio need checked, select
+# falls back to first option, multiple selects take every selected option,
+# file inputs contribute no value, empty forms give ''.
+FORM_GOLDEN_EXPECTED = [
+    ("/receptor1", "POST", "foo=fooValue&bar=barValue&baz=bazValue&yada=yadaValue&btn=send"),
+    ("/receptor1", "POST", "foo=fooValue"),
+    ("/receptor1", "POST", ""),
+    ("/receptor1", "POST", "foo=fooValue3"),
+    ("/receptor1", "POST", "foo=&foo=fooValue2"),
+    ("/receptor1", "POST", "foo=fooValue2"),
+    ("/receptor1", "POST", "foo="),
+    ("/receptor1", "POST", "foo="),
+    ("/receptor1", "POST", "foo="),
+    ("/receptor3", "POST", ""),
+    ("/receptor1", "POST", "foo="),
+    ("/receptor1", "POST", "foo=value1&foo=value2&foo=value3"),
+    ("/receptor1", "POST", "foo=%E3%82%84%E3%81%A3%E3%81%9F%E3%83%BC"),
+    ("/receptor1", "POST", "foo=foo%20default&bar=bar%20default&baz=baz%20default"),
+    ("/receptor1", "POST", "foo=value1&foo=value2"),
+    ("/receptor1", "POST", "foo=value1&foo=value3"),
+    ("/receptor1", "POST", "foo=value1&foo=value2"),
+]
+
+
+def form_weave_oracle_sql() -> str:
+    rows = ",\n".join(
+        f"({i}, {_sql_str(a)}, {_sql_str(m)}, {_sql_str(p)})"
+        for i, (a, m, p) in enumerate(FORM_GOLDEN_EXPECTED)
+    )
+    return (
+        "SELECT CAST(form_idx AS INT) AS form_idx, action, method, params "
+        f"FROM (VALUES\n{rows}\n) t(form_idx, action, method, params)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# P4 in driver signal: container-scoped scrape over a dedicated fixture
+# ---------------------------------------------------------------------------
+
+# Containers passed to scrape_edges for this fixture (t/collect_urls.t:109-121
+# semantics: each container selector PREFIXES every preset selector and the
+# combined keys flush in ASCII-sorted order, '#' < '.').
+CONTAINER_SELECTORS = ("#cont1", ".nav")
+
+# combined-key ASCII ranks for the keys this fixture can produce
+_CKR = {
+    "#cont1 [style]": 0,
+    "#cont1 a[href]": 1,
+    "#cont1 form": 2,
+    "#cont1 img[src]": 3,
+    ".nav a[href]": 4,
+    ".nav img[src]": 5,
+}
+
+_CONTAINER_PAGES = [
+    (
+        "http://csite.example/p1",
+        '<html><body>\n'
+        '<div id="cont1"><a href="/in-a1">a</a> <img src="/in-i1.png"> '
+        '<span style="background:url(/in-s1.png)">s</span></div>\n'
+        '<div class="nav"><a href="/nav-a1">n</a></div>\n'
+        '<a href="/out-a1">o</a> <img src="/out-i1.png">\n'
+        "</body></html>",
+    ),
+    (
+        "http://csite.example/p2",
+        '<html><body>\n'
+        '<div id="cont1"><a href="/x1">1</a> <a href="/x2">2</a></div>\n'
+        '<form action="/f-out" method="post"><input type="text" name="q" value="vo"></form>\n'
+        '<div id="cont1"><form action="/f-in" method="get">'
+        '<input type="text" name="q" value="vi"></form></div>\n'
+        '<div class="nav"><img src="/n1.png"> <a href="/n2">2</a></div>\n'
+        "</body></html>",
+    ),
+    # no containers at all: the scoped scrape must emit ZERO edges here
+    ("http://csite.example/p3", '<html><body><a href="/lonely">x</a></body></html>'),
+]
+
+
+@functools.lru_cache(maxsize=None)
+def container_corpus_path() -> str:
+    """Write the container-scoping fixture as ONE parquet (pyarrow, no
+    Spark); both engines read this exact file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = os.path.join(tempfile.gettempdir(), "wcm_fixtures")
+    os.makedirs(d, exist_ok=True)
+    rows = [
+        dict(
+            url=u,
+            status=200,
+            content_type="text/html",
+            content_length=len(b),
+            body=b.encode(),
+            redirect_to=None,
+        )
+        for u, b in _CONTAINER_PAGES
+    ]
+    h = hashlib.md5()
+    for r in rows:
+        h.update(repr((r["url"], r["body"])).encode())
+    path = os.path.join(d, f"containers_{h.hexdigest()[:10]}.parquet")
+    if os.path.exists(path):
+        return path
+    schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("status", pa.int32()),
+            ("content_type", pa.string()),
+            ("content_length", pa.int64()),
+            ("body", pa.binary()),
+            ("redirect_to", pa.string()),
+        ]
+    )
+    tmp = f"{path}.tmp{os.getpid()}"
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def _container_bucket(kr: int, tag: str, cont_pat: str, pattern: str) -> str:
+    """One regex bucket restricted to a container's blocks: blocks in doc
+    order, matches in doc order inside each block — flatten preserves both,
+    so the composite index IS the within-key document order."""
+    return f"""
+  SELECT page_url, {kr} AS kr, u.i AS di, u.v AS lit,
+         CAST(NULL AS VARCHAR) AS method, CAST(NULL AS VARCHAR) AS params,
+         '{tag}' AS tag
+  FROM (
+    SELECT page_url, unnest([{{'i': i, 'v': l[i]}} for i in generate_series(1, len(l))]) AS u
+    FROM (
+      SELECT page_url,
+             flatten([regexp_extract_all(blk, '{pattern}', 1)
+                      for blk in regexp_extract_all(b, '{cont_pat}', 1)]) AS l
+      FROM htmlsrc)
+  )"""
+
+
+def scrape_containers_oracle_sql() -> str:
+    """Independent DuckDB re-extraction of the container-scoped edge set:
+    per combined key (container prefix x preset), regex over ONLY that
+    container's div blocks; emit order = ASCII-sorted combined keys, doc
+    order within (Mojo.pm:140 + ScraperUtil.pm:131-145)."""
+    c1 = r'(?s)<div id="cont1">(.*?)</div>'
+    nav = r'(?s)<div class="nav">(.*?)</div>'
+    buckets = [
+        _container_bucket(_CKR["#cont1 [style]"], "span", c1, r'style="[^"]*?url\(([^)]*)\)'),
+        _container_bucket(_CKR["#cont1 a[href]"], "a", c1, r'<a href="([^"]*)"'),
+        _container_bucket(_CKR["#cont1 img[src]"], "img", c1, r'<img src="([^"]*)"'),
+        _container_bucket(_CKR[".nav a[href]"], "a", nav, r'<a href="([^"]*)"'),
+        _container_bucket(_CKR[".nav img[src]"], "img", nav, r'<img src="([^"]*)"'),
+        # form inside #cont1: full blocks, then action/method/woven params
+        f"""
+  SELECT page_url, {_CKR['#cont1 form']} AS kr, u.i AS di,
+         regexp_extract(u.v, 'action="([^"]*)"', 1) AS lit,
+         upper(CASE WHEN regexp_extract(u.v, 'method="([^"]*)"', 1) = ''
+                    THEN 'GET' ELSE regexp_extract(u.v, 'method="([^"]*)"', 1) END) AS method,
+         array_to_string(
+           [regexp_extract(t, 'name="([^"]*)"', 1) || '=' || regexp_extract(t, 'value="([^"]*)"', 1)
+            for t in regexp_extract_all(u.v, '<input[^>]*>', 0)
+            if regexp_extract(t, 'name="([^"]*)"', 1) <> ''], '&') AS params,
+         'form' AS tag
+  FROM (
+    SELECT page_url, unnest([{{'i': i, 'v': l[i]}} for i in generate_series(1, len(l))]) AS u
+    FROM (
+      SELECT page_url,
+             flatten([regexp_extract_all(blk, '(?s)<form [^>]*>.*?</form>', 0)
+                      for blk in regexp_extract_all(b, '{c1}', 1)]) AS l
+      FROM htmlsrc)
+  )""",
+    ]
+    union = "\n  UNION ALL".join(buckets)
+    return f"""WITH htmlsrc AS (
+  SELECT url AS page_url, decode(body) AS b
+  FROM read_parquet('{container_corpus_path()}')
+),
+rawedges AS ({union}
+)
+SELECT page_url,
+       CAST(row_number() OVER (PARTITION BY page_url ORDER BY kr, di) - 1 AS INT) AS emit_idx,
+       lit AS literal_uri, method, params, tag
+FROM rawedges ORDER BY page_url, emit_idx"""
+
+
+# ---------------------------------------------------------------------------
+# P1 in driver signal: charset guess + decode goldens
+# ---------------------------------------------------------------------------
+
+# (content_type, codec the body is ENCODED with, expected declared charset
+# or None, text). Shapes mirror t/guess_encoding.t:38-70: charset in the
+# Content-Type param, in <meta http-equiv> inside <head> (and ONLY inside
+# <head> — case 5's body-meta must be ignored), CSS @charset, undeclared ->
+# utf-8 fallback, unknown-codec declaration -> utf-8 fallback decode.
+CHARSET_CASES = [
+    ("text/html;charset=Shift_JIS", "shift_jis", "Shift_JIS",
+     "<html><body>こんにちは世界</body></html>"),
+    ("text/html", "cp932", "cp932",
+     '<html><head><meta http-equiv="Content-Type" '
+     'content="text/html; charset=cp932"></head>'
+     "<body>やったー</body></html>"),
+    ("text/css", "euc_jp", "EUC-JP",
+     '@charset "EUC-JP"; .a { background: url(/x.png) } /* 日本語 */'),
+    ("text/html", "utf-8", None, "<html><body>plain ascii</body></html>"),
+    ("text/html;charset=bogus-enc", "utf-8", "bogus-enc",
+     "<html><body>unknown codec falls back to utf-8</body></html>"),
+    ("text/html", "utf-8", None,
+     '<html><head></head><body><meta http-equiv="Content-Type" '
+     'content="text/html; charset=cp932">meta outside head is ignored'
+     "</body></html>"),
+    ("text/html", "utf-8", None,
+     "<html><body>undeclared utf-8 日本語 survives the fallback"
+     "</body></html>"),
+]
+
+
+@functools.lru_cache(maxsize=None)
+def charset_corpus_path() -> str:
+    """Write the charset fixture as ONE parquet: bodies are the texts above
+    encoded with their case's codec — the generator defines the ground
+    truth (encode is decode's inverse for these lossless cases)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = os.path.join(tempfile.gettempdir(), "wcm_fixtures")
+    os.makedirs(d, exist_ok=True)
+    rows = [
+        dict(case_id=i, content_type=ct, body=text.encode(codec))
+        for i, (ct, codec, _, text) in enumerate(CHARSET_CASES)
+    ]
+    h = hashlib.md5()
+    for r in rows:
+        h.update(repr((r["case_id"], r["content_type"], r["body"])).encode())
+    path = os.path.join(d, f"charset_{h.hexdigest()[:10]}.parquet")
+    if os.path.exists(path):
+        return path
+    schema = pa.schema(
+        [("case_id", pa.int32()), ("content_type", pa.string()), ("body", pa.binary())]
+    )
+    tmp = f"{path}.tmp{os.getpid()}"
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def charset_decode_oracle_sql() -> str:
+    """Expected (case_id, encoding, text): declared charset ('' when none)
+    and the decoded body, which must round-trip to the generator's source
+    text. Independent of the engine: the fixture's encode step defines
+    what a correct decode returns."""
+    rows = ",\n".join(
+        f"({i}, {_sql_str(declared or '')}, {_sql_str(text)})"
+        for i, (_, _, declared, text) in enumerate(CHARSET_CASES)
+    )
+    return (
+        "SELECT CAST(case_id AS INT) AS case_id, encoding, text "
+        f"FROM (VALUES\n{rows}\n) t(case_id, encoding, text)"
+    )

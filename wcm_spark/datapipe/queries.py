@@ -5014,6 +5014,79 @@ def _q_scrape(spark, sf_dir):
     )
 
 
+@spark_only("form_weave_goldens")
+def _q_form_weave(spark, sf_dir):
+    """P5/R4 in driver signal: the reference's seventeen-form golden block
+    (t/form.t:149-333) through the REAL distributed scrape operator —
+    form weaving quirks included (disabled controls kept, first-submit-
+    only-if-named, checkbox/radio need checked, select fallbacks, multi-
+    select takes all selected, Perl-falsy names dropped).
+    ORACLE: hand-derived (action, METHOD, serialized params) per form
+    (fixtures.FORM_GOLDEN_EXPECTED — content from t/form.t's hashes,
+    order from the engine's pinned canonical serialization)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..operators.scrape import scrape_edges
+    from .fixtures import FORM_GOLDEN_HTML
+
+    body = FORM_GOLDEN_HTML.encode()
+    pages = spark.createDataFrame(
+        [("http://forms.example/", 200, "text/html", len(body), bytearray(body))],
+        "url string, status int, content_type string, content_length long, body binary",
+    )
+    edges = scrape_edges(pages).filter(F.col("tag") == "form")
+    w = Window.orderBy("emit_idx")  # one page, 17 form rows: driver-trivial
+    return edges.select(
+        (F.row_number().over(w) - 1).cast("int").alias("form_idx"),
+        F.col("literal_uri").alias("action"),
+        "method",
+        "params",
+    )
+
+
+@spark_only("scrape_containers_e2e")
+def _q_scrape_containers(spark, sf_dir):
+    """P4 in driver signal: container-scoped scrape (ScraperUtil.pm:131-145,
+    t/collect_urls.t:109-121) over a dedicated fixture parquet — every
+    preset selector prefixed by each container, combined keys flushed in
+    ASCII-sorted order, matches restricted to container subtrees (a page
+    with no container emits ZERO edges).
+    ORACLE: DuckDB re-extracts per combined key with regexes scoped to
+    that container's div blocks (fixtures.scrape_containers_oracle_sql)."""
+    from ..operators.scrape import scrape_edges
+    from .fixtures import CONTAINER_SELECTORS, container_corpus_path
+
+    pages = spark.read.parquet(container_corpus_path())
+    return scrape_edges(pages, containers=list(CONTAINER_SELECTORS)).select(
+        "page_url", "emit_idx", "literal_uri", "method", "params", "tag"
+    )
+
+
+@spark_only("charset_decode_goldens")
+def _q_charset_decode(spark, sf_dir):
+    """P1 in driver signal: charset guess + decode (ScraperUtil.pm:17-38,
+    t/guess_encoding.t:38-70) as a vectorized Arrow UDF over parquet
+    binary bodies — Content-Type param, head-scoped <meta http-equiv>,
+    CSS @charset, utf-8 fallback for undeclared/unknown codecs.
+    ORACLE: the fixture generator's source texts (encode is decode's
+    inverse for these lossless cases; fixtures.charset_decode_oracle_sql)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.core import decode_body_udf
+    from .fixtures import charset_corpus_path
+
+    pages = spark.read.parquet(charset_corpus_path())
+    dec = pages.select(
+        "case_id", decode_body_udf(F.col("content_type"), F.col("body")).alias("d")
+    )
+    return dec.select(
+        F.col("case_id").cast("int").alias("case_id"),
+        F.coalesce(F.col("d.encoding"), F.lit("")).alias("encoding"),
+        F.col("d.text").alias("text"),
+    )
+
+
 @spark_only("broken_links_report")
 def _q_broken_links(spark, sf_dir):
     """checkbot (reference example/checkbot.pl): crawl-side broken-link
@@ -5464,17 +5537,23 @@ def oracle_sqls() -> dict[str, str]:
     # parquet; the multimodal oracles pin generator-computed expectations
     from .fixtures import (
         broken_links_oracle_sql,
+        charset_decode_oracle_sql,
         crawl_bfs_oracle_sql,
+        form_weave_oracle_sql,
         image_pipeline_oracle_sql,
         multimodal_audio_oracle_sql,
         multimodal_image_meta_oracle_sql,
         multimodal_resize_oracle_sql,
         multimodal_video_oracle_sql,
+        scrape_containers_oracle_sql,
         scrape_edges_oracle_sql,
     )
 
     out["crawl_bfs_e2e"] = crawl_bfs_oracle_sql()
     out["scrape_edges_e2e"] = scrape_edges_oracle_sql()
+    out["form_weave_goldens"] = form_weave_oracle_sql()
+    out["scrape_containers_e2e"] = scrape_containers_oracle_sql()
+    out["charset_decode_goldens"] = charset_decode_oracle_sql()
     out["broken_links_report"] = broken_links_oracle_sql()
     out["image_pipeline"] = image_pipeline_oracle_sql()
     out["image_caption_stats"] = _image_caption_stats_oracle_sql()

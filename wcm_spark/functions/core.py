@@ -13,7 +13,7 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import StringType
+from pyspark.sql.types import StringType, StructField, StructType
 
 from ..urlkit import SCHEME_ALLOW, host_key, resolve_href
 
@@ -21,6 +21,7 @@ __all__ = [
     "digest_col",
     "host_key_udf",
     "resolve_href_udf",
+    "decode_body_udf",
     "host_salt_col",
     "scheme_col",
     "scheme_filter",
@@ -53,6 +54,35 @@ def resolve_href_udf(bases: pd.Series, hrefs: pd.Series) -> pd.Series:
             for b, h in zip(bases, hrefs)
         ]
     )
+
+
+# DataType objects, not a DDL string: module-level @pandas_udf("ddl")
+# needs an active session to parse the DDL in pyspark 4.1.2 and would
+# crash plain `import wcm_spark.functions.core`
+@pandas_udf(
+    StructType(
+        [StructField("encoding", StringType()), StructField("text", StringType())]
+    )
+)
+def decode_body_udf(content_types: pd.Series, bodies: pd.Series) -> pd.DataFrame:
+    """Vectorized P1 charset guess + decode (ScraperUtil.pm:17-38).
+
+    Returns (encoding, text): ``encoding`` is the charset as DECLARED —
+    Content-Type param, else <meta http-equiv> inside <head>, else CSS
+    @charset — NULL when nothing declares one; ``text`` is the body
+    decoded with that charset, falling back to utf-8 when undeclared or
+    unknown to the codec registry (ScraperUtil.pm:22-28 ``encoder``)."""
+    from ..urlkit import decode_body, guess_encoding
+
+    encs, texts = [], []
+    for ct, b in zip(content_types, bodies):
+        if b is None:
+            encs.append(None)
+            texts.append(None)
+            continue
+        encs.append(guess_encoding(ct, b))
+        texts.append(decode_body(ct, b))
+    return pd.DataFrame({"encoding": encs, "text": texts})
 
 
 def host_salt_col(host_key_c: Column, salts: int = 64) -> Column:
