@@ -120,6 +120,7 @@ HEADLINE_QUERIES = [
     "form_weave_goldens",
     "scrape_containers_e2e",
     "charset_decode_goldens",
+    "xml_script_guard_e2e",
 ]
 
 

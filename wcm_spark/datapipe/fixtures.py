@@ -1100,3 +1100,128 @@ def charset_decode_oracle_sql() -> str:
         "SELECT CAST(case_id AS INT) AS case_id, encoding, text "
         f"FROM (VALUES\n{rows}\n) t(case_id, encoding, text)"
     )
+
+
+# ---------------------------------------------------------------------------
+# P9 in driver signal: XML script-embedded-markup guard
+# ---------------------------------------------------------------------------
+
+_XML_GUARD_PAGES = [
+    # XHTML (xml mode via the <?xml declaration): markup inside a <script>
+    # string must yield NOTHING (t/collect_urls.t:159-188)
+    (
+        "http://xsite.example/p1",
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<html xmlns="http://www.w3.org/1999/xhtml"><head></head><body>\n'
+        "<script>\n"
+        "    var a = \"<a href='hoge'>a</a>\";\n"
+        "</script>\n"
+        "</body></html>",
+    ),
+    # XML mode, script noise PLUS one real link: only the real link emits
+    (
+        "http://xsite.example/p2",
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<html xmlns="http://www.w3.org/1999/xhtml"><body>\n'
+        '<script> var a = "<a href="/fake1">f</a>"; </script>\n'
+        '<a href="/real1">r</a>\n'
+        "</body></html>",
+    ),
+    # plain HTML: script content is CDATA to the parser — same outcome,
+    # different mechanism (Mojo::DOM hides script content in HTML mode)
+    (
+        "http://xsite.example/p3",
+        "<html><body>\n"
+        '<script> document.write(\'<a href="/fake2">f</a>\'); </script>\n'
+        '<a href="/real2">r</a>\n'
+        "</body></html>",
+    ),
+    # namespaced sitemap: urlset locs ARE extracted (P7, t/sitemap.t:17-49)
+    (
+        "http://xsite.example/s1",
+        '<?xml version="1.0" encoding="utf-8"?>\n'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+        "    <url><loc>http://xsite.example/a</loc></url>\n"
+        "    <url><loc>http://xsite.example/b</loc></url>\n"
+        "</urlset>",
+    ),
+    # namespace-less sitemap: NOTHING (t/sitemap.t:51-76)
+    (
+        "http://xsite.example/s2",
+        '<?xml version="1.0" encoding="utf-8"?>\n'
+        "<urlset>\n"
+        "    <url><loc>http://xsite.example/c</loc></url>\n"
+        "</urlset>",
+    ),
+]
+
+
+@functools.lru_cache(maxsize=None)
+def xml_guard_corpus_path() -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = os.path.join(tempfile.gettempdir(), "wcm_fixtures")
+    os.makedirs(d, exist_ok=True)
+    rows = [
+        dict(
+            url=u,
+            status=200,
+            content_type="text/html" if "/p" in u else "text/xml",
+            content_length=len(b),
+            body=b.encode(),
+            redirect_to=None,
+        )
+        for u, b in _XML_GUARD_PAGES
+    ]
+    h = hashlib.md5()
+    for r in rows:
+        h.update(repr((r["url"], r["body"])).encode())
+    path = os.path.join(d, f"xmlguard_{h.hexdigest()[:10]}.parquet")
+    if os.path.exists(path):
+        return path
+    schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("status", pa.int32()),
+            ("content_type", pa.string()),
+            ("content_length", pa.int64()),
+            ("body", pa.binary()),
+            ("redirect_to", pa.string()),
+        ]
+    )
+    tmp = f"{path}.tmp{os.getpid()}"
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def xml_script_guard_oracle_sql() -> str:
+    """Independent recompute of the script guard: REMOVE every <script>
+    block, then extract — exactly what the guard must make the parser
+    equivalent to, in both the XML branch (ancestor check) and the HTML
+    branch (script content as CDATA). Sitemap locs only when the urlset
+    declares the sitemaps.org namespace."""
+    return f"""WITH src AS (
+  SELECT url AS page_url,
+         regexp_replace(decode(body), '(?s)<script.*?</script>', '', 'g') AS b
+  FROM read_parquet('{xml_guard_corpus_path()}')
+),
+rawedges AS (
+  SELECT page_url, 1 AS kr, u.i AS di, u.v AS lit, 'a' AS tag
+  FROM (
+    SELECT page_url, unnest([{{'i': i, 'v': l[i]}} for i in generate_series(1, len(l))]) AS u
+    FROM (SELECT page_url, regexp_extract_all(b, '<a href="([^"]*)"', 1) AS l FROM src)
+  )
+  UNION ALL
+  SELECT page_url, 14 AS kr, u.i AS di, u.v AS lit, 'urlset' AS tag
+  FROM (
+    SELECT page_url, unnest([{{'i': i, 'v': l[i]}} for i in generate_series(1, len(l))]) AS u
+    FROM (SELECT page_url, regexp_extract_all(b, '<loc>([^<]*)</loc>', 1) AS l FROM src
+          WHERE regexp_matches(b, 'xmlns="http://www\\.sitemaps\\.org/schemas/sitemap/'))
+  )
+)
+SELECT page_url,
+       CAST(row_number() OVER (PARTITION BY page_url ORDER BY kr, di) - 1 AS INT) AS emit_idx,
+       lit AS literal_uri, tag
+FROM rawedges ORDER BY page_url, emit_idx"""

@@ -5087,6 +5087,22 @@ def _q_charset_decode(spark, sf_dir):
     )
 
 
+@spark_only("xml_script_guard_e2e")
+def _q_xml_script_guard(spark, sf_dir):
+    """P9/P7 in driver signal: the script-embedded-markup guard
+    (ScraperUtil.pm:173-179, t/collect_urls.t:159-188) and the sitemap
+    namespace gate (t/sitemap.t:51-76) through the real scrape operator —
+    XML-mode nodes with a <script> ancestor are suppressed, HTML-mode
+    script content is CDATA, namespace-less urlsets emit nothing.
+    ORACLE: DuckDB removes every <script> block then re-extracts
+    (fixtures.xml_script_guard_oracle_sql)."""
+    from ..operators.scrape import scrape_edges
+    from .fixtures import xml_guard_corpus_path
+
+    pages = spark.read.parquet(xml_guard_corpus_path())
+    return scrape_edges(pages).select("page_url", "emit_idx", "literal_uri", "tag")
+
+
 @spark_only("broken_links_report")
 def _q_broken_links(spark, sf_dir):
     """checkbot (reference example/checkbot.pl): crawl-side broken-link
@@ -5547,6 +5563,7 @@ def oracle_sqls() -> dict[str, str]:
         multimodal_video_oracle_sql,
         scrape_containers_oracle_sql,
         scrape_edges_oracle_sql,
+        xml_script_guard_oracle_sql,
     )
 
     out["crawl_bfs_e2e"] = crawl_bfs_oracle_sql()
@@ -5554,6 +5571,7 @@ def oracle_sqls() -> dict[str, str]:
     out["form_weave_goldens"] = form_weave_oracle_sql()
     out["scrape_containers_e2e"] = scrape_containers_oracle_sql()
     out["charset_decode_goldens"] = charset_decode_oracle_sql()
+    out["xml_script_guard_e2e"] = xml_script_guard_oracle_sql()
     out["broken_links_report"] = broken_links_oracle_sql()
     out["image_pipeline"] = image_pipeline_oracle_sql()
     out["image_caption_stats"] = _image_caption_stats_oracle_sql()
