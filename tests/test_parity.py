@@ -182,3 +182,41 @@ def test_min_delay_per_host(spark, corpus_small):
         ws = sorted(waves)
         gaps = [b - a for a, b in zip(ws, ws[1:])]
         assert all(g > 1 for g in gaps), (host, ws)
+
+
+def test_url_filter_children_gated_seeds_bypass(spark):
+    """CrawlConfig.url_filter_expr (the reference's user-side enqueue
+    guards): seeds bypass the gate, discovered children outside the
+    allowlist never enqueue (and never mark seen); the filtered visit
+    set equals the pure-Python simulator run with the same prefix."""
+    from wcm_spark.corpus import seed_urls
+    from wcm_spark.datapipe.fixtures import (
+        CRAWL_FIXTURE,
+        fixture_corpus_path,
+        simulate_crawl_waves,
+    )
+    from wcm_spark.scheduler import CrawlConfig, Crawler
+
+    prefix = "http://site0.example.test/"
+    corpus = spark.read.parquet(fixture_corpus_path(*CRAWL_FIXTURE)).cache()
+    res = Crawler(
+        spark,
+        corpus,
+        CrawlConfig(
+            expected_urls=10_000,
+            use_bloom=False,
+            url_filter_expr=f"url LIKE '{prefix}%'",
+        ),
+    ).run(seed_urls(CRAWL_FIXTURE[0]))
+    got = [
+        (r["pos"], r["url"], r["status"], r["depth"])
+        for r in res.visits.orderBy("pos").collect()
+    ]
+    _, sim_visits, _ = simulate_crawl_waves(*CRAWL_FIXTURE, url_prefix=prefix)
+    assert got == [(i, u, s, d) for i, (u, s, d) in enumerate(sim_visits)]
+    # the site1 seed bypasses the gate but its subtree never enqueues
+    site1 = [u for _, u, _, _ in got if not u.startswith(prefix)]
+    assert len(site1) == 1 and site1[0].endswith("/p/0.html")
+    # the gate actually prunes: the unfiltered crawl visits strictly more
+    _, unfiltered, _ = simulate_crawl_waves(*CRAWL_FIXTURE)
+    assert len(got) < len(unfiltered)

@@ -106,7 +106,12 @@ def fixture_corpus_path(n_sites: int, pages_per_site: int, with_images: bool = T
 
 
 @functools.lru_cache(maxsize=None)
-def simulate_crawl_waves(n_sites: int, pages_per_site: int, with_images: bool = True):
+def simulate_crawl_waves(
+    n_sites: int,
+    pages_per_site: int,
+    with_images: bool = True,
+    url_prefix: str | None = None,
+):
     """Drain-mode BFS waves over the fixture corpus, pure Python.
 
     lru_cached — oracle_sqls() calls this for both the BFS and the
@@ -119,7 +124,11 @@ def simulate_crawl_waves(n_sites: int, pages_per_site: int, with_images: bool = 
     context of the frontier row — the engine's Job._context analog the
     image sink parses captions from. Same semantics as the scheduler's
     drain path, single-threaded; sizes the oracle's wave unroll and
-    cross-checks the SQL oracle itself."""
+    cross-checks the SQL oracle itself.
+
+    ``url_prefix``: the declarative child allowlist (CrawlConfig
+    .url_filter_expr's prefix form) — discovered children outside the
+    prefix are dropped BEFORE the seen-mark; seeds bypass it."""
     from ..corpus import corpus_rows, seed_urls
     from ..crawlcore import make_child
     from ..htmlkit import extract_links
@@ -167,6 +176,8 @@ def simulate_crawl_waves(n_sites: int, pages_per_site: int, with_images: bool = 
                     )
         nxt, wave_new = [], set()
         for dig, curl, cm, ct, d, ctx in children:  # already (parent, emit) order
+            if url_prefix is not None and not curl.startswith(url_prefix):
+                continue  # denied child: digest never marked
             if dig in seen or dig in wave_new:
                 continue
             wave_new.add(dig)
@@ -332,15 +343,22 @@ FROM targets t LEFT JOIN corpus c ON c.url = t.target
 WHERE c.status IS NULL OR c.status >= 400"""
 
 
-def crawl_bfs_oracle_sql() -> str:
+def crawl_bfs_oracle_sql(url_prefix: str | None = None) -> str:
     """Unrolled wave-by-wave BFS: resolve (R1), scheme filter (R2), GET
     merge (R3), POST params (R4), 5-hop redirect closure (F9), digest
     dedup at enqueue with first-emit-wins (D2/D3), dense per-wave seq
     (O1) — pos = seq in drain mode. Wave count from the pure-Python
-    simulator + 1 margin wave."""
+    simulator + 1 margin wave (the filtered graph's own diameter: an
+    allowlist can LENGTHEN shortest allowed paths, so the unroll is
+    sized per prefix). ``url_prefix`` = the child allowlist
+    (CrawlConfig.url_filter_expr prefix form), applied to candidates
+    BEFORE the seen-mark; seeds bypass it."""
     path = fixture_corpus_path(*CRAWL_FIXTURE)
-    n_waves, _, _ = simulate_crawl_waves(*CRAWL_FIXTURE)
+    n_waves, _, _ = simulate_crawl_waves(*CRAWL_FIXTURE, url_prefix=url_prefix)
     waves = n_waves + 1
+    allow = (
+        f" AND e.url LIKE '{url_prefix}%'" if url_prefix is not None else ""
+    )
     from ..corpus import seed_urls
 
     seeds = seed_urls(CRAWL_FIXTURE[0])
@@ -386,7 +404,7 @@ cand_{k} AS (
          e.url, e.method, e.tx,
          e.url || '|' || coalesce(e.method, '') || '|' || coalesce(e.tx, '') AS key
   FROM fetch_{k} f JOIN redges e ON e.page_url = f.url
-  WHERE f.status IS NOT NULL
+  WHERE f.status IS NOT NULL{allow}
 ),
 fresh_{k} AS (
   SELECT url, method, tx, depth, key, parent_seq, emit_idx FROM (

@@ -4999,6 +4999,36 @@ def _q_crawl(spark, sf_dir):
     return res.visits.select("pos", "url", "status", "depth").orderBy("pos")
 
 
+CRAWL_URL_FILTER_PREFIX = "http://site0.example.test/"
+
+
+@spark_only("crawl_url_filter_e2e")
+def _q_crawl_url_filter(spark, sf_dir):
+    """The declarative child allow/deny gate (CrawlConfig.url_filter_expr
+    — the reference's user-side enqueue guards, example/checkbot.pl:50 /
+    README.md:65-111) through the REAL crawl loop: children outside the
+    site0 prefix are dropped BEFORE the seen-mark, seeds bypass the gate
+    (site1's seed visits exactly once, its subtree never enqueues).
+    ORACLE-CHECKED: the unrolled SQL BFS with the same predicate in its
+    candidate step, sized by the filtered graph's own diameter
+    (fixtures.crawl_bfs_oracle_sql(url_prefix=...))."""
+    from ..corpus import seed_urls
+    from ..scheduler import CrawlConfig, Crawler
+    from .fixtures import CRAWL_FIXTURE, fixture_corpus_path
+
+    corpus = spark.read.parquet(fixture_corpus_path(*CRAWL_FIXTURE)).cache()
+    res = Crawler(
+        spark,
+        corpus,
+        CrawlConfig(
+            expected_urls=10_000,
+            use_bloom=False,
+            url_filter_expr=f"url LIKE '{CRAWL_URL_FILTER_PREFIX}%'",
+        ),
+    ).run(seed_urls(CRAWL_FIXTURE[0]))
+    return res.visits.select("pos", "url", "status", "depth").orderBy("pos")
+
+
 @spark_only("scrape_edges_e2e")
 def _q_scrape(spark, sf_dir):
     """The scrape operator (P1-P9 + O1) over the fixture corpus.
@@ -5567,6 +5597,9 @@ def oracle_sqls() -> dict[str, str]:
     )
 
     out["crawl_bfs_e2e"] = crawl_bfs_oracle_sql()
+    out["crawl_url_filter_e2e"] = crawl_bfs_oracle_sql(
+        url_prefix=CRAWL_URL_FILTER_PREFIX
+    )
     out["scrape_edges_e2e"] = scrape_edges_oracle_sql()
     out["form_weave_goldens"] = form_weave_oracle_sql()
     out["scrape_containers_e2e"] = scrape_containers_oracle_sql()

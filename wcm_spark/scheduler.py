@@ -108,6 +108,15 @@ class CrawlConfig:
                                            # re-enter the cut when the cooldown lapses. In-memory
                                            # state (advisory politeness): a resume restarts cooldowns
     backoff_waves: int = 4                 # cooldown length for backoff_statuses hosts
+    url_filter_expr: str | None = None     # declarative allow/deny gate over discovered
+                                           # children (url, host_key, depth, literal_uri, ...)
+                                           # applied BEFORE the seen-mark — the reference's
+                                           # user-side enqueue guards (example/checkbot.pl:50
+                                           # host allowlist, README.md:65-111 path/depth
+                                           # filters) as a Catalyst-optimized predicate; a
+                                           # filtered URL's digest is never marked (the user
+                                           # never called enqueue), so a later allowed route
+                                           # to it still crawls
     priority_expr: str | None = None       # north-rule priority queue: a SQL expression over
                                            # frontier columns (url, depth, host_key, seq, ...);
                                            # the wave cut ranks per host by (priority DESC, seq)
@@ -978,6 +987,10 @@ class Crawler:
                 redundancy=cfg.redundancy,
             )
             children = self._robots_filter(children)
+            if cfg.url_filter_expr:
+                # before the digest collect: a denied child never marks
+                # seen, exactly like a user who never calls enqueue
+                children = children.filter(F.expr(cfg.url_filter_expr))
             # D2 before D3: they commute on digest, and anti-joining first
             # (broadcast while seen fits) leaves the window dedup sorting
             # only the unseen sliver instead of every extracted edge
