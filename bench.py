@@ -106,6 +106,7 @@ HEADLINE_QUERIES = [
     "events_asof_forward",
     "events_range_join",
     "recrawl_due_schedule",
+    "recrawl_conditional_fetch",
     "crawl_budget_allocate",
     "url_template_mine",
     "events_funnel_conversion",

@@ -328,3 +328,13 @@ def test_shingle_builders_survive_short_docs(spark, tmp_path):
         sql = _BUILDERS[name]("spark", str(tmp_path))
         rows = spark.sql(sql).collect()
         assert isinstance(rows, list), name
+
+
+def test_recrawl_conditional_fetch_all_actions(duck):
+    """The validator fixture must exercise every verdict, and bytes are
+    only saved on 304s."""
+    rows = duck.execute(ORACLES["recrawl_conditional_fetch"]).fetchall()
+    actions = {a for _, a, _ in rows}
+    assert actions == {"new", "gone", "not_modified", "modified"}
+    for _, a, saved in rows:
+        assert (saved > 0) == (a == "not_modified")

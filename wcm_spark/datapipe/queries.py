@@ -2903,6 +2903,51 @@ FROM train t LEFT JOIN eval_grams e ON e.g = t.g
 GROUP BY t.doc_id"""
 
 
+@register("recrawl_conditional_fetch")
+def _q_recrawl_conditional(d, sf):
+    """Conditional-GET recrawl audit (ETag / If-None-Match): the
+    validator handshake the freshness loop (recrawl_due_schedule) runs
+    per due URL. The prior snapshot holds each URL's last-crawl ETag;
+    joining it against current web state classifies every URL —
+    'not_modified' (304: the validator matched, the body transfer is
+    SAVED), 'modified' (refetch + reparse), 'new' (no prior validator),
+    'gone' (404 analog) — and accounts the bytes a conditional crawl
+    avoids re-downloading. The reference crawls once and never revisits
+    (Mojo.pm:60-66), so it needs no validators; a recrawling frontier
+    lives on them.
+
+    Fixture mapping: documents = current web state minus doc_id%7=3
+    (rotated out → 'gone'); prior snapshot = doc_id%5<>4 (the rest →
+    'new'), with doc_id%3=0 fingerprints perturbed ('modified').
+
+    100 TB shape: two projections of the same scan, ONE full-outer
+    equi-join on the URL key (one shuffle), no windows — the validator
+    check is embarrassingly joinable at any scale."""
+    return f"""WITH cur AS (
+  SELECT doc_id, md5(text) AS etag, length(text) AS n_bytes
+  FROM {_tbl('documents', d, sf)} WHERE doc_id % 7 <> 3
+),
+prior AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN md5(text || '|prev')
+              ELSE md5(text) END AS etag
+  FROM {_tbl('documents', d, sf)} WHERE doc_id % 5 <> 4
+),
+j AS (
+  SELECT coalesce(c.doc_id, p.doc_id) AS doc_id,
+         c.etag AS cur_etag, p.etag AS prior_etag, c.n_bytes
+  FROM cur c FULL OUTER JOIN prior p ON c.doc_id = p.doc_id
+)
+SELECT doc_id,
+  CASE WHEN prior_etag IS NULL THEN 'new'
+       WHEN cur_etag IS NULL THEN 'gone'
+       WHEN cur_etag = prior_etag THEN 'not_modified'
+       ELSE 'modified' END AS action,
+  CAST(CASE WHEN cur_etag = prior_etag THEN n_bytes ELSE 0 END AS BIGINT)
+    AS bytes_saved
+FROM j"""
+
+
 @register("sequence_packing")
 def _q_sequence_packing(d, sf, seq_len: int = 4096, shards: int = 8):
     """Training-sequence packing: documents concatenate FIFO into
