@@ -351,3 +351,92 @@ def test_backoff_status_rests_host_and_retries(spark):
         assert any(u.endswith("/ok.html") and s == 200 for _, u, s in visits)
     finally:
         srv.shutdown()
+
+
+def test_conditional_get_304_with_validators(spark):
+    """Conditional-GET recrawl e2e: crawl 1 harvests each URL's ETag from
+    the fetched frame; crawl 2 seeds the same URLs with those validators
+    (one perturbed = 'content changed'). Unchanged URLs come back 304
+    with NO body transfer; the changed one refetches with a 200 — the
+    live form of the recrawl_conditional_fetch audit."""
+    import hashlib
+    import threading
+    from collections import Counter
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from wcm_spark.scheduler import Crawler, CrawlConfig
+
+    pages = {
+        "/index.html": b'<a href="/a.html">a</a><a href="/b.html">b</a>',
+        "/a.html": b"alpha",
+        "/b.html": b"beta",
+    }
+    etags = {p: '"' + hashlib.md5(b).hexdigest() + '"' for p, b in pages.items()}
+    served = Counter()  # path -> full-body transfers
+
+    class H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            body = pages.get(self.path)
+            if body is None:
+                self.send_response(404)
+                self.end_headers()
+                return
+            if self.headers.get("If-None-Match") == etags[self.path]:
+                self.send_response(304)
+                self.send_header("ETag", etags[self.path])
+                self.end_headers()
+                return
+            served[self.path] += 1
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", str(len(body)))
+            self.send_header("ETag", etags[self.path])
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    harvested: dict[str, str] = {}
+
+    def harvest(wave_id, pages_df):
+        for r in pages_df.select("url", "etag").collect():
+            harvested[r["url"]] = r["etag"]
+
+    try:
+        cfg1 = CrawlConfig(
+            fetch_mode="http", use_bloom=False, expected_urls=100,
+            http_timeout=5.0, on_wave=harvest,
+        )
+        res1 = Crawler(spark, None, cfg1).run([f"{base}/index.html"])
+        assert res1.fetched == 3
+        assert harvested == {f"{base}{p}": etags[p] for p in pages}
+        assert sum(served.values()) == 3
+
+        # recrawl frontier: all three URLs due, a.html's content "changed"
+        # (its stored validator no longer matches)
+        validators = spark.createDataFrame(
+            [
+                (u, '"stale"' if u.endswith("/a.html") else e)
+                for u, e in harvested.items()
+            ],
+            "url string, etag string",
+        )
+        cfg2 = CrawlConfig(
+            fetch_mode="http", use_bloom=False, expected_urls=100,
+            http_timeout=5.0, validators=validators, max_depth=1,
+        )
+        res2 = Crawler(spark, None, cfg2).run(sorted(harvested))
+        got = {r["request_url"]: r["status"] for r in res2.visits.collect()}
+        assert got == {
+            f"{base}/index.html": 304,
+            f"{base}/a.html": 200,
+            f"{base}/b.html": 304,
+        }
+        # exactly ONE body crossed the wire in the whole recrawl
+        assert sum(served.values()) == 4 and served["/a.html"] == 2
+    finally:
+        srv.shutdown()

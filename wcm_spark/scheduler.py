@@ -108,6 +108,14 @@ class CrawlConfig:
                                            # re-enter the cut when the cooldown lapses. In-memory
                                            # state (advisory politeness): a resume restarts cooldowns
     backoff_waves: int = 4                 # cooldown length for backoff_statuses hosts
+    validators: object = None              # conditional-GET validators (http mode): a
+                                           # DataFrame (url, etag) from the prior crawl;
+                                           # matching URLs fetch with If-None-Match and a
+                                           # 304 records a body-less terminal visit (the
+                                           # transfer the recrawl loop avoids). The fetched
+                                           # frame's etag column carries each response's
+                                           # NEW validator — harvest via on_wave to build
+                                           # the next snapshot's validator table
     url_filter_expr: str | None = None     # declarative allow/deny gate over discovered
                                            # children (url, host_key, depth, literal_uri, ...)
                                            # applied BEFORE the seen-mark — the reference's
@@ -438,6 +446,15 @@ class Crawler:
             from .sources.httpfetch import http_fetch_wave
 
             wave = self._with_credentials(wave)
+            if self.config.validators is not None:
+                # conditional GET: attach each URL's last-crawl validator;
+                # the fetcher sends If-None-Match and 304s come back
+                # body-less (status 304, a terminal visit — the scrape
+                # guard skips body-less rows). One equi-join on url; the
+                # validator side is a real table at scale, so no forced
+                # broadcast — AQE picks the strategy
+                vdf = self.config.validators.select("url", "etag")
+                wave = wave.join(vdf, "url", "left")
             host_delays = {}
             if self._robots_bc is not None:
                 # robots Crawl-delay of the matched agent group raises the

@@ -38,7 +38,7 @@ FETCHED_SCHEMA = (
     "host_key string, digest string, context string, literal_uri string, "
     "fetch_auth_url string, request_url string, url string, "
     "original_url string, redirect_history array<string>, status int, "
-    "content_type string, content_length long, body binary"
+    "content_type string, content_length long, body binary, etag string"
 )
 
 
@@ -59,13 +59,20 @@ def _fetch_one(
     user_agent: str,
     max_body: int,
     creds: dict | None = None,
+    etag: str | None = None,
 ):
     """Fetch one job, following redirects manually.
 
     Returns (final_url, history, status, content_type, content_length,
-    body) with history per Job::redirect: [newest intermediate, ...,
-    original], final excluded, empty when no redirect happened.
-    """
+    body, etag) with history per Job::redirect: [newest intermediate,
+    ..., original], final excluded, empty when no redirect happened.
+
+    ``etag`` is the conditional-GET validator (If-None-Match) from the
+    prior crawl of this URL, sent on the FIRST hop of GETs only; a 304
+    answer returns (status=304, body=None) — the transfer the recrawl
+    loop avoids. The returned etag is the response's validator (the
+    one to store for the NEXT recrawl), falling back to the sent one
+    on 304s from servers that omit it."""
     opener = urllib.request.build_opener(_NoRedirect)
     history: list[str] = []
     cur = url
@@ -80,6 +87,8 @@ def _fetch_one(
         # not honor URL userinfo, so it becomes a Basic auth header and
         # the socket request URL stays credential-free.
         headers = {"User-Agent": user_agent}
+        if etag and _hop == 0 and req_method == "GET":
+            headers["If-None-Match"] = etag
         req_url = cur
         if "@" in cur.split("://", 1)[-1].split("/", 1)[0]:
             rest = cur.split("://", 1)[1]
@@ -104,8 +113,19 @@ def _fetch_one(
         except urllib.error.HTTPError as e:
             resp = e  # HTTPError doubles as a response object
         except (urllib.error.URLError, OSError, ValueError):
-            return cur, _layout(history), None, None, None, None
+            return cur, _layout(history), None, None, None, None, None
         status = resp.getcode()
+        if status == 304:
+            resp_etag = resp.headers.get("ETag") or etag
+            try:
+                resp.close()
+            except Exception:
+                pass
+            # validator matched: no body crossed the wire; the caller
+            # keeps its cached copy and the (possibly refreshed) etag.
+            # content_length 0 (not NULL) — NULL lengths are the error
+            # channel's shape and would NaN-poison the Arrow int column
+            return cur, _layout(history), 304, None, 0, None, resp_etag
         if status in (301, 302, 303, 307, 308) and _hop < max_redirects:
             loc = resp.headers.get("Location")
             if loc:
@@ -122,18 +142,19 @@ def _fetch_one(
         try:
             raw = resp.read(max_body)
         except (OSError, ValueError):
-            return cur, _layout(history), None, None, None, None
+            return cur, _layout(history), None, None, None, None, None
         ct = resp.headers.get("Content-Type")
         cl = resp.headers.get("Content-Length")
+        resp_etag = resp.headers.get("ETag")
         try:
             resp.close()
         except Exception:
             pass
         return (
             cur, _layout(history), int(status), ct,
-            int(cl) if cl is not None else len(raw), raw,
+            int(cl) if cl is not None else len(raw), raw, resp_etag,
         )
-    return cur, _layout(history), None, None, None, None
+    return cur, _layout(history), None, None, None, None, None
 
 
 def _strip_userinfo(url: str) -> str:
@@ -196,7 +217,7 @@ def http_fetch_wave(
         def fetch_t(t):
             return _fetch_one(
                 t[0], t[1], t[2], max_redirects, timeout,
-                user_agent, max_body, local_creds,
+                user_agent, max_body, local_creds, etag=t[3],
             )
 
         def fetch_host_group(item):
@@ -217,8 +238,13 @@ def http_fetch_wave(
                 n = len(pdf)
                 if n == 0:
                     continue
+                # optional conditional-GET validators: an `etag` column on
+                # the wave (the scheduler joins CrawlConfig.validators)
+                etags = (
+                    pdf["etag"].tolist() if "etag" in pdf.columns else [None] * n
+                )
                 triples = list(
-                    zip(pdf["fetch_auth_url"], pdf["method"], pdf["params"])
+                    zip(pdf["fetch_auth_url"], pdf["method"], pdf["params"], etags)
                 )
                 if min_delay_sec > 0 or local_delays:
                     groups: dict = {}
@@ -253,6 +279,7 @@ def http_fetch_wave(
                     "content_type": [r[3] for r in results],
                     "content_length": [r[4] for r in results],
                     "body": [r[5] for r in results],
+                    "etag": [r[6] for r in results],
                 }
                 yield pd.DataFrame(out)
 
