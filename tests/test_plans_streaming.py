@@ -538,3 +538,22 @@ def test_stream_commit_to_store_exactly_once(spark, tmp_path):
     sink(batch, last + 1)      # genuinely new batch: commits
     assert store.current_version("ingest") == v1 + 1
     assert store.read(spark, "ingest").count() == 23
+
+
+def test_recrawl_conditional_fetch_plan_shape(spark):
+    """The validator handshake must stay one equi-join: no nested loop /
+    cartesian, and at most one join node over the two projections of
+    the documents scan (100 TB claim in its docstring)."""
+    from wcm_spark.datapipe.queries import spark_queries
+    from wcm_spark.plans.inspect import formatted_plan
+
+    df = spark_queries()["recrawl_conditional_fetch"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    joins = sum(plan.count(j) for j in ("SortMergeJoin", "ShuffledHashJoin"))
+    broadcasts = plan.count("BroadcastHashJoin")
+    assert joins + broadcasts >= 1  # the one full-outer equi-join
+    assert plan.count("FULL") >= 1 or "FullOuter" in plan
