@@ -4,7 +4,7 @@ import os
 
 from pyspark.sql import functions as F
 
-SF = "/root/testdata/sf0.001"
+SF = os.environ.get("WCM_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 def test_filter_pushdown_reaches_scan(spark):
@@ -547,9 +547,7 @@ def test_recrawl_conditional_fetch_plan_shape(spark):
     from wcm_spark.datapipe.queries import spark_queries
     from wcm_spark.plans.inspect import formatted_plan
 
-    df = spark_queries()["recrawl_conditional_fetch"](
-        spark, "/root/testdata/sf0.001"
-    )
+    df = spark_queries()["recrawl_conditional_fetch"](spark, SF)
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan

@@ -356,8 +356,13 @@ def crawl_bfs_oracle_sql(url_prefix: str | None = None) -> str:
     path = fixture_corpus_path(*CRAWL_FIXTURE)
     n_waves, _, _ = simulate_crawl_waves(*CRAWL_FIXTURE, url_prefix=url_prefix)
     waves = n_waves + 1
+    # starts_with, not LIKE: the simulator (which sizes the wave unroll)
+    # uses str.startswith, and a prefix containing % or _ would make a
+    # LIKE pattern disagree with it; single quotes are SQL-escaped
     allow = (
-        f" AND e.url LIKE '{url_prefix}%'" if url_prefix is not None else ""
+        " AND starts_with(e.url, '{}')".format(url_prefix.replace("'", "''"))
+        if url_prefix is not None
+        else ""
     )
     from ..corpus import seed_urls
 

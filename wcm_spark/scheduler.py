@@ -452,8 +452,17 @@ class Crawler:
                 # body-less (status 304, a terminal visit — the scrape
                 # guard skips body-less rows). One equi-join on url; the
                 # validator side is a real table at scale, so no forced
-                # broadcast — AQE picks the strategy
-                vdf = self.config.validators.select("url", "etag")
+                # broadcast — AQE picks the strategy. The validator side is
+                # deduped first: the documented workflow harvests (url, etag)
+                # from the fetched frame via on_wave, and that frame can hold
+                # duplicate final urls (two request URLs redirecting to the
+                # same final URL), which a raw left join would turn into
+                # duplicate frontier rows and double fetches.
+                vdf = (
+                    self.config.validators
+                    .select("url", "etag")
+                    .dropDuplicates(["url"])
+                )
                 wave = wave.join(vdf, "url", "left")
             host_delays = {}
             if self._robots_bc is not None:
@@ -505,6 +514,10 @@ class Crawler:
             F.col("fetch_url").alias("url"),  # final URL after redirects (F9)
             F.try_element_at(F.col("redirect_history"), F.lit(-1)).alias("original_url_raw"),
             "redirect_history", "status", "content_type", "content_length", "body",
+            # http mode emits etag (FETCHED_SCHEMA, conditional GET); keep
+            # corpus mode schema-identical so on_wave consumers and
+            # unionByName across fetch modes never diverge
+            F.lit(None).cast("string").alias("etag"),
         ).withColumn("original_url", F.coalesce(F.col("original_url_raw"), F.col("url"))).drop(
             "original_url_raw"
         )
