@@ -111,8 +111,10 @@ def simulate_crawl_waves(
     pages_per_site: int,
     with_images: bool = True,
     url_prefix: str | None = None,
+    max_conn: int | None = None,
+    priority=None,
 ):
-    """Drain-mode BFS waves over the fixture corpus, pure Python.
+    """BFS waves over the fixture corpus, pure Python.
 
     lru_cached — oracle_sqls() calls this for both the BFS and the
     image-pipeline oracles; callers must treat the returned lists as
@@ -128,7 +130,16 @@ def simulate_crawl_waves(
 
     ``url_prefix``: the declarative child allowlist (CrawlConfig
     .url_filter_expr's prefix form) — discovered children outside the
-    prefix are dropped BEFORE the seen-mark; seeds bypass it."""
+    prefix are dropped BEFORE the seen-mark; seeds bypass it.
+
+    Priority mode (north-rule queue, mirrors Crawler._wave_cut):
+    ``max_conn`` caps each wave to the top-K pending rows under the
+    total order (priority DESC, seq) — ``priority(url, depth, seq)``
+    is the CrawlConfig.priority_expr analog, FIFO (seq) when None.
+    Cut-out rows stay pending (already seen-marked at enqueue). Visits
+    within a wave are reported in seq order and children get seq in
+    (parent_seq, emit_idx) order — exactly the engine's pos/assign_seq
+    keys — so (pos, url, status, depth) parity holds end-to-end."""
     from ..corpus import corpus_rows, seed_urls
     from ..crawlcore import make_child
     from ..htmlkit import extract_links
@@ -148,19 +159,37 @@ def simulate_crawl_waves(
         return (cur["url"] if cur else u), cur
 
     seen: set[str] = set()
-    frontier: list[tuple] = []
+    pending: list[tuple] = []  # (seq, url, method, tx, depth, ctx)
+    next_seq = 0
     for u in seed_urls(n_sites):
         d = job_digest(u, None, None)
         if d not in seen:
             seen.add(d)
-            frontier.append((u, None, None, 0, None))
+            pending.append((next_seq, u, None, None, 0, None))
+            next_seq += 1
     visits: list[tuple] = []
     fetches: list[tuple] = []
     waves = 0
-    while frontier:
+    while pending:
         waves += 1
+        if max_conn is not None:
+            order = sorted(
+                pending,
+                key=(
+                    (lambda r: (-priority(r[1], r[4], r[0]), r[0]))
+                    if priority is not None
+                    else (lambda r: r[0])
+                ),
+            )
+            taken = order[:max_conn]
+            taken_seqs = {r[0] for r in taken}
+            remaining = [r for r in pending if r[0] not in taken_seqs]
+        else:
+            taken, remaining = pending, []
         children: list[tuple] = []
-        for url, method, tx, depth, ctx in frontier:
+        # visit pos orders by (wave, seq) and children enqueue in
+        # (parent_seq, emit_idx) order — both need seq-sorted iteration
+        for seq, url, method, tx, depth, ctx in sorted(taken):
             final, page = fetch(url)
             visits.append((final, page["status"] if page else None, depth))
             fetches.append((final, page, ctx))
@@ -174,16 +203,17 @@ def simulate_crawl_waves(
                     children.append(
                         (ch[3], ch[0], ch[1], ch[2], depth + 1, it["context"])
                     )
-        nxt, wave_new = [], set()
+        nxt, wave_new = remaining, set()
         for dig, curl, cm, ct, d, ctx in children:  # already (parent, emit) order
             if url_prefix is not None and not curl.startswith(url_prefix):
                 continue  # denied child: digest never marked
             if dig in seen or dig in wave_new:
                 continue
             wave_new.add(dig)
-            nxt.append((curl, cm, ct, d, ctx))
+            nxt.append((next_seq, curl, cm, ct, d, ctx))
+            next_seq += 1
         seen |= wave_new
-        frontier = nxt
+        pending = nxt
     return waves, visits, fetches
 
 
