@@ -284,3 +284,48 @@ def test_priority_seq_reduces_to_fifo(spark):
         ]
 
     assert run("-seq") == run(None)
+
+
+def test_chunked_site_generator_equals_whole():
+    """gen_site_pages_chunk over a site's chunks must union to exactly
+    gen_site_pages (keyed by url — row order across chunks differs)."""
+    from wcm_spark.corpus import gen_site_pages, gen_site_pages_chunk
+
+    for site, ps in ((0, 13), (1, 13), (3, 13), (4, 1)):
+        whole = {r["url"]: r for r in gen_site_pages(site, 5, ps)}
+        chunked = {}
+        for st in range(0, ps, 4):
+            for r in gen_site_pages_chunk(site, 5, ps, st, min(st + 4, ps)):
+                assert r["url"] not in chunked, r["url"]
+                chunked[r["url"]] = r
+        assert chunked.keys() == whole.keys()
+        for u, r in whole.items():
+            assert chunked[u] == r, u
+
+
+def test_skew_crawl_visit_set_matches_uncapped(spark):
+    """Zipf-skewed corpus (one host = half the pages): a politeness-capped
+    crawl (the salted per-host wave cut's stress shape) must fetch
+    exactly the same visit set as the uncapped drain crawl — the cap
+    changes scheduling, never reachability."""
+    from pyspark.sql import functions as F
+
+    from wcm_spark.corpus import corpus_df_sized, seed_urls
+
+    corpus = corpus_df_sized(spark, [40] + [8] * 4, chunk=16).cache()
+    seeds = seed_urls(5)
+
+    def visit_urls(cfg):
+        res = Crawler(spark, corpus, cfg).run(seeds)
+        return {r["url"] for r in res.visits.select("url").collect()}
+
+    uncapped = visit_urls(CrawlConfig(expected_urls=10_000, use_bloom=False))
+    capped = visit_urls(
+        CrawlConfig(
+            expected_urls=10_000, use_bloom=False, max_conn_per_host=12
+        )
+    )
+    assert capped == uncapped
+    # the skew is real: the hot host holds >40% of visits
+    hot = sum(1 for u in uncapped if "//site0." in u)
+    assert hot / len(uncapped) > 0.4

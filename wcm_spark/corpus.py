@@ -25,7 +25,11 @@ from collections.abc import Iterator
 from .crawlcore import CorpusPage
 from .images import LOSSLESS_FMT, LOSSY_FMT, encode_image, gen_image
 
-__all__ = ["site_url", "page_url", "gen_site_pages", "corpus_rows", "seed_urls", "CORPUS_SCHEMA"]
+__all__ = [
+    "site_url", "page_url", "gen_site_pages", "gen_site_pages_chunk",
+    "corpus_rows", "seed_urls", "corpus_df", "corpus_df_sized",
+    "CORPUS_SCHEMA",
+]
 
 CORPUS_SCHEMA = (
     "url string, status int, content_type string, content_length bigint, "
@@ -288,6 +292,149 @@ def write_bucketed_corpus(
     if path:
         w = w.option("path", path)
     w.saveAsTable(table)
+
+
+def gen_site_pages_chunk(
+    site: int,
+    n_sites: int,
+    pages_per_site: int,
+    start: int,
+    end: int,
+    with_images: bool = True,
+) -> Iterator[dict]:
+    """Rows of one site restricted to page indices [start, end).
+
+    Chunked form of gen_site_pages so a SKEWED corpus (one site holding
+    half the pages — the real-crawl host distribution) can generate its
+    hot site across many tasks instead of one. Per-page rows (pages,
+    redirects, page-keyed images) land in their page's chunk; site-level
+    rows (robots, css, sitemap, the 7-hop chain, bg images) land in the
+    chunk containing page 0. The union over a site's chunks equals
+    gen_site_pages row-for-row (pinned in tests)."""
+    base = site_url(site)
+    for page in range(start, end):
+        h = _h(f"{site}/{page}")
+        body = _page_body(site, page, n_sites, pages_per_site)
+        raw = (
+            body.encode("cp932", errors="replace") if h % 10 == 0
+            else body.encode("utf-8")
+        )
+        yield dict(
+            url=page_url(site, page), status=200, content_type="text/html",
+            content_length=len(raw), body=raw, redirect_to=None,
+        )
+    if start == 0:
+        if site % 3 == 1:
+            robots = (
+                "User-agent: *\nDisallow: /r/\nDisallow: /r2/\n"
+                f"Disallow: /p/{pages_per_site - 1}.html\nAllow: /p/\n"
+                "User-agent: evilbot\nDisallow: /\n"
+            ).encode()
+            yield dict(
+                url=f"{base}/robots.txt", status=200,
+                content_type="text/plain", content_length=len(robots),
+                body=robots, redirect_to=None,
+            )
+        css = f'@charset "utf-8";\nbody {{ background-image:url(/img/bg0.wci); }}\n/* site {site} */\n'
+        yield dict(
+            url=f"{base}/style.css", status=200, content_type="text/css",
+            content_length=len(css), body=css.encode(), redirect_to=None,
+        )
+        locs = "".join(
+            f"    <url>\n        <loc>{page_url(site, p)}</loc>\n    </url>\n"
+            for p in range(min(pages_per_site, 5))
+        )
+        ns = "" if site % 4 == 3 else ' xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+        sm = f'<?xml version="1.0" encoding="utf-8"?>\n<urlset{ns}>\n{locs}</urlset>\n'
+        yield dict(
+            url=f"{base}/sitemap.xml", status=200, content_type="text/html",
+            content_length=len(sm), body=sm.encode(), redirect_to=None,
+        )
+    for page in range(start, end):
+        h = _h(f"{site}/{page}")
+        if h % 6 == 0:
+            tgt = page_url(site, (page + 1) % pages_per_site)
+            if h % 12 == 0:
+                yield dict(
+                    url=f"{base}/r/{page}", status=302, content_type=None,
+                    content_length=0, body=None,
+                    redirect_to=f"{base}/r2/{page}",
+                )
+                yield dict(
+                    url=f"{base}/r2/{page}", status=302, content_type=None,
+                    content_length=0, body=None, redirect_to=tgt,
+                )
+            else:
+                yield dict(
+                    url=f"{base}/r/{page}", status=302, content_type=None,
+                    content_length=0, body=None, redirect_to=tgt,
+                )
+    if start == 0:
+        for i in range(7):
+            yield dict(
+                url=f"{base}/chain/{i}", status=302, content_type=None,
+                content_length=0, body=None,
+                redirect_to=f"{base}/chain/{i + 1}" if i < 6 else page_url(site, 0),
+            )
+    if with_images:
+        tags: list = sorted(
+            {p for p in range(start, end) if _h(f"{site}/{p}") % 3 == 0},
+            key=str,
+        )
+        if start == 0:
+            tags = sorted(set(tags) | {f"bg{i}" for i in range(3)}, key=str)
+        for tag in tags:
+            key = f"{site}/img/{tag}"
+            arr = gen_image(key)
+            fmt = LOSSY_FMT if _h(key) % 2 else LOSSLESS_FMT
+            data = encode_image(arr, fmt)
+            yield dict(
+                url=f"{base}/img/{tag}.wci", status=200,
+                content_type=f"image/x-{fmt}", content_length=len(data),
+                body=data, redirect_to=None,
+            )
+
+
+def corpus_df_sized(
+    spark,
+    sizes: list[int],
+    with_images: bool = True,
+    chunk: int = 4000,
+    parts: int | None = None,
+):
+    """Corpus with PER-SITE page counts — the skew axis.
+
+    ``sizes[i]`` = pages of site i; ``sizes = [N//2] + [k]*rest`` gives
+    the zipf-head shape (one host owning half the frontier) the salted
+    wave cut exists for. Generation parallelizes over (site, page-chunk)
+    tasks so the hot site does not serialize into one generator task.
+    Cross-site links from a larger site can point at pages a smaller
+    site lacks — those fetch as status-null error rows, exactly like a
+    live crawl's dead links."""
+    import pandas as pd
+
+    n_sites = len(sizes)
+    tasks = []
+    for s, ps in enumerate(sizes):
+        for st in range(0, max(ps, 1), chunk):
+            tasks.append((s, st, min(st + chunk, ps), ps))
+    parts = parts or min(len(tasks), 256)
+
+    def gen(batches):
+        for pdf in batches:
+            for s, st, en, ps in zip(
+                pdf["site"], pdf["start"], pdf["end"], pdf["pages"]
+            ):
+                rows = list(
+                    gen_site_pages_chunk(
+                        int(s), n_sites, int(ps), int(st), int(en), with_images
+                    )
+                )
+                if rows:
+                    yield pd.DataFrame(rows)
+
+    tdf = spark.createDataFrame(tasks, "site int, start int, end int, pages int")
+    return tdf.repartition(parts).mapInPandas(gen, schema=CORPUS_SCHEMA)
 
 
 def corpus_df(spark, n_sites: int, pages_per_site: int, with_images: bool = True, parts: int | None = None):

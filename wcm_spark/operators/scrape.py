@@ -36,6 +36,35 @@ EDGE_SCHEMA = (
 )
 
 
+def parseable_ct_pred():
+    """Content types extract_links can draw links from (htmlkit
+    ._HTMLISH_CT + _CSS_CT, htmlkit.py:946-947) as a Catalyst predicate —
+    reused by the scheduler's fetch-side cache to null bodies no consumer
+    will read. A function (not a module constant): building a Column at
+    import needs an active session in pyspark 4.1.2."""
+    return F.col("content_type").isNotNull() & (
+        F.col("content_type").rlike("^(text|application)/(html|xml|xhtml)")
+        | F.col("content_type").rlike("text/css")
+    )
+
+
+def _parseable(df: DataFrame) -> DataFrame:
+    """JVM-side mirror of extract_links' skip guards (htmlkit.py:1029-1036,
+    1139): rows whose content type can never yield links (images, plain
+    text) or whose body is empty return [] in Python — filtering them
+    BEFORE the Arrow boundary keeps their (large, binary) bodies out of
+    the Python workers entirely. On the bench corpus this is ~25% of
+    bytes and ~27% of rows per wave. Output-identical by construction:
+    the Python gate still runs for whatever passes."""
+    return df.filter(
+        parseable_ct_pred()
+        & F.col("content_length").isNotNull()
+        & (F.col("content_length") != 0)
+        & F.col("body").isNotNull()
+        & (F.length("body") > 0)
+    )
+
+
 def scrape_edges(pages: DataFrame, containers=None) -> DataFrame:
     """Explode fetched pages into candidate edges (P1-P9 + O1 ordering).
 
@@ -46,7 +75,7 @@ def scrape_edges(pages: DataFrame, containers=None) -> DataFrame:
     """
     cols = ["url", "content_type", "content_length", "body"]
     lineage = [c for c in ("seq", "depth") if c in pages.columns]
-    src = pages.select(*cols, *lineage)
+    src = _parseable(pages.select(*cols, *lineage))
     if "seq" not in src.columns:
         src = src.withColumn("seq", F.lit(0).cast("long"))
     if "depth" not in src.columns:
@@ -123,7 +152,7 @@ def scrape_resolve_children(
 
     cols = ["url", "content_type", "content_length", "body"]
     lineage = [c for c in ("seq", "depth") if c in pages.columns]
-    src = pages.select(*cols, *lineage)
+    src = _parseable(pages.select(*cols, *lineage))
     if "seq" not in src.columns:
         src = src.withColumn("seq", F.lit(0).cast("long"))
     if "depth" not in src.columns:

@@ -416,9 +416,25 @@ class Crawler:
         bucketed storage on url, or no join at all in real-fetch mode.)
         """
         if self._fetch_df is None:
+            body = F.col("body")
+            if (
+                self.config.on_wave is None
+                and self.config.on_error is None
+                and not self.config.collect_images
+            ):
+                # No consumer ever reads a non-parseable body (the parse
+                # UDF's JVM gate drops those rows pre-Arrow, visits are
+                # body-free, and there's no image sink or user hook): null
+                # them in the CACHED side, so the ~25%-of-bytes image
+                # payload is neither cached nor rescanned by every wave's
+                # fetch join. Any hook present → keep bodies verbatim.
+                from .operators.scrape import parseable_ct_pred
+
+                body = F.when(parseable_ct_pred(), F.col("body"))
             cols = [
                 F.col("url").alias("c_url"), F.col("status"),
-                F.col("content_type"), F.col("content_length"), F.col("body"),
+                F.col("content_type"), F.col("content_length"),
+                body.alias("body"),
             ]
             if self.config.corpus_prepartitioned:
                 # bucketed-by-url table: the scan itself carries the hash
