@@ -486,13 +486,22 @@ def _hunt_evidence(path: str | None = None) -> dict | None:
     same-window engine-vs-null attribution) survive even when this run
     is starved. Every summarized number is traceable to a timestamped
     raw line in the committed log."""
-    path = path or os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH", "hunt_r4.jsonl"
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    paths = (
+        [path] if path
+        else [os.path.join(base, f) for f in ("hunt_r4.jsonl", "hunt_r5.jsonl")]
     )
-    try:
-        with open(path) as f:
-            rows = [json.loads(ln) for ln in f if ln.strip()]
-    except (OSError, ValueError):
+    rows = []
+    logs = []
+    for p in paths:
+        try:
+            with open(p) as f:
+                chunk = [json.loads(ln) for ln in f if ln.strip()]
+        except (OSError, ValueError):
+            continue
+        rows.extend(chunk)
+        logs.append(os.path.basename(p))
+    if not rows:
         return None
     pairs: dict[str, list] = {}
     nulls: dict[str, list] = {}
@@ -522,7 +531,7 @@ def _hunt_evidence(path: str | None = None) -> dict | None:
             },
         }
 
-    out: dict = {"log": "BENCH/hunt_r4.jsonl", "pairs": {}, "nulls": {}}
+    out: dict = {"log": "+".join(logs), "pairs": {}, "nulls": {}}
     for geo, rnds in pairs.items():
         out["pairs"][geo] = _geo(rnds)
     for geo, rnds in nulls.items():
@@ -538,11 +547,15 @@ def _hunt_evidence(path: str | None = None) -> dict | None:
         out["nulls"][geo] = s
     if crawls:
         best = max(crawls, key=lambda c: c["median"])
+        met_n = sum(1 for c in crawls if c.get("met"))
         out["crawl"] = {
             "n_windows": len(crawls),
             "best_median": best["median"],
             "best_all": best.get("all"),
             "met": any(c.get("met") for c in crawls),
+            # r5 criterion: the bar holds in >= half the probe-gated windows
+            "windows_met": f"{met_n}/{len(crawls)}",
+            "met_half": met_n * 2 >= len(crawls) and met_n > 0,
             "t_best": best.get("t"),
         }
     return out
@@ -1004,7 +1017,7 @@ def main():
             c = hunt["crawl"]
             hc["crawl"] = {
                 "n": c["n_windows"], "best_median": c["best_median"],
-                "met": c["met"],
+                "met": c["met"], "windows_met": c.get("windows_met"),
             }
         compact["throughput"]["hunt"] = hc
     line = json.dumps(compact)

@@ -37,7 +37,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench  # noqa: E402
 
 LOG = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "BENCH", "hunt_r4.jsonl")
+                   "BENCH", "hunt_r5.jsonl")
 RUN_ID = f"hunt-{os.getpid()}-{int(time.time())}"
 
 
@@ -75,6 +75,10 @@ def main() -> int:
                     help="reuse an existing bench corpus parquet dir")
     ap.add_argument("--skip-crawl", action="store_true",
                     help="crawl bar already recorded: spend every window on pairs")
+    ap.add_argument("--crawl-windows", type=int, default=1,
+                    help="healthy crawl windows to collect before the crawl "
+                         "bar is considered settled (r5: >=10k in >=half of "
+                         "the probe-gated windows, not once-on-record)")
     args = ap.parse_args()
 
     deadline = time.monotonic() + args.hours * 3600
@@ -99,6 +103,7 @@ def main() -> int:
     _log({"ev": "corpus_ready", "path": corpus_path})
 
     crawl_done = args.skip_crawl
+    crawl_meds: list[float] = []  # one median per healthy crawl window
     pair_done = False
     best_crawl_median = 0.0
     best_eff = 0.0
@@ -138,10 +143,20 @@ def main() -> int:
                     continue
                 med = statistics.median(r["urls_per_sec"] for r in reps)
                 best_crawl_median = max(best_crawl_median, med)
-                crawl_done = med >= args.crawl_target
+                crawl_meds.append(med)
+                met_count = sum(m >= args.crawl_target for m in crawl_meds)
+                # r5 criterion: the bar holds in >= half of the collected
+                # probe-gated windows, with at least --crawl-windows of them
+                crawl_done = (
+                    len(crawl_meds) >= args.crawl_windows
+                    and met_count * 2 >= len(crawl_meds)
+                    and met_count > 0
+                )
                 _log({"ev": "crawl_window", "median": med,
                       "all": [r["urls_per_sec"] for r in reps],
-                      "met": crawl_done})
+                      "met": med >= args.crawl_target,
+                      "windows_met": f"{met_count}/{len(crawl_meds)}",
+                      "bar_settled": crawl_done})
             elif not pair_done:
                 # Alternate healthy windows between the PRESCRIBED
                 # CPUS/4 -> CPUS pair and the 2 -> 8 geometry: the north
