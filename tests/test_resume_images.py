@@ -161,3 +161,37 @@ def test_kill_resume_live_http_no_refetch(spark, tmp_path):
         assert all(v == 1 for v in hits.values()), hits
     finally:
         srv.shutdown()
+
+
+def test_kill_resume_priority_crawl_order_parity(spark, corpus_df, tmp_path):
+    """S5 x the r5 priority queue: a priority crawl (max_conn cap,
+    depth-priority cut) killed after 2 waves and resumed emits exactly
+    the uninterrupted crawl's visit sequence — the checkpoint carries
+    enough frontier state (seq, depth) for the (priority DESC, seq)
+    total order to continue unchanged."""
+    cfg_kw = dict(
+        expected_urls=5000, use_bloom=False, max_conn=6, priority_expr="depth"
+    )
+    full = Crawler(spark, corpus_df, CrawlConfig(**cfg_kw)).run(seed_urls(N_SITES))
+    full_v = [
+        (r["pos"], r["url"], r["depth"])
+        for r in full.visits.orderBy("pos").collect()
+    ]
+
+    ckpt = str(tmp_path / "ckpt_prio")
+    partial = Crawler(
+        spark, corpus_df,
+        CrawlConfig(checkpoint_dir=ckpt, max_waves=2, **cfg_kw),
+    ).run(seed_urls(N_SITES))
+    resumed = Crawler.resume(
+        spark, corpus_df, CrawlConfig(checkpoint_dir=ckpt, **cfg_kw)
+    )
+    got = [
+        (r["pos"], r["url"], r["depth"])
+        for r in partial.visits.orderBy("pos").collect()
+    ] + [
+        (r["pos"], r["url"], r["depth"])
+        for r in resumed.visits.orderBy("pos").collect()
+    ]
+    assert partial.fetched + resumed.fetched == full.fetched
+    assert [(u, d) for _, u, d in got] == [(u, d) for _, u, d in full_v]
