@@ -3522,14 +3522,14 @@ def _token_set_df(spark, sf_dir):
     from pyspark.sql import functions as F
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return (
-        docs.select(
-            "doc_id",
-            F.explode(
+    # distinct-within-doc via array_distinct: no dropDuplicates exchange
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
                 F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != "")
-            ).alias("tok"),
-        )
-        .dropDuplicates(["doc_id", "tok"])
+            )
+        ).alias("tok"),
     )
 
 
@@ -3561,8 +3561,12 @@ def _shingle_set_df(spark, sf_dir):
     # re-evaluates the whole transform(...) chain once per EXPLODED row
     # (~50x re-computation); materializing the arrays keeps it once per doc
     shingles = shingles.localCheckpoint(eager=False)
-    return shingles.select("doc_id", F.explode("shingles").alias("tok")).dropDuplicates(
-        ["doc_id", "tok"]
+    # SELECT DISTINCT (doc_id, tok) over the explode is exactly
+    # distinct-WITHIN-document, so array_distinct before the explode
+    # yields the identical relation with zero shuffle (the global
+    # dropDuplicates exchange this chain used to pay)
+    return shingles.select(
+        "doc_id", F.explode(F.array_distinct("shingles")).alias("tok")
     )
 
 
@@ -3599,10 +3603,14 @@ def _minhash_sigs_df(spark, sf_dir):
     )
 
 
-def _minhash_sigs_build(spark, sf_dir):
+def _sigs_from_tokset(tok_set):
+    """(doc_id, mh0..mh7) from any distinct (doc_id, tok) frame, under
+    the family's scheme (_minhash_sig_select: two md5s per token sliced
+    into 32-bit hex chunks, min-aggregated) — shared by the document
+    (3-gram) and caption (bigram) anchors so the DataFrame paths can
+    never drift from the SQL oracle's signatures."""
     from pyspark.sql import functions as F
 
-    tok_set = _shingle_tokset_df(spark, sf_dir)
     hashed = tok_set.select(
         "doc_id",
         F.md5(F.concat(F.lit("a"), F.col("tok"))).alias("ha"),
@@ -3615,26 +3623,142 @@ def _minhash_sigs_build(spark, sf_dir):
             ).alias(f"mh{i}")
             for i in range(8)
         ]
-    ).localCheckpoint(eager=True)
+    )
 
 
-def _minhash_buckets_build(spark, sf_dir):
+def _buckets_from_sigs(sigs):
+    """(doc_id, band_no, bucket) rows: 4 bands of 2 signature columns.
+    One-pass unpivot (stack) instead of a 4-way UNION ALL re-scan."""
     from pyspark.sql import functions as F
 
-    sigs = _minhash_sigs_df(spark, sf_dir)
     banded = sigs.select(
         "doc_id",
         *[F.md5(F.concat(F.col(f"mh{2*i}"), F.col(f"mh{2*i+1}"))).alias(f"band{i}") for i in range(4)],
     )
-    # one-pass unpivot (stack) instead of a 4-way UNION ALL re-scan;
-    # EAGER checkpoint: a lazy persist races in the self-join below (both
-    # sides compute the unmaterialized cache inside one action)
     return banded.select(
         "doc_id",
         F.expr(
             "stack(4, 0, band0, 1, band1, 2, band2, 3, band3) AS (band_no, bucket)"
         ),
-    ).localCheckpoint(eager=True)
+    )
+
+
+def _minhash_sigs_build(spark, sf_dir):
+    return _sigs_from_tokset(_shingle_tokset_df(spark, sf_dir)).localCheckpoint(
+        eager=True
+    )
+
+
+def _minhash_buckets_build(spark, sf_dir):
+    # EAGER checkpoint: a lazy persist races in the self-join below (both
+    # sides compute the unmaterialized cache inside one action)
+    return _buckets_from_sigs(_minhash_sigs_df(spark, sf_dir)).localCheckpoint(
+        eager=True
+    )
+
+
+def _caption_tokset_df(spark):
+    """Distinct (image_id, caption-bigram) rows — the caption anchor of
+    _minhash_chain_ctes (_caption_shingles_cte), memoized per app so the
+    near-dup override pays the tokenize->shingle chain once. Keyed on the
+    resolved fixture path: WCM_IMAGES_N changes the table between bench
+    and driver runs."""
+    from pyspark.sql import functions as F
+
+    from .fixtures import images_table_path
+
+    p = images_table_path()
+
+    def build():
+        imgs = spark.read.parquet(p).repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        toks = imgs.select(
+            F.col("image_id").alias("doc_id"),
+            F.filter(
+                F.split(F.lower("caption"), "[^a-z0-9]+"), lambda x: x != ""
+            ).alias("tokens"),
+        ).filter(F.size("tokens") >= 2)
+        grams = toks.select(
+            "doc_id",
+            F.expr(
+                f"transform({_seq1('size(tokens) - 1')}, "
+                "i -> concat(element_at(tokens, i), ' ', element_at(tokens, i + 1)))"
+            ).alias("shingles"),
+        ).localCheckpoint(eager=False)
+        return grams.select(
+            "doc_id", F.explode(F.array_distinct("shingles")).alias("tok")
+        ).localCheckpoint(eager=True)
+
+    return _app_cached(spark, f"caption_tokset:{p}", build)
+
+
+def _caption_buckets_df(spark):
+    from .fixtures import images_table_path
+
+    p = images_table_path()
+    return _app_cached(
+        spark,
+        f"caption_buckets:{p}",
+        lambda: _buckets_from_sigs(
+            _sigs_from_tokset(_caption_tokset_df(spark))
+        ).localCheckpoint(eager=True),
+    )
+
+
+def _caption_neardup_spark(spark, sf_dir, min_jaccard: float = 0.5):
+    """image_caption_neardup served from memoized caption tok-set/bucket
+    frames: the SQL dialect inlines the whole tokenize->shingle->sig
+    chain at every CTE reference (tok_set appears three times in the
+    verify join alone), re-executing it per reference — the last
+    multi-reference chain in the sweep. Row-for-row identical to the
+    SQL builder (same signature scheme via _sigs_from_tokset; A/B
+    exceptAll = 0)."""
+    from pyspark.sql import functions as F
+
+    buckets = _caption_buckets_df(spark)
+    tok_set = _caption_tokset_df(spark)
+    reps = buckets.groupBy("band_no", "bucket").agg(F.min("doc_id").alias("rep"))
+    cand = (
+        buckets.join(reps, ["band_no", "bucket"])
+        .filter(F.col("doc_id") > F.col("rep"))
+        .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        .distinct()
+    )
+    a = tok_set.select(F.col("doc_id").alias("doc_a"), "tok")
+    b = tok_set.select(
+        F.col("doc_id").alias("doc_b_r"), F.col("tok").alias("tok_b")
+    )
+    inter = (
+        cand.join(a, "doc_a")
+        .join(b, (F.col("doc_b") == F.col("doc_b_r")) & (F.col("tok") == F.col("tok_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("both"))
+    )
+    sizes = tok_set.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    v = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.col("doc_b").alias("image_id"),
+            F.col("doc_a").alias("rep_id"),
+            F.round(
+                F.col("both").cast("double") / (F.col("na") + F.col("nb") - F.col("both")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("image_id").orderBy(F.desc("jaccard"), F.asc("rep_id"))
+    return (
+        v.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("image_id", "rep_id", "jaccard")
+    )
 
 
 def _minhash_cand_df(spark, sf_dir):
@@ -4951,24 +5075,25 @@ def _dedup_incremental_spark(spark, sf_dir):
 
 
 def _decon_spark(spark, sf_dir):
-    """doc_decontamination with the distinct gram frame materialized
-    ONCE (per-app memoized eager checkpoint): the SQL dialect's eval and
-    train branches each re-derive the tokenize->shingle->explode->
-    distinct chain — the last two-branch chain in the sweep; the engine
-    path serves both branches (and repeat calls) from one
-    materialization. Semantics identical to the SQL builder row-for-row."""
+    """doc_decontamination with the (doc_id, gram) distinct computed
+    PER ROW: ``SELECT DISTINCT doc_id, g`` over the exploded grams is
+    exactly distinct-within-document, so ``array_distinct`` on the
+    shingle array BEFORE the explode yields the identical relation with
+    zero shuffle — the SQL dialect's global dropDuplicates (a full
+    (doc_id, g) exchange, the sweep's last 9s query) disappears, and
+    with it the eager checkpoint it needed. The eval branch re-derives
+    tokenize->shingle on only the doc_id%97==0 slice (~1% of rows), so
+    the two branches together still cost ~one corpus pass. Semantics
+    identical to the SQL builder row-for-row (A/B exceptAll = 0)."""
     from pyspark.sql import functions as F
 
     n = SYNTHETIC_GATES.get("doc_decontamination", {}).get("n", 13)
 
-    def build():
-        rows = spark.sql(
-            f"WITH {_ngram_cte('spark', sf_dir, n)} "
-            "SELECT doc_id, g FROM grams LATERAL VIEW explode(shingles) x AS g"
-        )
-        return rows.dropDuplicates().localCheckpoint(eager=True)
-
-    gram_rows = _app_cached(spark, f"decon_grams:{n}:{sf_dir}", build)
+    gram_rows = spark.sql(
+        f"WITH {_ngram_cte('spark', sf_dir, n)} "
+        "SELECT doc_id, g FROM grams "
+        "LATERAL VIEW explode(array_distinct(shingles)) x AS g"
+    )
     ev = (
         gram_rows.filter(F.col("doc_id") % 97 == 0)
         .select(F.col("g").alias("ge"))
@@ -5002,6 +5127,7 @@ _SPARK_OVERRIDES = {
     "dedup_minhash_lsh": _minhash_spark,
     "dedup_ngram_jaccard": _jaccard_spark,
     "minhash_est_vs_exact": _minhash_est_spark,
+    "image_caption_neardup": _caption_neardup_spark,
     "ann_cosine_topk": _ann_exact_spark,
     "near_dup_clusters": _neardup_clusters_spark,
     "image_phash_clusters": _phash_clusters_spark,
