@@ -3363,6 +3363,86 @@ SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
 FROM doc_nll"""
 
 
+@register("vocab_topk")
+def _q_vocab_topk(d, sf, k: int = 500):
+    """Tokenizer-vocabulary induction: global token frequencies, rank,
+    and cumulative corpus-coverage fraction for the top-k candidates —
+    the first pass of any BPE/WordPiece vocab build (and the stopword /
+    coverage audit a corpus report leads with).
+
+    100 TB shape: one hash aggregate (corpus-sized) followed by a global
+    rank window that is VOCABULARY-sized, not corpus-sized — the sort
+    input is one row per distinct token, the standard cardinality
+    collapse that makes global vocab ranking tractable at any corpus
+    scale. Ties break on the token text so both engines rank
+    identically."""
+    return f"""WITH {_tokens_cte(d, sf)},
+tok_rows AS ({_tok_rows(d)}),
+counts AS (SELECT tok, count(*) AS cnt FROM tok_rows GROUP BY tok),
+ranked AS (
+  SELECT tok, cnt,
+         row_number() OVER (ORDER BY cnt DESC, tok) AS rank,
+         sum(cnt) OVER (ORDER BY cnt DESC, tok
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_cnt,
+         sum(cnt) OVER () AS total
+  FROM counts
+)
+SELECT tok, CAST(cnt AS BIGINT) AS cnt, CAST(rank AS BIGINT) AS rank,
+       round(CAST(cum_cnt AS DOUBLE) / total, 6) AS coverage
+FROM ranked WHERE rank <= {k}"""
+
+
+@register("token_bigram_pmi")
+def _q_bigram_pmi(d, sf, min_count: int = 5):
+    """Collocation mining: pointwise mutual information of adjacent
+    token pairs, PMI = ln(p(xy) / (p(x)p(y))) — the classic
+    phrase-detection signal (word2vec's phrase pass, quality filters
+    that flag boilerplate collocations). PMI is quantized to integer
+    micro-nats (the unigram_logprob_score pattern) so the driver's value
+    hash compares exact BIGINTs, not engine-order floats.
+
+    100 TB shape: bigram and unigram models are each one hash aggregate;
+    scoring joins the bigram table against the vocabulary-sized unigram
+    side twice (broadcastable), and the corpus totals are one-row
+    aggregates. min_count prunes the long tail before the join."""
+    f = _fn(d)
+    if d == "spark":
+        grams = (
+            f"transform({_seq1('size(tokens) - 1')}, "
+            "i -> concat(element_at(tokens, i), ' ', element_at(tokens, i + 1)))"
+        )
+    else:
+        grams = (
+            "[list_extract(tokens, i) || ' ' || list_extract(tokens, i + 1) "
+            "for i in generate_series(1, greatest(len(tokens) - 1, 0))]"
+        )
+    if d == "spark":
+        big_rows = "SELECT bg FROM grams LATERAL VIEW explode(bgs) x AS bg"
+    else:
+        big_rows = "SELECT unnest(bgs) AS bg FROM grams"
+    return f"""WITH {_tokens_cte(d, sf)},
+tok_rows AS ({_tok_rows(d)}),
+uni AS (SELECT tok, count(*) AS c FROM tok_rows GROUP BY tok),
+n_uni AS (SELECT sum(c) AS n FROM uni),
+grams AS (
+  SELECT doc_id, {grams} AS bgs FROM toks WHERE {f['LEN']}(tokens) >= 2
+),
+big AS (
+  SELECT bg, count(*) AS c_xy FROM ({big_rows}) t
+  GROUP BY bg HAVING count(*) >= {min_count}
+),
+n_big AS (SELECT count(*) AS m FROM ({big_rows}) t)
+SELECT split_part(b.bg, ' ', 1) AS w1, split_part(b.bg, ' ', 2) AS w2,
+       CAST(b.c_xy AS BIGINT) AS c_xy,
+       CAST(round(ln(CAST(b.c_xy AS DOUBLE) * u.n * u.n
+                     / (m.m * ux.c * uy.c)) * 1000000) AS BIGINT) AS pmi_u
+FROM big b
+JOIN uni ux ON ux.tok = split_part(b.bg, ' ', 1)
+JOIN uni uy ON uy.tok = split_part(b.bg, ' ', 2)
+CROSS JOIN n_uni u CROSS JOIN n_big m"""
+
+
 @register("minhash_est_vs_exact")
 def _q_minhash_eval(d, sf):
     """Estimator-quality evaluation for the MinHash family: on every LSH
