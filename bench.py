@@ -101,6 +101,8 @@ HEADLINE_QUERIES = [
     "sequence_packing",
     "train_val_split",
     "bm25_topk",
+    "vocab_topk",
+    "token_bigram_pmi",
     "domain_mix_rebalance",
     "events_asof_join",
     "events_asof_forward",
@@ -114,6 +116,7 @@ HEADLINE_QUERIES = [
     "image_cluster_caption_pick",
     "image_curation_pipeline",
     "image_shard_packing",
+    "image_aspect_bucket",
     "image_caption_neardup",
     "image_exact_dedup",
     "broken_links_report",

@@ -3085,6 +3085,61 @@ FROM crawled
 GROUP BY md5(hex(bytes))"""
 
 
+@register("image_aspect_bucket")
+def _q_image_aspect_bucket(d, sf, batch: int = 64, groups: int = 8):
+    """Aspect-ratio bucketing over the north-rule image table — the
+    SDXL-style training-batch assignment: each image lands in the
+    nearest of a fixed (w, h) bucket list by |log aspect-ratio|
+    distance, then gets a batch index within its bucket so a loader can
+    draw fixed-shape batches without cross-bucket padding. The log
+    distance is quantized to integer micro-units (the micro-nat
+    pattern) with bucket width as the tiebreak, so both engines pick
+    identical buckets.
+
+    100 TB shape: the bucket list is a 7-row dimension (broadcast
+    cross join, then a per-image rank over 7 candidate rows); the batch
+    window partitions by (bucket, writer group) — md5-keyed like
+    image_shard_packing — so no single bucket serializes a global
+    order."""
+    if d == "spark":
+        buckets = (
+            "buckets AS (SELECT * FROM VALUES (512, 2048), (768, 1344), "
+            "(832, 1216), (1024, 1024), (1216, 832), (1344, 768), "
+            "(2048, 512) AS t(bw, bh))"
+        )
+    else:
+        buckets = (
+            "buckets(bw, bh) AS (VALUES (512, 2048), (768, 1344), "
+            "(832, 1216), (1024, 1024), (1216, 832), (1344, 768), "
+            "(2048, 512))"
+        )
+    grp = _hex2int("substr(md5(image_id), 1, 15)", d)
+    return f"""WITH {buckets},
+scored AS (
+  SELECT i.image_id, b.bw, b.bh,
+         CAST(round(abs(ln(CAST(i.w AS DOUBLE) / i.h)
+                        - ln(CAST(b.bw AS DOUBLE) / b.bh)) * 1000000)
+              AS BIGINT) AS d_u
+  FROM {_images_tbl(d)} i CROSS JOIN buckets b
+),
+assigned AS (
+  SELECT image_id, bw, bh FROM (
+    SELECT image_id, bw, bh,
+           row_number() OVER (PARTITION BY image_id ORDER BY d_u, bw) AS rn
+    FROM scored
+  ) p WHERE rn = 1
+),
+grouped AS (
+  SELECT image_id, bw, bh, CAST({grp} % {groups} AS INT) AS grp
+  FROM assigned
+)
+SELECT image_id, CAST(bw AS BIGINT) AS bucket_w, CAST(bh AS BIGINT) AS bucket_h,
+       grp,
+       CAST({_idiv('(row_number() OVER (PARTITION BY bw, bh, grp ORDER BY image_id) - 1)', batch, d)}
+            AS BIGINT) AS batch_idx
+FROM grouped"""
+
+
 @register("image_shard_packing")
 def _q_image_shard_packing(d, sf, shard_bytes: int = 512 << 20, groups: int = 8):
     """WebDataset-style training-shard assignment over the north-rule
