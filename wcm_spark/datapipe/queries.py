@@ -207,6 +207,7 @@ SYNTHETIC_GATES: dict[str, dict] = {
     "ann_lsh_bucketed": {"min_cosine": 0.25},
     "passage_dedup_rate": {"chunk": 3},
     "passage_dedup_scrub": {"chunk": 3},
+    "boilerplate_source_scrub": {"chunk": 2, "min_docs": 3},
     "ann_pq_adc": {"m": 32, "k": 64},
     "ann_pq_recall_at_k": {"m": 32, "k": 64},
     "ann_ivfpq_adc": {"m": 32, "k": 64},
@@ -2753,6 +2754,81 @@ flagged AS (
 SELECT doc_id,
   CAST(count(*) AS BIGINT) AS n_passages,
   CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  {digest} AS scrub_digest
+FROM flagged
+GROUP BY doc_id"""
+
+
+@register("boilerplate_source_scrub")
+def _q_boilerplate_scrub(d, sf, chunk: int = 10, min_docs: int = 5):
+    """Per-source boilerplate scrub (RefinedWeb / CCNet "line dedup
+    within domain", Penedo et al. 2023 §3.2): a ``chunk``-token passage
+    whose hash occurs in >= ``min_docs`` DISTINCT documents of the same
+    ``source`` is boilerplate (nav bars, footers, cookie banners), and
+    EVERY occurrence is removed — including the first, which
+    distinguishes this from passage_dedup_scrub's global first-wins
+    rule: boilerplate is defined by within-group document frequency,
+    not by arrival order. Output per doc: passage/boilerplate counts,
+    boilerplate fraction, and an md5 digest of the reassembled retained
+    text so replacement semantics are verified cross-engine.
+
+    100 TB shape: the frequency model is ONE (source, hash) hash
+    aggregate whose output is distinct-passage-sized, not corpus-sized;
+    the verdict joins back on the same (source, hash) key — an
+    equi-join AQE skew handling covers — and the order-sensitive
+    reassembly lives inside the per-doc aggregate (sort of <= n_passages
+    kept chunks), so partition order never matters. ``chunk=10`` /
+    ``min_docs=5`` is the real operating point; SYNTHETIC_GATES
+    overrides to 2/3 on the word-soup fixtures where 10-token windows
+    never repeat."""
+    if d == "spark":
+        chunks = (
+            f"transform({_seq1(f'CAST(floor(size(tokens) / {chunk}) AS INT)')}, "
+            f"i -> concat_ws(' ', slice(tokens, (i - 1) * {chunk} + 1, {chunk})))"
+        )
+        chunk_rows = (
+            "SELECT doc_id, pos, c, md5(c) AS h FROM "
+            "(SELECT doc_id, chunklist FROM chunked) t "
+            "LATERAL VIEW posexplode(chunklist) x AS pos, c"
+        )
+        digest = (
+            "md5(concat_ws(' ', transform(array_sort("
+            "collect_list(CASE WHEN NOT boiler THEN named_struct('pos', pos, 'c', c) END)), "
+            "s -> s.c)))"
+        )
+    else:
+        chunks = (
+            f"[array_to_string(list_slice(tokens, (i - 1) * {chunk} + 1, i * {chunk}), ' ') "
+            f"for i in generate_series(1, CAST(floor(len(tokens) / {chunk}) AS INT))]"
+        )
+        chunk_rows = (
+            "SELECT doc_id, generate_subscripts(chunklist, 1) - 1 AS pos, "
+            "unnest(chunklist) AS c, md5(unnest(chunklist)) AS h FROM chunked"
+        )
+        digest = (
+            "md5(coalesce(string_agg(CASE WHEN NOT boiler THEN c END, ' ' ORDER BY pos), ''))"
+        )
+    return f"""WITH {_tokens_cte(d, sf)},
+chunked AS (SELECT doc_id, {chunks} AS chunklist FROM toks),
+chunk_rows AS ({chunk_rows}),
+src AS (SELECT doc_id, source FROM {_tbl('documents', d, sf)}),
+joined AS (
+  SELECT c.doc_id, s.source, c.pos, c.c, c.h
+  FROM chunk_rows c JOIN src s ON s.doc_id = c.doc_id
+),
+freq AS (
+  SELECT source, h, count(DISTINCT doc_id) AS nd
+  FROM joined GROUP BY source, h
+),
+flagged AS (
+  SELECT j.doc_id, j.pos, j.c, (f.nd >= {min_docs}) AS boiler
+  FROM joined j JOIN freq f ON f.source = j.source AND f.h = j.h
+)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_passages,
+  CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+  round(CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS DOUBLE)
+        / count(*), 4) AS boiler_frac,
   {digest} AS scrub_digest
 FROM flagged
 GROUP BY doc_id"""
