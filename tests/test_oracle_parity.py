@@ -294,6 +294,51 @@ def test_passage_dedup_scrub_python_recompute(spark):
     assert set(got) == set(per_doc)
 
 
+def test_boilerplate_scrub_python_recompute(spark):
+    """Per-source frequency-threshold scrub vs a pure-Python replay:
+    boilerplate = passage occurring in >= min_docs DISTINCT docs of the
+    same source, ALL occurrences dropped (including the first — the
+    semantic that separates this from the first-wins scrub). n_boiler
+    and the md5 of every doc's retained text must match."""
+    import hashlib
+    import re
+
+    from wcm_spark.datapipe.queries import SYNTHETIC_GATES
+
+    gates = SYNTHETIC_GATES["boilerplate_source_scrub"]
+    chunk, min_docs = gates["chunk"], gates["min_docs"]
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["boilerplate_source_scrub"](spark, SF_DIR).collect()
+    }
+    raw = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text", "source"
+    ).collect()
+    per_doc: dict[int, list] = {}
+    src_docs: dict[tuple, set] = {}  # (source, chunk_text) -> {doc_id}
+    doc_src: dict[int, str] = {}
+    for r in raw:
+        toks = [t for t in re.split(r"[^a-z0-9]+", r["text"].lower()) if t]
+        doc_src[r["doc_id"]] = r["source"]
+        for i in range(len(toks) // chunk):
+            c = " ".join(toks[i * chunk : (i + 1) * chunk])
+            per_doc.setdefault(r["doc_id"], []).append((i, c))
+            src_docs.setdefault((r["source"], c), set()).add(r["doc_id"])
+    dropped_any = 0
+    for doc_id, items in per_doc.items():
+        src = doc_src[doc_id]
+        kept = [c for _, c in items if len(src_docs[(src, c)]) < min_docs]
+        g = got[doc_id]
+        assert g["n_passages"] == len(items)
+        assert g["n_boiler"] == len(items) - len(kept)
+        assert g["scrub_digest"] == hashlib.md5(
+            " ".join(kept).encode()
+        ).hexdigest()
+        dropped_any += len(items) - len(kept)
+    assert dropped_any > 0  # the fixture must actually exercise drops
+    assert set(got) == set(per_doc)
+
+
 def test_shingle_builders_survive_short_docs(spark, tmp_path):
     """Real-data robustness: docs shorter than the shingle/chunk window
     must yield empty windows, not a crash — Spark's sequence(1, 0)
