@@ -555,3 +555,29 @@ def test_recrawl_conditional_fetch_plan_shape(spark):
     broadcasts = plan.count("BroadcastHashJoin")
     assert joins + broadcasts >= 1  # the one full-outer equi-join
     assert plan.count("FULL") >= 1 or "FullOuter" in plan
+
+
+def test_all_sql_builders_have_no_cartesian(spark):
+    """Registry-WIDE scale-safety sweep: every dialect-templated query's
+    optimized plan is free of CartesianProduct — the one physical node
+    that cannot survive a 100x scale-up. One-row scalar cross joins
+    (corpus stats in bm25/unigram/domain_mix) legitimately plan as
+    BroadcastNestedLoopJoin against a broadcast scalar, so only the
+    unbounded cartesian is banned here; the curated per-family tests
+    above keep their stricter BNLJ bans. Engine-native queries (crawl/
+    scrape e2e, goldens, multimodal) execute real operators and are
+    plan-asserted in their own suites."""
+    from wcm_spark.datapipe.queries import (
+        SYNTHETIC_GATES,
+        _BUILDERS,
+        spark_queries,
+    )
+    from wcm_spark.plans.inspect import formatted_plan
+
+    qs = spark_queries()
+    checked = 0
+    for name in _BUILDERS:
+        plan = formatted_plan(qs[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        checked += 1
+    assert checked >= 80  # the sweep must actually cover the registry
