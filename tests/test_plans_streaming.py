@@ -567,11 +567,7 @@ def test_all_sql_builders_have_no_cartesian(spark):
     above keep their stricter BNLJ bans. Engine-native queries (crawl/
     scrape e2e, goldens, multimodal) execute real operators and are
     plan-asserted in their own suites."""
-    from wcm_spark.datapipe.queries import (
-        SYNTHETIC_GATES,
-        _BUILDERS,
-        spark_queries,
-    )
+    from wcm_spark.datapipe.queries import _BUILDERS, spark_queries
     from wcm_spark.plans.inspect import formatted_plan
 
     qs = spark_queries()
