@@ -11,8 +11,26 @@ prints markdown to stdout for pasting into BENCH/BASELINE.md / README.
 from __future__ import annotations
 
 import json
+import os
 import statistics
 import sys
+
+# External pauses (e.g. the hunt SIGSTOPped for a pytest run): any
+# measurement round whose [previous event t, own t] interval overlaps a
+# recorded pause had a leg frozen mid-flight — its wall-clock timing is
+# meaningless and it is excluded from every table below (the raw log
+# keeps it; BENCH/hunt_r5_pause.json documents why).
+PAUSE_FILE = os.path.join(os.path.dirname(__file__), "..", "BENCH", "hunt_r5_pause.json")
+
+
+def load_pauses() -> list[tuple[float, float]]:
+    try:
+        with open(PAUSE_FILE) as f:
+            rec = json.load(f)
+        recs = rec if isinstance(rec, list) else [rec]
+        return [(r["start"], r["end"]) for r in recs]
+    except (OSError, KeyError, ValueError):
+        return []
 
 
 def load(paths: list[str]) -> list[dict]:
@@ -46,10 +64,19 @@ def bracket_stable(r: dict) -> bool:
 
 def main(paths: list[str]) -> None:
     rows = load(paths)
+    pauses = load_pauses()
     geoms: dict[tuple, list[dict]] = {}
+    prev_t = 0.0
+    excluded = 0
     for r in rows:
+        start_t, prev_t = prev_t, r.get("t", prev_t)
         if r.get("ev") in ("pair_round", "null_round") and r.get("efficiency") is not None:
+            if any(start_t < pe and r.get("t", 0) > ps for ps, pe in pauses):
+                excluded += 1
+                continue
             geoms.setdefault((r["ev"], r.get("pair", "?")), []).append(r)
+    if excluded:
+        print(f"(excluded {excluded} round(s) overlapping recorded external pauses)")
 
     print("| measurement | n | eff best | eff median | median(stable) | rounds >= 0.8 |")
     print("|---|---|---|---|---|---|")
