@@ -502,6 +502,8 @@ def _hunt_evidence(path: str | None = None) -> dict | None:
                 chunk = [json.loads(ln) for ln in f if ln.strip()]
         except (OSError, ValueError):
             continue
+        for d in chunk:
+            d["_src"] = os.path.basename(p)
         rows.extend(chunk)
         logs.append(os.path.basename(p))
     if not rows:
@@ -560,6 +562,17 @@ def _hunt_evidence(path: str | None = None) -> dict | None:
             "windows_met": f"{met_n}/{len(crawls)}",
             "met_half": met_n * 2 >= len(crawls) and met_n > 0,
             "t_best": best.get("t"),
+            # per-log split: r4 windows ran the cold protocol (first
+            # crawl in the JVM timed), r5 the steady-state protocol
+            # (one full untimed warm-up first) — the merged ratio mixes
+            # protocols, the split doesn't
+            "windows_met_by_log": {
+                src: "{}/{}".format(
+                    sum(1 for c in crawls if c.get("_src") == src and c.get("met")),
+                    sum(1 for c in crawls if c.get("_src") == src),
+                )
+                for src in sorted({c.get("_src", "?") for c in crawls})
+            },
         }
     return out
 
