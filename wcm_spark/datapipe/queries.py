@@ -204,6 +204,7 @@ SYNTHETIC_GATES: dict[str, dict] = {
     "image_phash_neardup": {"max_hamming": 24},
     "image_phash_clusters": {"max_hamming": 24},
     "embedding_neardup": {"min_cosine": 0.35},
+    "semdedup_prune": {"min_cosine": 0.3},
     "ann_lsh_bucketed": {"min_cosine": 0.25},
     "passage_dedup_rate": {"chunk": 3},
     "passage_dedup_scrub": {"chunk": 3},
@@ -1908,6 +1909,61 @@ SELECT query_id, cand_id, cosine FROM (
 ) t WHERE rk <= 3"""
 
 
+@register("semdedup_prune")
+def _q_semdedup(d, sf, min_cosine: float = 0.9):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    clustering embeddings (the fitted IVF k-means cells — one fit serves
+    the whole embedding family) and pruning, WITHIN each cluster, every
+    vector that has an earlier cellmate above the cosine gate.
+    First-wins keep rule (lowest vec_id of a duplicate neighborhood
+    survives) — deterministic and engine-order-free, the same rule the
+    crawl's D3 dedup pins. Output: one verdict row per vector
+    (cell, n_dups = earlier cellmates over the gate, keep/drop).
+
+    100 TB shape: the pair join is CELL-BOUNDED — vectors only compare
+    within their inverted list (cluster sizes ~n/k, the SemDeDup paper's
+    own tractability argument), shuffled on cell id; never the O(n^2)
+    global pair space. The fit is the documented hash-aggregate Lloyd
+    chain; the verdict is one grouped count + one left join. The
+    synthetic gate override (near-orthogonal fixture embeddings) is
+    documented at SYNTHETIC_GATES; production default 0.9 per the
+    paper's dedup operating range."""
+    if d == "spark":
+        def dot(a, b):
+            return (
+                f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            )
+
+        def norm(a):
+            return f"sqrt(aggregate({a}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    else:
+        def dot(a, b):
+            return f"list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+
+        def norm(a):
+            return f"sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+    emb = _tbl("embeddings", d, sf)
+    cos_ab = (
+        f"{dot('va.embedding', 'vb.embedding')} / "
+        f"({norm('va.embedding')} * {norm('vb.embedding')})"
+    )
+    return f"""WITH {_ivf_kmeans_ctes(d, sf)},
+dups AS (
+  SELECT aa.vec_id, count(*) AS n_dups
+  FROM final_asg aa
+  JOIN {emb} va ON va.vec_id = aa.vec_id
+  JOIN final_asg ab ON ab.cell = aa.cell AND ab.vec_id < aa.vec_id
+  JOIN {emb} vb ON vb.vec_id = ab.vec_id
+  WHERE round({cos_ab}, 6) >= {min_cosine}
+  GROUP BY aa.vec_id
+)
+SELECT f.vec_id, f.cell,
+       CAST(coalesce(dp.n_dups, 0) AS BIGINT) AS n_dups,
+       CASE WHEN dp.vec_id IS NULL THEN 'keep' ELSE 'drop' END AS action
+FROM final_asg f LEFT JOIN dups dp ON dp.vec_id = f.vec_id"""
+
+
 @register("ann_recall_at_k")
 def _q_ann_recall(d, sf):
     """Recall-vs-exact evaluation chaining the ANN family (the reason
@@ -3574,6 +3630,70 @@ JOIN uni uy ON uy.tok = split_part(b.bg, ' ', 2)
 CROSS JOIN n_uni u CROSS JOIN n_big m"""
 
 
+@register("dsir_importance_weights")
+def _q_dsir(d, sf, buckets: int = 256):
+    """DSIR data-selection importance weights (Xie et al. 2023,
+    arXiv:2302.03169): per-document importance w(x) = log p_target(x) -
+    log p_source(x) under bag-of-hashed-n-gram (unigram + bigram) bucket
+    models with add-1 smoothing. The target sample is a deterministic
+    slice of the corpus (doc_id % 7 = 0 — the "curated domain sample" a
+    real pipeline would supply); the source model is the whole corpus.
+    Per-bucket log-ratios are quantized to integer MICRO-nats before the
+    per-doc weighted sum (the unigram_logprob_score pattern), so both
+    engines sum exact BIGINTs in any partition order.
+
+    100 TB shape: both models are ONE hash aggregate each, collapsing to
+    ``buckets`` rows — the hashing trick's whole point: the model side is
+    a constant-size broadcast no matter the corpus. Scoring is a
+    broadcast join of per-doc bucket counts against the bucket weights +
+    one hash aggregate per doc. No window, no pair join; the md5-bucket
+    hash is engine-portable (conv/hex parity like the MinHash family)."""
+    f = _fn(d)
+    if d == "spark":
+        grams = (
+            f"transform({_seq1('size(tokens) - 1')}, "
+            "i -> concat(element_at(tokens, i), ' ', element_at(tokens, i + 1)))"
+        )
+        gram_rows = "SELECT doc_id, g FROM grams LATERAL VIEW explode(gs) x AS g"
+    else:
+        grams = (
+            "[list_extract(tokens, i) || ' ' || list_extract(tokens, i + 1) "
+            "for i in generate_series(1, greatest(len(tokens) - 1, 0))]"
+        )
+        gram_rows = "SELECT doc_id, unnest(gs) AS g FROM grams"
+    b_expr = f"{_hex2int('substr(md5(g), 1, 15)', d)} % {buckets}"
+    return f"""WITH {_tokens_cte(d, sf)},
+tok_rows AS ({_tok_rows(d)}),
+grams AS (SELECT doc_id, {grams} AS gs FROM toks WHERE {f['LEN']}(tokens) >= 2),
+feat AS (
+  SELECT doc_id, {b_expr} AS b FROM (
+    SELECT doc_id, tok AS g FROM tok_rows
+    UNION ALL
+    {gram_rows}
+  ) t
+),
+doc_feat AS (SELECT doc_id, b, count(*) AS n FROM feat GROUP BY doc_id, b),
+tgt AS (SELECT b, count(*) AS c FROM feat WHERE doc_id % 7 = 0 GROUP BY b),
+src AS (SELECT b, count(*) AS c FROM feat GROUP BY b),
+tot AS (SELECT (SELECT sum(c) FROM tgt) AS nt, (SELECT sum(c) FROM src) AS ns),
+bucket_w AS (
+  SELECT s.b,
+         CAST(round((ln((coalesce(t.c, 0) + 1.0) / (tot.nt + {buckets}))
+                   - ln((s.c + 1.0) / (tot.ns + {buckets}))) * 1000000) AS BIGINT)
+           AS w_u
+  FROM src s LEFT JOIN tgt t ON t.b = s.b CROSS JOIN tot
+),
+doc_w AS (
+  SELECT df.doc_id, sum(df.n * w.w_u) AS w_sum, sum(df.n) AS n_feats
+  FROM doc_feat df JOIN bucket_w w ON w.b = df.b
+  GROUP BY df.doc_id
+)
+SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+       round(CAST(w_sum AS DOUBLE) / n_feats / 1000000, 4) AS avg_log_ratio,
+       CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS in_target
+FROM doc_w"""
+
+
 @register("minhash_est_vs_exact")
 def _q_minhash_eval(d, sf):
     """Estimator-quality evaluation for the MinHash family: on every LSH
@@ -4646,6 +4766,58 @@ def _ivf_fitted_spark(spark, sf_dir):
     return _ivf_probe_top3(spark, sf_dir, _ivf_final_asg_df(spark, sf_dir))
 
 
+def _semdedup_spark(spark, sf_dir):
+    """semdedup_prune on the engine path: the memoized fitted IVF
+    assignment (one fit serves the whole embedding family) feeds a
+    CELL-BOUNDED pair join — earlier-cellmate cosine over the gate marks
+    a vector dropped (first-wins, lowest vec_id survives). Cosine on the
+    array columns JVM-side (aggregate/zip_with), rounded at 6 exactly
+    where the SQL dialect rounds, so the keep/drop verdicts match the
+    oracle bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    gate = SYNTHETIC_GATES["semdedup_prune"]["min_cosine"]
+    asg = _ivf_final_asg_df(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    withv = asg.join(emb, "vec_id")
+    a = withv.select(
+        F.col("vec_id").alias("vid_a"), "cell", F.col("embedding").alias("ea")
+    )
+    b = withv.select(
+        F.col("vec_id").alias("vid_b"), "cell", F.col("embedding").alias("eb")
+    )
+    dot = (
+        "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+    def norm(c):
+        return (
+            f"sqrt(aggregate({c}, CAST(0.0 AS DOUBLE), "
+            "(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+        )
+
+    cos = F.expr(f"{dot} / ({norm('ea')} * {norm('eb')})")
+    dups = (
+        a.join(b, "cell")
+        .filter(F.col("vid_b") < F.col("vid_a"))
+        .filter(F.round(cos, 6) >= F.lit(gate))
+        .groupBy("vid_a")
+        .agg(F.count(F.lit(1)).alias("n_dups"))
+    )
+    return (
+        asg.join(dups, asg["vec_id"] == dups["vid_a"], "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce(F.col("n_dups"), F.lit(0)).cast("long").alias("n_dups"),
+            F.when(F.col("vid_a").isNull(), F.lit("keep"))
+            .otherwise(F.lit("drop"))
+            .alias("action"),
+        )
+    )
+
+
 def _ivf_spark(spark, sf_dir):
     """ann_ivf (one-step coarse quantizer: the first 8 vectors ARE the
     centroids) in DataFrame form — literal-centroid assignment like the
@@ -5353,6 +5525,7 @@ _SPARK_OVERRIDES = {
     "ann_ivf_kmeans": _ivf_kmeans_spark,
     "ann_ivf_fitted": _ivf_fitted_spark,
     "ann_ivf_multiprobe": _ivf_multiprobe_spark,
+    "semdedup_prune": _semdedup_spark,
     "ann_pq_adc": _pq_adc_spark,
     "ann_pq_recall_at_k": _pq_recall_spark,
     "ann_ivfpq_adc": _ivfpq_spark,
