@@ -80,6 +80,7 @@ HEADLINE_QUERIES = [
     "corpus_curation_pipeline",
     "minhash_est_vs_exact",
     "embedding_neardup",
+    "semdedup_prune",
     "image_phash_neardup",
     "image_phash_clusters",
     "stratified_sample",
@@ -104,6 +105,7 @@ HEADLINE_QUERIES = [
     "vocab_topk",
     "token_bigram_pmi",
     "domain_mix_rebalance",
+    "dsir_importance_weights",
     "events_asof_join",
     "events_asof_forward",
     "events_range_join",

@@ -383,3 +383,37 @@ def test_recrawl_conditional_fetch_all_actions(duck):
     assert actions == {"new", "gone", "not_modified", "modified"}
     for _, a, saved in rows:
         assert (saved > 0) == (a == "not_modified")
+
+
+def test_semdedup_first_wins_and_nonvacuous(duck):
+    """SemDeDup invariants independent of either engine's execution:
+    the lowest vec_id of every cell is always kept (it can have no
+    EARLIER cellmate), every drop has n_dups >= 1, every keep has
+    n_dups = 0, and the synthetic gate actually exercises both verdicts
+    (a 0-drop or all-drop fixture would make the parity check vacuous)."""
+    rows = duck.execute(ORACLES["semdedup_prune"]).fetchall()
+    by_cell = {}
+    actions = {"keep": 0, "drop": 0}
+    for vec_id, cell, n_dups, action in rows:
+        actions[action] += 1
+        assert (n_dups >= 1) == (action == "drop"), (vec_id, n_dups, action)
+        cur = by_cell.get(cell)
+        if cur is None or vec_id < cur[0]:
+            by_cell[cell] = (vec_id, action)
+    assert actions["keep"] > 0 and actions["drop"] > 0
+    for cell, (min_id, action) in by_cell.items():
+        assert action == "keep", (cell, min_id)
+
+
+def test_dsir_weights_separate_target(duck):
+    """DSIR's whole point: documents from the target slice must score a
+    higher mean importance weight than the rest (the hashed-n-gram
+    models are fitted on exactly that split), and every doc gets a
+    weight (no drops on short docs)."""
+    rows = duck.execute(ORACLES["dsir_importance_weights"]).fetchall()
+    n_docs = duck.execute("SELECT count(*) FROM documents").fetchone()[0]
+    assert len(rows) == n_docs
+    tgt = [w for _, _, w, it in rows if it == 1]
+    rest = [w for _, _, w, it in rows if it == 0]
+    assert tgt and rest
+    assert sum(tgt) / len(tgt) > sum(rest) / len(rest)

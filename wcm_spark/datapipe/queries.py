@@ -3673,8 +3673,12 @@ feat AS (
   ) t
 ),
 doc_feat AS (SELECT doc_id, b, count(*) AS n FROM feat GROUP BY doc_id, b),
-tgt AS (SELECT b, count(*) AS c FROM feat WHERE doc_id % 7 = 0 GROUP BY b),
-src AS (SELECT b, count(*) AS c FROM feat GROUP BY b),
+-- model counts derive from the aggregated doc_feat, not the raw feat
+-- rows: Spark inlines CTEs (no materialization), so every reference to
+-- feat would re-run the explode+md5 chain — aggregating first makes the
+-- re-run bucket-by-doc sized instead of token sized
+tgt AS (SELECT b, sum(n) AS c FROM doc_feat WHERE doc_id % 7 = 0 GROUP BY b),
+src AS (SELECT b, sum(n) AS c FROM doc_feat GROUP BY b),
 tot AS (SELECT (SELECT sum(c) FROM tgt) AS nt, (SELECT sum(c) FROM src) AS ns),
 bucket_w AS (
   SELECT s.b,
@@ -4818,6 +4822,158 @@ def _semdedup_spark(spark, sf_dir):
     )
 
 
+def _dsir_spark(spark, sf_dir):
+    """dsir_importance_weights on the engine path: the per-doc hashed
+    feature counts (doc_feat) are computed ONCE and localCheckpointed —
+    the SQL dialect's WITH chain is inlined by Spark (no CTE
+    materialization), so the target model, source model and scoring join
+    each re-ran the full tokenize→explode→md5 chain (3x the corpus's
+    heaviest work; measured 18.4s → ~4s at sf0.1). The model totals are
+    O(1) driver literals (the DSIR models are constant-size by
+    construction); every expression mirrors the SQL dialect's text so
+    the micro-nat weights match the DuckDB oracle exactly."""
+    from pyspark.sql import functions as F
+
+    buckets = 256
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    toks = docs.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')").alias(
+            "tokens"
+        ),
+    )
+    uni = toks.select("doc_id", F.explode("tokens").alias("g"))
+    bi = toks.filter(F.size("tokens") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform({_seq1('size(tokens) - 1')}, "
+                "i -> concat(element_at(tokens, i), ' ', element_at(tokens, i + 1)))"
+            )
+        ).alias("g"),
+    )
+    feat = uni.unionByName(bi).select(
+        "doc_id",
+        F.expr(
+            f"cast(conv(substr(md5(g), 1, 15), 16, 10) as bigint) % {buckets}"
+        ).alias("b"),
+    )
+    doc_feat = (
+        feat.groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    totals = doc_feat.agg(
+        F.sum("n").alias("ns"),
+        F.sum(F.when(F.col("doc_id") % 7 == 0, F.col("n")).otherwise(0)).alias(
+            "nt"
+        ),
+    ).collect()[0]
+    nt, ns = int(totals["nt"]), int(totals["ns"])
+    tgt = (
+        doc_feat.filter("doc_id % 7 = 0").groupBy("b").agg(F.sum("n").alias("ct"))
+    )
+    src = doc_feat.groupBy("b").agg(F.sum("n").alias("cs"))
+    bucket_w = src.join(tgt, "b", "left").select(
+        "b",
+        F.expr(
+            f"CAST(round((ln((coalesce(ct, 0) + 1.0) / ({nt} + {buckets})) "
+            f"- ln((cs + 1.0) / ({ns} + {buckets}))) * 1000000) AS BIGINT)"
+        ).alias("w_u"),
+    )
+    return (
+        doc_feat.join(F.broadcast(bucket_w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("n") * F.col("w_u")).alias("w_sum"),
+            F.sum("n").alias("n_feats"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_feats").cast("long").alias("n_feats"),
+            F.expr(
+                "round(CAST(w_sum AS DOUBLE) / n_feats / 1000000, 4)"
+            ).alias("avg_log_ratio"),
+            F.expr("CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END").alias(
+                "in_target"
+            ),
+        )
+    )
+
+
+def _bigram_pmi_spark(spark, sf_dir):
+    """token_bigram_pmi on the engine path: the SQL dialect references
+    the exploded bigram rows twice (the thresholded model AND the corpus
+    total) and Spark inlines CTEs, so the tokenize→bigram→explode chain
+    ran twice plus the unigram chain (10.6s at sf0.1). Here the bigram
+    and unigram count tables — both VOCABULARY-sized — are each built
+    once and localCheckpointed; the corpus totals become O(1) driver
+    literals. The PMI expression mirrors the SQL dialect's text
+    character-for-character (same cast point, same left-assoc multiply
+    order) so the micro-nat values hash identically to the oracle."""
+    from pyspark.sql import functions as F
+
+    min_count = 5
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    toks = docs.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')").alias(
+            "tokens"
+        ),
+    )
+    uni = (
+        toks.select(F.explode("tokens").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    bigall = (
+        toks.filter(F.size("tokens") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform({_seq1('size(tokens) - 1')}, "
+                    "i -> concat(element_at(tokens, i), ' ', element_at(tokens, i + 1)))"
+                )
+            ).alias("bg")
+        )
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .localCheckpoint(eager=True)
+    )
+    n = int(uni.agg(F.sum("c")).collect()[0][0])
+    m = int(bigall.agg(F.sum("c_xy")).collect()[0][0])
+    big = bigall.filter(F.col("c_xy") >= min_count)
+    ux = uni.select(F.col("tok").alias("w1"), F.col("c").alias("cx"))
+    uy = uni.select(F.col("tok").alias("w2"), F.col("c").alias("cy"))
+    return (
+        big.select(
+            F.expr("split_part(bg, ' ', 1)").alias("w1"),
+            F.expr("split_part(bg, ' ', 2)").alias("w2"),
+            F.col("c_xy").cast("long").alias("c_xy"),
+        )
+        .join(F.broadcast(ux), "w1")
+        .join(F.broadcast(uy), "w2")
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            F.expr(
+                f"CAST(round(ln(CAST(c_xy AS DOUBLE) * {n} * {n} "
+                f"/ ({m} * cx * cy)) * 1000000) AS BIGINT)"
+            ).alias("pmi_u"),
+        )
+    )
+
+
 def _ivf_spark(spark, sf_dir):
     """ann_ivf (one-step coarse quantizer: the first 8 vectors ARE the
     centroids) in DataFrame form — literal-centroid assignment like the
@@ -5526,6 +5682,8 @@ _SPARK_OVERRIDES = {
     "ann_ivf_fitted": _ivf_fitted_spark,
     "ann_ivf_multiprobe": _ivf_multiprobe_spark,
     "semdedup_prune": _semdedup_spark,
+    "dsir_importance_weights": _dsir_spark,
+    "token_bigram_pmi": _bigram_pmi_spark,
     "ann_pq_adc": _pq_adc_spark,
     "ann_pq_recall_at_k": _pq_recall_spark,
     "ann_ivfpq_adc": _ivfpq_spark,
