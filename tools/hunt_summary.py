@@ -74,7 +74,16 @@ def main(paths: list[str]) -> None:
             if any(start_t < pe and r.get("t", 0) > ps for ps, pe in pauses):
                 excluded += 1
                 continue
-            geoms.setdefault((r["ev"], r.get("pair", "?")), []).append(r)
+            # early r4 hunter rounds predate the pair tag — derive the
+            # geometry from the lo/hi core fields (the documented
+            # counting rule; those rounds all ran the 1x corpus)
+            pair = r.get("pair") or (
+                f"{r['lo']['cores']}to{r['hi']['cores']}"
+                if isinstance(r.get("lo"), dict) and isinstance(r.get("hi"), dict)
+                and "cores" in r["lo"] and "cores" in r["hi"]
+                else "?"
+            )
+            geoms.setdefault((r["ev"], pair), []).append(r)
     if excluded:
         print(f"(excluded {excluded} round(s) overlapping recorded external pauses)")
 
