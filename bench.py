@@ -58,6 +58,7 @@ HEADLINE_QUERIES = [
     "robots_gate",
     "credentials_attach",
     "frontier_digest",
+    "url_canonicalize_dedup",
     "seen_antijoin",
     "redirect_final_hop",
     "dedup_exact",
