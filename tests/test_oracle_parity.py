@@ -417,3 +417,42 @@ def test_dsir_weights_separate_target(duck):
     rest = [w for _, _, w, it in rows if it == 0]
     assert tgt and rest
     assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
+
+
+# edge URLs -> expected canonical forms, exercising every normalization
+# branch the synthetic fixture can't: https default port, scheme case,
+# tracking-only query, missing path, non-default port preserved, the
+# 'utmx' near-miss (substr prefix test, NOT the LIKE 'utm_%' metachar
+# trap), and path-case preservation under authority lowercasing.
+URL_CANON_CASES = [
+    (1, "https://Host.Example.TEST:443/", "https://host.example.test/"),
+    (2, "http://h.example/x?utm_source=a&utm_medium=b", "http://h.example/x"),
+    (3, "http://h.example", "http://h.example/"),
+    (4, "HtTp://H.example/A/B/?z=1&y=2#f", "http://h.example/A/B?y=2&z=1"),
+    (5, "http://h.example/p?ref=x&a=1", "http://h.example/p?a=1"),
+    (6, "http://h.example:8080/p", "http://h.example:8080/p"),
+    (7, "http://h.example/p?utmx=1", "http://h.example/p?utmx=1"),
+    (8, "http://h.example/deep/path/", "http://h.example/deep/path"),
+    (9, "http://h.example/p?gclid=1&fbclid=2&ref=3", "http://h.example/p"),
+]
+
+
+def _url_canon_sql(d: str) -> str:
+    from wcm_spark.datapipe.queries import _url_canon_ctes
+
+    vals = ", ".join(f"({i}, '{u}')" for i, u, _ in URL_CANON_CASES)
+    return (
+        f"WITH raw AS (SELECT * FROM (VALUES {vals}) AS t(seq, raw_url)), "
+        f"{_url_canon_ctes(d)} "
+        "SELECT seq, canonical_url FROM canon ORDER BY seq"
+    )
+
+
+def test_url_canonicalize_edge_cases_duck(duck):
+    got = duck.execute(_url_canon_sql("duck")).fetchall()
+    assert got == [(i, c) for i, _, c in URL_CANON_CASES]
+
+
+def test_url_canonicalize_edge_cases_spark(spark):
+    got = [(r[0], r[1]) for r in spark.sql(_url_canon_sql("spark")).collect()]
+    assert got == [(i, c) for i, _, c in URL_CANON_CASES]

@@ -310,60 +310,23 @@ FROM (
 ) t WHERE rk <= {topk}"""
 
 
-@register("url_canonicalize_dedup")
-def _q_url_canonicalize(d, sf):
-    """Canonical-URL dedup: normalize each raw URL to its canonical form
-    (fragment strip → authority lowercase → default-port elision →
-    tracking-param removal → query-param sort → trailing-slash trim),
-    then collapse duplicates keeping the earliest seq. The reference
-    dedups on the EXACT url string's md5 (Queue/Memory.pm:37-46) after
-    syntactic resolution (ScraperUtil.pm resolve_href), so
-    `http://A.example/x?b=2&a=1#f` and `http://a.example/x?a=1&b=2`
-    enqueue twice; at 10^10-URL frontier scale canonical-form dedup
-    ahead of the seen set is the difference between fetching the
-    tracking-param explosion once or per-variant.
-
-    Fixture: every 3 consecutive seqs share one base URL, decorated
-    three ways (uppercase authority + :80 + unsorted params; trailing
-    slash + utm_/fbclid tracking params; fragment) — all three
-    canonicalize to the same URL, path case preserved.
-
-    Cross-engine exactness: pure string/list ops only — split_part
-    (literal delimiters, no regex metachar traps), substr prefix tests
-    instead of LIKE for 'utm\\_' (underscore is a LIKE metachar),
-    array_sort/list_sort for the canonical param order.
-
-    100 TB shape: a per-row projection + ONE hash aggregate on the
-    canonical string — no join, no window, no regex backtracking in the
-    hot path; Catalyst keeps the whole chain in one codegen stage."""
+def _url_canon_ctes(d: str, src: str = "raw") -> str:
+    """The canonical-URL normalization chain as reusable CTE text over a
+    source relation ``src(seq, raw_url)`` — fragment strip → authority
+    lowercase → default-port elision (http :80 / https :443) →
+    tracking-param removal (utm_*, fbclid, gclid, ref) → query-param
+    sort → trailing-slash trim. Ends with ``canon(seq, raw_url,
+    canonical_url)``. Pure string/list expressions, identical semantics
+    in both dialects (see url_canonicalize_dedup for the traps each
+    primitive avoids)."""
     f = _fn(d)
     srt = "array_sort" if d == "spark" else "list_sort"
-    s = f["STR"]
     keep = (
         f"x -> x != '' AND substr(x, 1, 4) != 'utm_' "
         f"AND NOT split_part(x, '=', 1) IN ('fbclid', 'gclid', 'ref')"
     )
-    return f"""WITH {_frontier_cte(d, sf)},
-fam AS (
-  SELECT seq, {_idiv('seq', 3, d)} AS fam_id, CAST(seq % 3 AS INT) AS v
-  FROM frontier
-),
-raw AS (
-  SELECT seq,
-    CASE v
-      WHEN 0 THEN 'HTTP://HOST' || CAST(fam_id % 37 AS {s}) || '.EXAMPLE.TEST:80/Doc/'
-        || CAST(fam_id AS {s}) || '?b=2&a=' || CAST(fam_id % 5 AS {s})
-      WHEN 1 THEN 'http://host' || CAST(fam_id % 37 AS {s}) || '.example.test/Doc/'
-        || CAST(fam_id AS {s}) || '/?utm_source=rss&a=' || CAST(fam_id % 5 AS {s})
-        || '&b=2&fbclid=x' || CAST(seq AS {s})
-      ELSE 'http://host' || CAST(fam_id % 37 AS {s}) || '.example.test/Doc/'
-        || CAST(fam_id AS {s}) || '?a=' || CAST(fam_id % 5 AS {s})
-        || '&b=2#sec-' || CAST(seq % 4 AS {s})
-    END AS raw_url
-  FROM fam
-),
-defrag AS (
-  SELECT seq, raw_url, split_part(raw_url, '#', 1) AS u FROM raw
+    return f"""defrag AS (
+  SELECT seq, raw_url, split_part(raw_url, '#', 1) AS u FROM {src}
 ),
 parts AS (
   SELECT seq, raw_url, u,
@@ -396,7 +359,56 @@ canon AS (
             THEN '?' || {f['AJOIN']}({srt}({f['LFILTER']}({f['SPLIT']}(query, '&'), {keep})), '&')
             ELSE '' END AS canonical_url
   FROM norm
-)
+)"""
+
+
+@register("url_canonicalize_dedup")
+def _q_url_canonicalize(d, sf):
+    """Canonical-URL dedup: normalize each raw URL to its canonical form
+    (fragment strip → authority lowercase → default-port elision →
+    tracking-param removal → query-param sort → trailing-slash trim),
+    then collapse duplicates keeping the earliest seq. The reference
+    dedups on the EXACT url string's md5 (Queue/Memory.pm:37-46) after
+    syntactic resolution (ScraperUtil.pm resolve_href), so
+    `http://A.example/x?b=2&a=1#f` and `http://a.example/x?a=1&b=2`
+    enqueue twice; at 10^10-URL frontier scale canonical-form dedup
+    ahead of the seen set is the difference between fetching the
+    tracking-param explosion once or per-variant.
+
+    Fixture: every 3 consecutive seqs share one base URL, decorated
+    three ways (uppercase authority + :80 + unsorted params; trailing
+    slash + utm_/fbclid tracking params; fragment) — all three
+    canonicalize to the same URL, path case preserved.
+
+    Cross-engine exactness: pure string/list ops only — split_part
+    (literal delimiters, no regex metachar traps), substr prefix tests
+    instead of LIKE for 'utm\\_' (underscore is a LIKE metachar),
+    array_sort/list_sort for the canonical param order.
+
+    100 TB shape: a per-row projection + ONE hash aggregate on the
+    canonical string — no join, no window, no regex backtracking in the
+    hot path; Catalyst keeps the whole chain in one codegen stage."""
+    s = _fn(d)["STR"]
+    return f"""WITH {_frontier_cte(d, sf)},
+fam AS (
+  SELECT seq, {_idiv('seq', 3, d)} AS fam_id, CAST(seq % 3 AS INT) AS v
+  FROM frontier
+),
+raw AS (
+  SELECT seq,
+    CASE v
+      WHEN 0 THEN 'HTTP://HOST' || CAST(fam_id % 37 AS {s}) || '.EXAMPLE.TEST:80/Doc/'
+        || CAST(fam_id AS {s}) || '?b=2&a=' || CAST(fam_id % 5 AS {s})
+      WHEN 1 THEN 'http://host' || CAST(fam_id % 37 AS {s}) || '.example.test/Doc/'
+        || CAST(fam_id AS {s}) || '/?utm_source=rss&a=' || CAST(fam_id % 5 AS {s})
+        || '&b=2&fbclid=x' || CAST(seq AS {s})
+      ELSE 'http://host' || CAST(fam_id % 37 AS {s}) || '.example.test/Doc/'
+        || CAST(fam_id AS {s}) || '?a=' || CAST(fam_id % 5 AS {s})
+        || '&b=2#sec-' || CAST(seq % 4 AS {s})
+    END AS raw_url
+  FROM fam
+),
+{_url_canon_ctes(d)}
 SELECT canonical_url,
        CAST(count(*) AS BIGINT) AS n_variants,
        CAST(min(seq) AS BIGINT) AS kept_seq,
