@@ -122,6 +122,7 @@ HEADLINE_QUERIES = [
     "image_aspect_bucket",
     "image_caption_neardup",
     "image_exact_dedup",
+    "image_pixel_dedup",
     "broken_links_report",
     # ninth session: the last pytest-only operator rows in driver signal
     "form_weave_goldens",

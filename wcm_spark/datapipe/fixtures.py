@@ -48,6 +48,8 @@ __all__ = [
     "CRAWL_FIXTURE",
     "SCRAPE_FIXTURE",
     "images_table_path",
+    "images_reenc_table_path",
+    "image_pixel_dedup_oracle_sql",
     "IMAGES_FIXTURE_N",
 ]
 
@@ -771,6 +773,104 @@ def _images_table_path_cached(n_base: int) -> str:
     pq.write_table(table, tmp)
     os.replace(tmp, path)  # atomic: concurrent builders race benignly
     return path
+
+
+def images_reenc_table_path() -> str:
+    """North-rule image table PLUS induced pixel-duplicate re-encodings
+    (image_id, bytes): for every base-table row with phash % 3 == 0 a
+    second payload with IDENTICAL decoded pixels but DIFFERENT bytes —
+    the wclz container recompressed at another zlib level, i.e. the
+    recompressed-PNG mirror/CDN dup shape a byte-digest dedup
+    (image_exact_dedup) structurally cannot see. Env resolution follows
+    images_table_path (WCM_IMAGES_N at build time) so Spark query and
+    DuckDB oracle always resolve the same file within one process —
+    capped at 2000 bases (WCM_IMAGES_REENC_CAP): the variant payloads
+    are decoded + recompressed DRIVER-side in this pure-Python builder,
+    and bench's 8000-base sweep table would spend ~15 s building a
+    fixture whose distributed consumer (mapInPandas decode + one hash
+    aggregate) is size-independent anyway."""
+    cap = int(os.environ.get("WCM_IMAGES_REENC_CAP", 2000))
+    n_base = min(int(os.environ.get("WCM_IMAGES_N", IMAGES_FIXTURE_N)), cap)
+    return _images_reenc_table_path_cached(n_base)
+
+
+@functools.lru_cache(maxsize=None)
+def _images_reenc_table_path_cached(n_base: int) -> str:
+    import struct
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # _MAGIC is the codec container's magic registry; building the
+    # variant payload by hand (instead of encode_image, which pins zlib
+    # level 6) is the entire point: same pixels, different byte stream.
+    from ..images import _MAGIC, LOSSLESS_FMT, decode_image
+
+    src = pq.read_table(_images_table_path_cached(n_base))
+    rows = []
+    for iid, data, ph in zip(
+        src["image_id"].to_pylist(),
+        src["bytes"].to_pylist(),
+        src["phash"].to_pylist(),
+    ):
+        rows.append({"image_id": iid, "bytes": data})
+        if ph % 3 == 0:
+            arr, _fmt = decode_image(data)
+            h, w = arr.shape[:2]
+            variant = (
+                _MAGIC[LOSSLESS_FMT]
+                + struct.pack("<HH", w, h)
+                + zlib.compress(arr.tobytes(), 1)
+            )
+            # the fixture must never degenerate into a byte-dedup case
+            assert variant != data, iid
+            rows.append({"image_id": f"{iid}/reenc", "bytes": variant})
+
+    d = os.path.join(tempfile.gettempdir(), "wcm_fixtures")
+    os.makedirs(d, exist_ok=True)
+    h8 = hashlib.md5()
+    for r in rows:
+        h8.update(r["image_id"].encode())
+        h8.update(hashlib.md5(r["bytes"]).digest())
+    path = os.path.join(d, f"images_reenc_{n_base}_{h8.hexdigest()[:10]}.parquet")
+    if os.path.exists(path):
+        return path
+    table = pa.Table.from_pylist(
+        rows, schema=pa.schema([("image_id", pa.string()), ("bytes", pa.binary())])
+    )
+    tmp = f"{path}.tmp{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)  # atomic: concurrent builders race benignly
+    return path
+
+
+def image_pixel_dedup_oracle_sql() -> str:
+    """Expected pixel-level dedup over the re-encoding fixture: pixel
+    and byte digests computed driver-side with the same numpy codec the
+    executors run (the multimodal-oracle pattern — the generator
+    determines the ground truth, the Spark side must DECODE its way back
+    to it)."""
+    import pyarrow.parquet as pq
+
+    from ..images import decode_image
+
+    t = pq.read_table(images_reenc_table_path())
+    vals = []
+    for iid, data in zip(t["image_id"].to_pylist(), t["bytes"].to_pylist()):
+        arr, _fmt = decode_image(data)
+        px = hashlib.md5(arr.tobytes()).hexdigest()
+        bd = hashlib.md5(data).hexdigest()
+        vals.append(f"({_sql_str(iid)}, {_sql_str(px)}, {_sql_str(bd)})")
+    return f"""WITH px AS (
+  SELECT * FROM (VALUES {', '.join(vals)}) t(image_id, pixel_digest, byte_digest)
+)
+SELECT pixel_digest,
+       min(image_id) AS keeper_id,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(count(DISTINCT byte_digest) AS BIGINT) AS n_encodings
+FROM px
+GROUP BY pixel_digest"""
 
 
 # ---------------------------------------------------------------------------

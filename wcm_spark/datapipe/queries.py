@@ -6378,6 +6378,56 @@ def _q_mm_audio(spark, sf_dir):
     )
 
 
+@spark_only("image_pixel_dedup")
+def _q_image_pixel_dedup(spark, sf_dir):
+    """Pixel-level exact image dedup: decode every payload (Arrow-batched
+    mapInPandas, the engine's own codecs) and collapse on the md5 of the
+    DECODED pixel buffer — catching same-pixels-different-bytes mirrors
+    (recompressed containers, CDN re-encodes) that image_exact_dedup's
+    byte digest structurally cannot. n_encodings > 1 on a family is the
+    proof the byte digest would have missed it. The north rule's
+    fidelity invariant is decoded-pixel equality (BASELINE.json
+    input_hint), so the dedup key lives at the same level.
+
+    100 TB shape: payload bytes cross the Python boundary exactly once;
+    the output is a 2-string projection per image (pixels discarded in
+    the executor), then ONE hash aggregate on the digest — no pair join,
+    no window. Callers repartition by by_payload_budget for multi-MB
+    payloads (datapipe/multimodal.py)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from .fixtures import images_reenc_table_path
+
+    src = spark.read.parquet(images_reenc_table_path())
+
+    def run(batches):
+        import hashlib
+
+        from ..images import decode_image
+
+        for pdf in batches:
+            ids, px, bd = [], [], []
+            for iid, data in zip(pdf["image_id"], pdf["bytes"]):
+                raw = bytes(data)
+                arr, _fmt = decode_image(raw)
+                ids.append(iid)
+                px.append(hashlib.md5(arr.tobytes()).hexdigest())
+                bd.append(hashlib.md5(raw).hexdigest())
+            yield pd.DataFrame(
+                {"image_id": ids, "pixel_digest": px, "byte_digest": bd}
+            )
+
+    decoded = src.mapInPandas(
+        run, schema="image_id string, pixel_digest string, byte_digest string"
+    )
+    return decoded.groupBy("pixel_digest").agg(
+        F.min("image_id").alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.countDistinct("byte_digest").alias("n_encodings"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # public registry
 # ---------------------------------------------------------------------------
@@ -6493,6 +6543,7 @@ def oracle_sqls() -> dict[str, str]:
         crawl_bfs_oracle_sql,
         form_weave_oracle_sql,
         image_pipeline_oracle_sql,
+        image_pixel_dedup_oracle_sql,
         multimodal_audio_oracle_sql,
         multimodal_image_meta_oracle_sql,
         multimodal_resize_oracle_sql,
@@ -6513,6 +6564,7 @@ def oracle_sqls() -> dict[str, str]:
     out["xml_script_guard_e2e"] = xml_script_guard_oracle_sql()
     out["broken_links_report"] = broken_links_oracle_sql()
     out["image_pipeline"] = image_pipeline_oracle_sql()
+    out["image_pixel_dedup"] = image_pixel_dedup_oracle_sql()
     out["image_caption_stats"] = _image_caption_stats_oracle_sql()
     out["multimodal_image_meta"] = multimodal_image_meta_oracle_sql()
     out["multimodal_resize"] = multimodal_resize_oracle_sql()
