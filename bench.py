@@ -1003,6 +1003,21 @@ def main():
                     "uniform": skew.get("uniform", {}).get("urls_per_sec"),
                     "zipf": skew.get("zipf_hot_half", {}).get("urls_per_sec"),
                     "cap": skew.get("cap_max_conn_per_host"),
+                    # sec/wave ratio: the structural skew signal — ~1 or
+                    # below means the salted cut absorbed the hot host
+                    # and any urls/s gap is politeness-mandated wave
+                    # count x fixed per-wave cost, not a straggler
+                    # (see BENCH/BASELINE.md round-5 skew correction)
+                    "sec_per_wave_zipf_over_uniform": (
+                        round(
+                            (skew["zipf_hot_half"]["sec"] / max(skew["zipf_hot_half"].get("waves", 1), 1))
+                            / max(skew["uniform"]["sec"] / max(skew["uniform"].get("waves", 1), 1), 1e-9),
+                            3,
+                        )
+                        if skew.get("uniform", {}).get("waves")
+                        and skew.get("zipf_hot_half", {}).get("waves")
+                        else None
+                    ),
                 }
                 if skew and "error" not in skew else skew
             ),
