@@ -24,6 +24,21 @@ def recommended_sql_confs() -> dict[str, str]:
         "spark.sql.adaptive.enabled": os.environ.get("WCM_AQE", "false"),
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        # InferFiltersFromGenerate synthesizes `size(arr) > 0` under every
+        # non-outer explode; filter pushdown then substitutes the WHOLE
+        # array-building expression into that filter and pushes it below
+        # any exchange — so the tokenize->shingle/chunk chains of the
+        # text-pipeline queries were evaluated twice, with the first
+        # evaluation on the un-repartitioned scan split (1-2 cores).
+        # Measured: passage_dedup_rate 28.4s -> 1.8s at sf1.0/local[32].
+        # Every Generate in this engine explodes a COMPUTED array (tokens,
+        # shingles, subvectors), never a scan column the inferred filter
+        # could prune at the source, so the rule is pure duplicated work
+        # here at any scale. Override with WCM_EXCLUDED_OPT_RULES.
+        "spark.sql.optimizer.excludedRules": os.environ.get(
+            "WCM_EXCLUDED_OPT_RULES",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        ),
     }
 
 
