@@ -68,6 +68,51 @@ def test_oracle_parity(name, spark, duck):
     )
 
 
+#: duck logical type -> the numeric class the DRIVER's hash sees after
+#: its pandas fetch (HUGEINT has no int64 representation and lands as
+#: float64 — CORRECTNESS_r05's two hash fails were exactly this).
+def _duck_numclass(t: str):
+    t = str(t).upper()
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT"):
+        return "int"
+    if t in ("HUGEINT", "UHUGEINT", "FLOAT", "DOUBLE"):
+        return "float"
+    return None
+
+
+def _spark_numclass(dt) -> str | None:
+    s = dt.simpleString()
+    if s in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if s in ("float", "double"):
+        return "float"
+    return None
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_numeric_dtype_parity(name, spark, duck):
+    """Driver-hash rehearsal the value test above cannot do: the driver
+    fetches the oracle via pandas, where HUGEINT becomes float64, so a
+    Spark BIGINT column against a duck HUGEINT column hash-mismatches on
+    dtype even when every value is identical (the r5 failure class).
+    Types come from binding only — nothing is executed."""
+    rel = duck.sql(ORACLES[name])
+    duck_classes = {
+        c: _duck_numclass(t) for c, t in zip(rel.columns, rel.types)
+    }
+    sdf = QUERIES[name](spark, SF_DIR)
+    for f in sdf.schema.fields:
+        want = duck_classes.get(f.name)
+        got = _spark_numclass(f.dataType)
+        if want is None or got is None:
+            continue
+        assert got == want, (
+            f"{name}.{f.name}: spark {f.dataType.simpleString()} vs duck "
+            f"{dict(zip(rel.columns, [str(t) for t in rel.types]))[f.name]} "
+            f"— the driver's pandas fetch would hash these as {want} vs {got}"
+        )
+
+
 def test_neardup_cluster_convergence(duck):
     """NEARDUP_CC_ITERS must cover the fixture's largest cluster diameter:
     the fixed-depth propagation equals a 2-hops-deeper run."""

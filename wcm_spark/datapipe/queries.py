@@ -76,6 +76,16 @@ def _xor(a: str, b: str, d: str) -> str:
     return f"({a} ^ {b})" if d == "spark" else f"xor({a}, {b})"
 
 
+def _hugeint_as_double(expr: str, d: str) -> str:
+    """DuckDB's sum() over integers yields HUGEINT, which the driver's
+    hash fetches via pandas as float64; Spark's BIGINT for the same
+    column then hash-mismatches on int-vs-float (CORRECTNESS_r05:
+    embedding_int8_quant, sequence_packing — values identical). The
+    oracle text is frozen, so the fix is Spark-side only: emit DOUBLE
+    where the oracle emits HUGEINT."""
+    return f"CAST({expr} AS DOUBLE)" if d == "spark" else expr
+
+
 def _idiv(a: str, b: int, d: str) -> str:
     """Exact integer division (never a double round-trip)."""
     return f"({a} div {b})" if d == "spark" else f"({a} // {b})"
@@ -2594,7 +2604,7 @@ SELECT vec_id,
        round(sqrt(avg((x - code * mx / 127) * (x - code * mx / 127))), 6)
          AS rms_err,
        round(max(abs(x - code * mx / 127)), 6) AS max_abs_err,
-       sum(CASE WHEN abs(code) >= 127 THEN 1 ELSE 0 END) AS saturated_dims
+       {_hugeint_as_double("sum(CASE WHEN abs(code) >= 127 THEN 1 ELSE 0 END)", d)} AS saturated_dims
 FROM coded
 GROUP BY vec_id
 ORDER BY vec_id"""
@@ -3210,10 +3220,10 @@ cnt AS (
 ),
 packed AS (
   SELECT doc_id, shard, n_tok,
-         sum(n_tok) OVER (
+         {_hugeint_as_double('''sum(n_tok) OVER (
            PARTITION BY shard ORDER BY doc_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-         ) - n_tok AS start_off
+         ) - n_tok''', d)} AS start_off
   FROM cnt
 )
 SELECT doc_id, shard, n_tok, start_off,
