@@ -397,11 +397,18 @@ def _q_url_canonicalize(d, sf):
 
     100 TB shape: a per-row projection + ONE hash aggregate on the
     canonical string — no join, no window, no regex backtracking in the
-    hot path; Catalyst keeps the whole chain in one codegen stage."""
+    hot path; Catalyst keeps the whole chain in one codegen stage.
+
+    Spark-side REPARTITION hint (r6, guide §2.4/§6): the documents scan
+    is one parquet split, so without an exchange below the
+    regex+lambda-heavy canon chain the whole query ran on ONE core
+    (measured 29.7s at sf1.0/local[32]; the _tokens_cte lesson applied
+    to the frontier family's one expensive member)."""
     s = _fn(d)["STR"]
+    hint = "/*+ REPARTITION */ " if d == "spark" else ""
     return f"""WITH {_frontier_cte(d, sf)},
 fam AS (
-  SELECT seq, {_idiv('seq', 3, d)} AS fam_id, CAST(seq % 3 AS INT) AS v
+  SELECT {hint}seq, {_idiv('seq', 3, d)} AS fam_id, CAST(seq % 3 AS INT) AS v
   FROM frontier
 ),
 raw AS (
@@ -4717,32 +4724,40 @@ def _ann_lsh_spark(spark, sf_dir):
             "acc + CASE WHEN element_at(__prs, p + 1) > 0 THEN power(2, p) "
             "ELSE 0.0D END) AS BIGINT)"
         )
+        # r6: the vector norm rides the memoized checkpoint — computed
+        # once per vector instead of once per CANDIDATE PAIR in the
+        # verify join (identical doubles: same aggregate over the same
+        # array, only evaluated earlier)
         return (
             emb.withColumn("__prs", _hyperplane_prs_col("pl", 8))
-            .select("vec_id", bucket.alias("bucket"), "v")
+            .select(
+                "vec_id", bucket.alias("bucket"), "v",
+                F.expr(
+                    "sqrt(aggregate(v, CAST(0.0 AS DOUBLE), "
+                    "(acc, t) -> acc + t * t))"
+                ).alias("nv"),
+            )
             .localCheckpoint(eager=True)
         )
 
     b = _app_cached(spark, f"lsh_bucket8:{sf_dir}", build)
-    a = b.select(F.col("vec_id").alias("vec_a"), "bucket", F.col("v").alias("va"))
-    c = b.select(F.col("vec_id").alias("vec_b"), "bucket", F.col("v").alias("vb"))
+    a = b.select(
+        F.col("vec_id").alias("vec_a"), "bucket", F.col("v").alias("va"),
+        F.col("nv").alias("na"),
+    )
+    c = b.select(
+        F.col("vec_id").alias("vec_b"), "bucket", F.col("v").alias("vb"),
+        F.col("nv").alias("nb"),
+    )
     dot = (
         "aggregate(zip_with(va, vb, (x, y) -> x * y), "
         "CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
     )
 
-    def norm(col):
-        return (
-            f"sqrt(aggregate({col}, CAST(0.0 AS DOUBLE), "
-            "(acc, t) -> acc + t * t))"
-        )
-
     return (
         a.join(c, "bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn(
-            "cosine", F.expr(f"round({dot} / ({norm('va')} * {norm('vb')}), 4)")
-        )
+        .withColumn("cosine", F.expr(f"round({dot} / (na * nb), 4)"))
         .filter(F.col("cosine") >= gate)
         .select("vec_a", "vec_b", "bucket", "cosine")
     )
@@ -4786,25 +4801,28 @@ def _embedding_neardup_spark(spark, sf_dir):
         )
         .dropDuplicates(["vec_a", "vec_b"])
     )
-    va = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    vb = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    # r6: norms computed once per VECTOR on the join inputs, not once per
+    # candidate pair in the verify projection (identical doubles — same
+    # aggregate over the same array, evaluated before the join instead
+    # of after)
+    nv = F.expr(
+        "sqrt(aggregate(v, CAST(0.0 AS DOUBLE), (acc, t) -> acc + t * t))"
+    )
+    va = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), nv.alias("na")
+    )
+    vb = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), nv.alias("nb")
+    )
     dot = (
         "aggregate(zip_with(va, vb, (x, y) -> x * y), "
         "CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
     )
 
-    def norm(col):
-        return (
-            f"sqrt(aggregate({col}, CAST(0.0 AS DOUBLE), "
-            "(acc, t) -> acc + t * t))"
-        )
-
     return (
         cand.join(va, "vec_a")
         .join(vb, "vec_b")
-        .withColumn(
-            "cosine", F.expr(f"round({dot} / ({norm('va')} * {norm('vb')}), 4)")
-        )
+        .withColumn("cosine", F.expr(f"round({dot} / (na * nb), 4)"))
         .filter(F.col("cosine") >= gate)
         .select("vec_a", "vec_b", "label", "cosine")
     )
@@ -4900,17 +4918,6 @@ def _semdedup_spark(spark, sf_dir):
     gate = SYNTHETIC_GATES["semdedup_prune"]["min_cosine"]
     asg = _ivf_final_asg_df(spark, sf_dir)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    withv = asg.join(emb, "vec_id")
-    a = withv.select(
-        F.col("vec_id").alias("vid_a"), "cell", F.col("embedding").alias("ea")
-    )
-    b = withv.select(
-        F.col("vec_id").alias("vid_b"), "cell", F.col("embedding").alias("eb")
-    )
-    dot = (
-        "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
 
     def norm(c):
         return (
@@ -4918,7 +4925,21 @@ def _semdedup_spark(spark, sf_dir):
             "(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
         )
 
-    cos = F.expr(f"{dot} / ({norm('ea')} * {norm('eb')})")
+    # r6: per-vector norms on the join inputs, not per candidate pair
+    withv = asg.join(emb, "vec_id").withColumn("__ne", F.expr(norm("embedding")))
+    a = withv.select(
+        F.col("vec_id").alias("vid_a"), "cell", F.col("embedding").alias("ea"),
+        F.col("__ne").alias("__na"),
+    )
+    b = withv.select(
+        F.col("vec_id").alias("vid_b"), "cell", F.col("embedding").alias("eb"),
+        F.col("__ne").alias("__nb"),
+    )
+    dot = (
+        "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    cos = F.expr(f"{dot} / (__na * __nb)")
     dups = (
         a.join(b, "cell")
         .filter(F.col("vid_b") < F.col("vid_a"))
@@ -4936,6 +4957,120 @@ def _semdedup_spark(spark, sf_dir):
             .otherwise(F.lit("drop"))
             .alias("action"),
         )
+    )
+
+
+def _stratified_spark(spark, sf_dir):
+    """stratified_sample with the feature chain evaluated ONCE: the SQL
+    form's three-disjunct WHERE references the stratum label, so Catalyst
+    pushes it into the scan and substitutes the tokenize+regex feature
+    expressions into every disjunct — six interpreted evaluations per row
+    (plans/r06/stratified_sample_before: the pushed Filter repeats
+    regexp_extract_all/split six times and drops out of codegen). Here
+    the labeled frame (doc_id, n_chars, stratum, h — text already
+    dropped) materializes behind a checkpoint barrier and the sampling
+    filter runs over those four columns. Same expressions, same rows."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    labeled = (
+        docs.select(
+            "doc_id",
+            "n_chars",
+            F.expr(
+                "CAST(size(regexp_extract_all(lower(text), "
+                f"{_rx(_STOPWORD_RAW, 'spark')}, 1)) AS BIGINT)"
+            ).alias("stop_hits"),
+            F.expr(
+                "CAST(size(filter(split(lower(text), '[^a-z0-9]+'), "
+                "x -> x != '')) AS BIGINT)"
+            ).alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            F.expr(
+                "CASE WHEN n_tokens = 0 THEN 'und' "
+                "WHEN CAST(stop_hits AS DOUBLE) / n_tokens >= 0.08 THEN 'en' "
+                "ELSE 'other' END"
+            ).alias("stratum"),
+            F.expr(
+                "cast(conv(substr(md5('smp' || CAST(doc_id AS STRING)), 1, 4), "
+                "16, 10) as bigint)"
+            ).alias("h"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    return labeled.filter(
+        "(stratum = 'en' AND h < CAST(0.25 * 65536 AS BIGINT)) "
+        "OR (stratum = 'other' AND h < CAST(0.75 * 65536 AS BIGINT)) "
+        "OR (stratum = 'und' AND h < 65536)"
+    ).select("doc_id", "stratum", "n_chars")
+
+
+def _bm25_spark(spark, sf_dir, k1: float = 1.2, b: float = 0.75, topk: int = 3):
+    """bm25_topk with the exploded token aggregate computed ONCE: the SQL
+    form's tok_rows CTE is referenced 4 ways (tf, dl, df->qterms, scored)
+    and Catalyst inlines each — 4 scans + 8 Generate nodes, i.e. four
+    full tokenize passes over the corpus (plans/r06/bm25_topk_before).
+    Here tf materializes once (one tokenize+explode+aggregate) and
+    dl/df/stats/qterms all derive from it: dl = sum(tf) per doc is the
+    identical relation to count(*) over tok_rows. Scoring arithmetic is
+    textually the SQL builder's, so rounded scores match the oracle."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != "")
+            ).alias("tok"),
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dlen"))
+    stats = dl.agg(
+        F.expr("CAST(count(*) AS DOUBLE)").alias("n_docs"),
+        F.expr("avg(CAST(dlen AS DOUBLE))").alias("avg_len"),
+    )
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("qdf"))
+    rn_w = Window.orderBy(F.desc("qdf"), F.asc("tok"))
+    qterms = (
+        df_t.withColumn("rn", F.row_number().over(rn_w))
+        .filter("rn > 8 AND rn <= 14")
+        .select(
+            "tok", "qdf",
+            F.expr("CAST(floor(CAST(rn - 1 AS DOUBLE) / 2) AS INT)").alias("query_id"),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.expr(
+                f"sum(ln((n_docs - qdf + 0.5) / (qdf + 0.5) + 1.0)"
+                f" * (tf * ({k1} + 1.0))"
+                f" / (tf + {k1} * (1.0 - {b} + {b} * dlen / avg_len)))"
+            ).alias("score")
+        )
+    )
+    rk_w = Window.partitionBy("query_id").orderBy(
+        F.round("score", 6).desc(), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(rk_w))
+        .filter(F.col("rk") <= topk)
+        .select("query_id", "doc_id", F.round("score", 4).alias("score"), "rk")
     )
 
 
@@ -5130,20 +5265,24 @@ def _ivf_probe_top3(spark, sf_dir, asg):
             F.col("embedding").alias("q_emb"),
         )
     )
-    x = asg.join(emb, "vec_id").select(
-        F.col("vec_id").alias("cand_id"), "cell", F.col("embedding").alias("x_emb")
-    )
-    dot = (
-        "aggregate(zip_with(q_emb, x_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
     def norm(c):
         return (
             f"sqrt(aggregate({c}, CAST(0.0 AS DOUBLE), "
             "(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
         )
 
-    cos = F.expr(f"{dot} / ({norm('q_emb')} * {norm('x_emb')})")
+    # r6: norms ride the per-vector join inputs instead of re-deriving
+    # inside every pair expression (identical doubles, earlier evaluation)
+    q = q.withColumn("__nq", F.expr(norm("q_emb")))
+    x = asg.join(emb, "vec_id").select(
+        F.col("vec_id").alias("cand_id"), "cell", F.col("embedding").alias("x_emb"),
+        F.expr(norm("embedding")).alias("__nx"),
+    )
+    dot = (
+        "aggregate(zip_with(q_emb, x_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    cos = F.expr(f"{dot} / (__nq * __nx)")
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("__cos"), 6).desc(), F.col("cand_id")
     )
@@ -5200,21 +5339,23 @@ def _ivf_multiprobe_spark(spark, sf_dir):
         emb.select("vec_id", F.col("embedding").alias("q_emb")),
         qcells["query_id"] == F.col("vec_id"),
     ).select("query_id", "cell", "q_emb")
-    x = asg.join(emb, "vec_id").select(
-        F.col("vec_id").alias("cand_id"), "cell", F.col("embedding").alias("x_emb")
-    )
-    dot_qx = (
-        "aggregate(zip_with(q_emb, x_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-
     def norm(c):
         return (
             f"sqrt(aggregate({c}, CAST(0.0 AS DOUBLE), "
             "(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
         )
 
-    cos = F.expr(f"{dot_qx} / ({norm('q_emb')} * {norm('x_emb')})")
+    # r6: per-vector norms on the join inputs (see _ivf_probe_top3)
+    q = q.withColumn("__nq", F.expr(norm("q_emb")))
+    x = asg.join(emb, "vec_id").select(
+        F.col("vec_id").alias("cand_id"), "cell", F.col("embedding").alias("x_emb"),
+        F.expr(norm("embedding")).alias("__nx"),
+    )
+    dot_qx = (
+        "aggregate(zip_with(q_emb, x_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    cos = F.expr(f"{dot_qx} / (__nq * __nx)")
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("__cos"), 6).desc(), F.col("cand_id")
     )
@@ -5338,10 +5479,24 @@ def _pq_fit_from_sub(spark, sub, m: int, k: int, int_micro_avg: bool = False):
     cb1 = cb_literal(
         [(s, c, [d[p] for p in sorted(d)]) for (s, c), d in cells.items()]
     )
-    scored = sub.withColumn("d2s", dist_col(cb1)).localCheckpoint(eager=True)
-    codes = scored.select("vec_id", "s", code_of("d2s").alias("code"))
+    # r6: checkpoint the NARROW (vec_id, s, code) encode result instead of
+    # the full scored frame — the old eager checkpoint materialized d2s
+    # (n*m rows x k doubles, ~330 MB at 20k vectors) when downstream only
+    # ever reads the argmin; the per-query distance tables need d2s for
+    # vec_id < 10 only (10*m rows), recomputed in a second tiny job over
+    # the same expression (identical values — same literal, same rounding)
+    d1 = dist_col(cb1)
+    codes = (
+        sub.withColumn("d2s", d1)
+        .select("vec_id", "s", code_of("d2s").alias("code"))
+        .localCheckpoint(eager=True)
+    )
+    # qd is 10*m*k rows — eager-checkpointing it is one tiny job and
+    # spares every consumer (adc + recall run it twice per family) a
+    # re-analysis of the codebook-literal expression tree
     qd = (
-        scored.filter(F.col("vec_id") < 10)
+        sub.filter(F.col("vec_id") < 10)
+        .withColumn("d2s", d1)
         .select(
             F.col("vec_id").alias("query_id"),
             "s",
@@ -5350,6 +5505,7 @@ def _pq_fit_from_sub(spark, sub, m: int, k: int, int_micro_avg: bool = False):
         .select(
             "query_id", "s", F.col("code0").cast("int").alias("code"), "pd"
         )
+        .localCheckpoint(eager=True)
     )
     return codes, qd
 
@@ -5366,8 +5522,13 @@ def _pq_sub_df(spark, df_or_path, m: int, vec_col: str = "embedding"):
         if isinstance(df_or_path, str)
         else df_or_path
     )
+    # r6: repartition the RAW vectors (n rows) before the subvector
+    # explode instead of the exploded n*m rows after it — the slice
+    # projection then runs on every core rather than the scan's 1-2
+    # splits, and the shuffle moves the same bytes either way
     return (
-        src.select(
+        src.repartition(spark.sparkContext.defaultParallelism)
+        .select(
             "vec_id",
             F.posexplode(
                 F.expr(
@@ -5378,7 +5539,6 @@ def _pq_sub_df(spark, df_or_path, m: int, vec_col: str = "embedding"):
             ).alias("s", "xs"),
         )
         .select("vec_id", F.col("s").cast("int").alias("s"), "xs")
-        .repartition(spark.sparkContext.defaultParallelism)
         .localCheckpoint(eager=True)
     )
 
@@ -5801,6 +5961,8 @@ _SPARK_OVERRIDES = {
     "semdedup_prune": _semdedup_spark,
     "dsir_importance_weights": _dsir_spark,
     "token_bigram_pmi": _bigram_pmi_spark,
+    "bm25_topk": _bm25_spark,
+    "stratified_sample": _stratified_spark,
     "ann_pq_adc": _pq_adc_spark,
     "ann_pq_recall_at_k": _pq_recall_spark,
     "ann_ivfpq_adc": _ivfpq_spark,
