@@ -4042,15 +4042,61 @@ def _minhash_buckets_df(spark, sf_dir):
     )
 
 
+def _shingle_arrays_df(spark, sf_dir):
+    """Per-application memoized EAGER checkpoint of the per-doc DISTINCT
+    shingle ARRAYS (doc_id, toks) — the base frame of the whole LSH
+    family since r6. The signature minima, the docset verify arrays and
+    (when needed) the exploded token set all derive from it with per-doc
+    array expressions, so the chain pays ONE tokenize pass and ONE
+    materialization — the old shape exploded to a 2.6M-row token set and
+    shuffled it back through a groupBy for the signatures. Docs with no
+    shingle (< 3 tokens) are dropped here, exactly the rows the exploded
+    relation never produced."""
+    from pyspark.sql import functions as F
+
+    def build():
+        docs = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .repartition(spark.sparkContext.defaultParallelism)
+        )
+        toks = docs.select(
+            "doc_id",
+            F.filter(
+                F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != ""
+            ).alias("tokens"),
+        )
+        shingles = toks.select(
+            "doc_id",
+            F.expr(
+                f"transform({_seq1('size(tokens) - 2')}, "
+                "i -> concat(element_at(tokens, i), ' ', element_at(tokens, i + 1), "
+                "' ', element_at(tokens, i + 2)))"
+            ).alias("shingles"),
+        )
+        # barrier BEFORE the size filter: the filter references the
+        # computed array, so predicate pushdown would otherwise inline
+        # the whole tokenize+shingle chain into a Filter below the
+        # repartition — evaluated twice, on the single scan split
+        # (measured 216s at sf1.0 without this)
+        shingles = shingles.localCheckpoint(eager=False)
+        return (
+            shingles.select(
+                "doc_id", F.array_distinct("shingles").alias("toks")
+            )
+            .filter(F.size("toks") > 0)
+            .localCheckpoint(eager=True)
+        )
+
+    return _app_cached(spark, f"shingle_arrays:{sf_dir}", build)
+
+
 def _shingle_tokset_df(spark, sf_dir):
-    """Per-application memoized EAGER checkpoint of the distinct shingle
-    set — the base frame of the signature chain AND the exact-Jaccard
-    verifiers (jaccard / est-vs-exact), which would otherwise each pay
-    the tokenize+shingle explode again."""
-    return _app_cached(
-        spark,
-        f"shingle_tokset:{sf_dir}",
-        lambda: _shingle_set_df(spark, sf_dir).localCheckpoint(eager=True),
+    """Exploded distinct (doc_id, tok) rows — derived from the memoized
+    array frame; kept for consumers that need row form."""
+    from pyspark.sql import functions as F
+
+    return _shingle_arrays_df(spark, sf_dir).select(
+        "doc_id", F.explode("toks").alias("tok")
     )
 
 
@@ -4103,9 +4149,31 @@ def _buckets_from_sigs(sigs):
 
 
 def _minhash_sigs_build(spark, sf_dir):
-    return _sigs_from_tokset(_shingle_tokset_df(spark, sf_dir)).localCheckpoint(
-        eager=True
+    """(doc_id, mh0..mh7) via per-doc ARRAY minima over the memoized
+    shingle arrays — value-identical to _sigs_from_tokset's grouped min
+    (same md5s, same substrings, min over the same per-doc set) but with
+    zero shuffle: the old shape aggregated the 2.6M exploded token rows.
+    The two md5 arrays materialize in their own projection so the eight
+    minima share them (multi-referenced non-cheap aliases are not
+    collapsed)."""
+    from pyspark.sql import functions as F
+
+    arrays = _shingle_arrays_df(spark, sf_dir)
+    hashed = arrays.select(
+        "doc_id",
+        F.expr("transform(toks, t -> md5(concat('a', t)))").alias("ha"),
+        F.expr("transform(toks, t -> md5(concat('b', t)))").alias("hb"),
     )
+    return hashed.select(
+        "doc_id",
+        *[
+            F.expr(
+                f"array_min(transform({'ha' if i < 4 else 'hb'}, "
+                f"h -> substring(h, {(i % 4) * 8 + 1}, 8)))"
+            ).alias(f"mh{i}")
+            for i in range(8)
+        ],
+    ).localCheckpoint(eager=True)
 
 
 def _minhash_buckets_build(spark, sf_dir):
@@ -4184,28 +4252,30 @@ def _caption_neardup_spark(spark, sf_dir, min_jaccard: float = 0.5):
         .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
         .distinct()
     )
-    a = tok_set.select(F.col("doc_id").alias("doc_a"), "tok")
-    b = tok_set.select(
-        F.col("doc_id").alias("doc_b_r"), F.col("tok").alias("tok_b")
+    # r6: per-pair array_intersect over per-image bigram arrays replaces
+    # the token-row double join (see _jaccard_spark — same identity,
+    # both sides are distinct sets)
+    ds = tok_set.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("tok")).alias("toks"),
+        F.count(F.lit(1)).alias("n"),
     )
-    inter = (
-        cand.join(a, "doc_a")
-        .join(b, (F.col("doc_b") == F.col("doc_b_r")) & (F.col("tok") == F.col("tok_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("both"))
+    da = ds.select(
+        F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"),
+        F.col("n").alias("na"),
     )
-    sizes = tok_set.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    db = ds.select(
+        F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"),
+        F.col("n").alias("nb"),
+    )
+    both = F.size(F.array_intersect("ta", "tb")).cast("long")
     v = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
         .select(
             F.col("doc_b").alias("image_id"),
             F.col("doc_a").alias("rep_id"),
             F.round(
-                F.col("both").cast("double") / (F.col("na") + F.col("nb") - F.col("both")),
-                4,
+                both.cast("double") / (F.col("na") + F.col("nb") - both), 4
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= min_jaccard)
@@ -4271,34 +4341,51 @@ def _minhash_spark(spark, sf_dir):
     return out
 
 
+def _shingle_docsets_df(spark, sf_dir):
+    """Per-doc sorted distinct shingle ARRAY + size — the verify-side
+    frame of the exact-Jaccard consumers. 50k narrow array rows replace
+    the multi-million-row (doc_id, tok) token set in the candidate
+    verify joins: |A inter B| becomes size(array_intersect(ta, tb)) per
+    pair (both arrays are distinct sets, so the counts are identical)
+    instead of two shuffles of the full token relation."""
+    from pyspark.sql import functions as F
+
+    def build():
+        arrays = _shingle_arrays_df(spark, sf_dir)
+        return arrays.select(
+            "doc_id",
+            F.sort_array("toks").alias("toks"),
+            F.size("toks").cast("long").alias("n"),
+        )
+
+    return _app_cached(spark, f"shingle_docsets:{sf_dir}", build)
+
+
 def _jaccard_spark(spark, sf_dir):
     """Exact Jaccard verified ONLY on MinHash-band candidate pairs — the
     same restriction the SQL dialects express, so the oracle compare is
     structural rather than luck: a J>=0.8 pair sharing no band is
-    excluded on BOTH sides. (The earlier override ran the full shingle
-    equi-join, a superset that merely happened to agree on fixtures.)"""
+    excluded on BOTH sides. r6: the intersection is computed per pair
+    over the per-doc shingle arrays (_shingle_docsets_df) — the old
+    token-row double join shuffled the 2.6M-row token set twice to
+    verify ~48k pairs (6.6s measured at sf1.0 for the verify alone)."""
     from pyspark.sql import functions as F
 
-    tok_set = _shingle_tokset_df(spark, sf_dir)
-    sizes = tok_set.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     cand = _minhash_cand_df(spark, sf_dir)
-    a_t = tok_set.select(F.col("doc_id").alias("doc_a"), "tok")
-    b_t = tok_set.select(F.col("doc_id").alias("doc_b2"), F.col("tok").alias("tok_b"))
-    inter = (
-        cand.join(a_t, "doc_a")
-        .join(
-            b_t,
-            (F.col("doc_b") == F.col("doc_b2")) & (F.col("tok") == F.col("tok_b")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("both"))
+    ds = _shingle_docsets_df(spark, sf_dir)
+    da = ds.select(
+        F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"),
+        F.col("n").alias("na"),
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("both").cast("double") / (F.col("na") + F.col("nb") - F.col("both"))
+    db = ds.select(
+        F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"),
+        F.col("n").alias("nb"),
+    )
+    both = F.size(F.array_intersect("ta", "tb")).cast("long")
+    jac = both.cast("double") / (F.col("na") + F.col("nb") - both)
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= 0.8)
     )
@@ -4374,29 +4461,24 @@ def _minhash_est_spark(spark, sf_dir):
         .join(sb_sig, "doc_b")
         .select("doc_a", "doc_b", n_match.alias("n_match"))
     )
-    tok_set = _shingle_tokset_df(spark, sf_dir)
-    sizes = tok_set.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a_t = tok_set.select(F.col("doc_id").alias("doc_a"), "tok")
-    b_t = tok_set.select(F.col("doc_id").alias("doc_b2"), F.col("tok").alias("tok_b"))
-    inter = (
-        cand.join(a_t, "doc_a")
-        .join(
-            b_t,
-            (F.col("doc_b") == F.col("doc_b2")) & (F.col("tok") == F.col("tok_b")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("both"))
+    # r6: per-pair array_intersect over the docset arrays replaces the
+    # token-row double join (see _jaccard_spark) — a zero-overlap pair
+    # yields both = 0 directly, matching the old LEFT-join + coalesce
+    ds = _shingle_docsets_df(spark, sf_dir)
+    da = ds.select(
+        F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"),
+        F.col("n").alias("na"),
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.coalesce(F.col("both"), F.lit(0)).cast("double") / (
-        F.col("na") + F.col("nb") - F.coalesce(F.col("both"), F.lit(0))
+    db = ds.select(
+        F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"),
+        F.col("n").alias("nb"),
     )
+    both = F.size(F.array_intersect("ta", "tb")).cast("long")
+    jac = both.cast("double") / (F.col("na") + F.col("nb") - both)
     est_j = F.col("n_match").cast("double") / 8
     return (
-        est.join(inter, ["doc_a", "doc_b"], "left")
-        .join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        est.join(da, "doc_a")
+        .join(db, "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -4498,6 +4580,80 @@ def _neardup_clusters_spark(spark, sf_dir):
     )
 
 
+def _phash_pairs_df(spark, sf_dir, gate: int):
+    """Memoized hamming-gated phash pair set (vec_a, vec_b, hamming) —
+    the Spark-side replacement for _phash_pair_ctes' row-form verify.
+
+    The SQL chain (kept as the DuckDB oracle) verifies candidates by
+    joining the per-dimension element rows twice and counting differing
+    sign bits — candidates x 64 joined rows through two shuffles. The
+    sign bits are already packed in the 4 16-bit band signatures, so
+    hamming == sum over bands of bit_count(sig_a XOR sig_b): an exact
+    integer identity (each signature bit IS the dimension's sign), no
+    element join at all. The cross-band DISTINCT runs after the gate —
+    duplicates carry identical hamming, so the relation is unchanged
+    (guide §2.3: filter before the shuffle)."""
+    from pyspark.sql import functions as F
+
+    def build():
+        elems = spark.sql(
+            "SELECT vec_id, dim, CAST(x AS DOUBLE) AS x FROM "
+            f"parquet.`{sf_dir}/embeddings.parquet` "
+            "LATERAL VIEW posexplode(embedding) t AS dim, x"
+        )
+        bandsig = (
+            elems.groupBy(
+                "vec_id", F.expr("CAST(floor(dim / 16) AS INT)").alias("band_no")
+            )
+            .agg(
+                F.expr(
+                    "CAST(sum(CASE WHEN x > 0 THEN power(2, dim % 16) "
+                    "ELSE 0 END) AS BIGINT)"
+                ).alias("sig")
+            )
+        )
+        sigarr = bandsig.groupBy("vec_id").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(band_no, sig))), "
+                "p -> p.sig)"
+            ).alias("sigs")
+        )
+        rows = bandsig.join(sigarr, "vec_id")
+        a = rows.select(
+            "band_no", "sig", F.col("vec_id").alias("vec_a"),
+            F.col("sigs").alias("sa"),
+        )
+        b = rows.select(
+            "band_no", "sig", F.col("vec_id").alias("vec_b"),
+            F.col("sigs").alias("sb"),
+        )
+        ham = F.expr(
+            "CAST(aggregate(sequence(1, 4), 0, (acc, i) -> "
+            "acc + bit_count(element_at(sa, i) ^ element_at(sb, i))) AS BIGINT)"
+        )
+        return (
+            a.join(b, ["band_no", "sig"])
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .withColumn("hamming", ham)
+            .filter(F.col("hamming") <= gate)
+            .select("vec_a", "vec_b", "hamming")
+            .dropDuplicates(["vec_a", "vec_b"])
+            .localCheckpoint(eager=True)
+        )
+
+    return _app_cached(spark, f"phash_pairs:{sf_dir}:{gate}", build)
+
+
+def _phash_neardup_spark(spark, sf_dir, max_hamming: int | None = None):
+    """image_phash_neardup on the engine path — the memoized bit_count
+    pair set (see _phash_pairs_df); the SQL builder stays the oracle."""
+    if max_hamming is None:
+        max_hamming = SYNTHETIC_GATES.get("image_phash_neardup", {}).get(
+            "max_hamming", 8
+        )
+    return _phash_pairs_df(spark, sf_dir, max_hamming)
+
+
 def _phash_clusters_spark(spark, sf_dir, max_hamming: int | None = None):
     """image_phash_clusters on the engine path: the phash pair chain
     runs ONCE (Catalyst would otherwise inline the LSH CTEs into every
@@ -4520,9 +4676,8 @@ def _phash_clusters_spark(spark, sf_dir, max_hamming: int | None = None):
         )
 
     def build():
-        pairs = spark.sql(
-            f"WITH {_phash_pair_ctes('spark', sf_dir, gate)} "
-            "SELECT vec_a AS a, vec_b AS b FROM phash_pairs"
+        pairs = _phash_pairs_df(spark, sf_dir, gate).select(
+            F.col("vec_a").alias("a"), F.col("vec_b").alias("b")
         )
         return _lsh_component_labels(spark, pairs, PHASH_CC_ITERS, "vec_id")
 
@@ -4780,39 +4935,35 @@ def _embedding_neardup_spark(spark, sf_dir):
         "element_at(__prs, b * 4 + j + 1) > 0 THEN power(2, j) ELSE 0.0D END) "
         "AS BIGINT))"
     )
-    bandsig = (
-        emb.withColumn("__prs", _hyperplane_prs_col("nd", 16))
-        .select(
-            "vec_id", "label", F.posexplode(sigs).alias("band_no0", "sig")
-        )
-        .select(
-            "vec_id", "label", F.col("band_no0").cast("int").alias("band_no"),
-            "sig",
-        )
-    )
-    cand = (
-        bandsig.alias("a")
-        .join(bandsig.alias("b"), ["label", "band_no", "sig"])
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            "label",
-        )
-        .dropDuplicates(["vec_a", "vec_b"])
-    )
-    # r6: norms computed once per VECTOR on the join inputs, not once per
-    # candidate pair in the verify projection (identical doubles — same
-    # aggregate over the same array, evaluated before the join instead
-    # of after)
+    # r6 (guide §2.3 — filter before the shuffle): the old path ran
+    # DISTINCT over the full candidate set (4.7M pair rows at 20k
+    # vectors) and only then joined the vectors back to verify. Here the
+    # vectors and their norms RIDE the bucket join, the cosine gate runs
+    # map-side on the joined stream, and the cross-band dedup shuffles
+    # only the survivors — cross-band duplicates carry identical
+    # (label, cosine), so dropDuplicates on the pair key yields the
+    # identical relation. Norms per VECTOR, not per pair (same doubles).
     nv = F.expr(
         "sqrt(aggregate(v, CAST(0.0 AS DOUBLE), (acc, t) -> acc + t * t))"
     )
-    va = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), nv.alias("na")
+    bandsig = (
+        emb.withColumn("__prs", _hyperplane_prs_col("nd", 16))
+        .select(
+            "vec_id", "label", "v", nv.alias("nv"),
+            F.posexplode(sigs).alias("band_no0", "sig"),
+        )
+        .select(
+            "vec_id", "label", "v", "nv",
+            F.col("band_no0").cast("int").alias("band_no"), "sig",
+        )
     )
-    vb = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), nv.alias("nb")
+    a = bandsig.select(
+        "label", "band_no", "sig", F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"), F.col("nv").alias("na"),
+    )
+    b = bandsig.select(
+        "label", "band_no", "sig", F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"), F.col("nv").alias("nb"),
     )
     dot = (
         "aggregate(zip_with(va, vb, (x, y) -> x * y), "
@@ -4820,11 +4971,12 @@ def _embedding_neardup_spark(spark, sf_dir):
     )
 
     return (
-        cand.join(va, "vec_a")
-        .join(vb, "vec_b")
+        a.join(b, ["label", "band_no", "sig"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
         .withColumn("cosine", F.expr(f"round({dot} / (na * nb), 4)"))
         .filter(F.col("cosine") >= gate)
         .select("vec_a", "vec_b", "label", "cosine")
+        .dropDuplicates(["vec_a", "vec_b"])
     )
 
 
@@ -5944,6 +6096,7 @@ _SPARK_OVERRIDES = {
     "dedup_ngram_jaccard": _jaccard_spark,
     "minhash_est_vs_exact": _minhash_est_spark,
     "image_caption_neardup": _caption_neardup_spark,
+    "image_phash_neardup": _phash_neardup_spark,
     "ann_cosine_topk": _ann_exact_spark,
     "near_dup_clusters": _neardup_clusters_spark,
     "image_phash_clusters": _phash_clusters_spark,
