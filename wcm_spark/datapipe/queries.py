@@ -4490,26 +4490,38 @@ def _minhash_est_spark(spark, sf_dir):
 
 
 def _simhash_spark(spark, sf_dir):
+    """dedup_simhash via per-doc ARRAY votes (r6): the old shape exploded
+    16 bit rows per distinct token (22M rows at 10x data) through a
+    (doc, bit) shuffle aggregate. The vote for each bit is a per-doc fold
+    over the token-hash array — same +-1 sums over the same hashes, same
+    double pow() accumulation cast to long, zero shuffle."""
     from pyspark.sql import functions as F
 
-    tok_set = _token_set_df(spark, sf_dir)
-    hashed = tok_set.select(
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = docs.select(
         "doc_id",
-        F.expr("cast(conv(substr(md5(tok), 1, 8), 16, 10) as bigint)").alias("tok_hash"),
+        F.expr(
+            "array_distinct(filter(split(lower(text), '[^a-z0-9]+'), "
+            "x -> x != ''))"
+        ).alias("toks"),
+    ).localCheckpoint(eager=False)  # barrier: keep the size filter from
+    # re-inlining the tokenize chain below the repartition
+    hashed = toks.filter(F.size("toks") > 0).select(
+        "doc_id",
+        F.expr(
+            "transform(toks, t -> cast(conv(substr(md5(t), 1, 8), 16, 10) "
+            "as bigint))"
+        ).alias("hs"),
     )
-    bits = hashed.select(
-        "doc_id", "tok_hash", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit")
+    simhash = F.expr(
+        "CAST(aggregate(sequence(0, 15), CAST(0.0 AS DOUBLE), (acc, b) -> "
+        "acc + CASE WHEN aggregate(hs, 0, (a2, h) -> a2 + (CASE WHEN "
+        "shiftright(h, b) % 2 = 1 THEN 1 ELSE -1 END)) > 0 "
+        "THEN power(2.0, b) ELSE 0.0 END) AS BIGINT)"
     )
-    votes = bits.groupBy("doc_id", "bit").agg(
-        F.sum(
-            F.when(F.expr("shiftright(tok_hash, bit) % 2 = 1"), 1).otherwise(-1)
-        ).alias("vote")
-    )
-    return votes.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("vote") > 0, F.pow(F.lit(2.0), F.col("bit"))).otherwise(0.0))
-        .cast("long")
-        .alias("simhash")
-    )
+    return hashed.select("doc_id", simhash.alias("simhash"))
 
 
 def _lsh_component_labels(spark, pairs, iters: int, out_col: str,
@@ -6724,7 +6736,12 @@ def _q_image_pixel_dedup(spark, sf_dir):
 
     from .fixtures import images_reenc_table_path
 
-    src = spark.read.parquet(images_reenc_table_path())
+    # r6: the fixture is one ~15 MB parquet = ONE default input split, so
+    # without the repartition every decode ran on a single core (§6 —
+    # input split sizing; the shuffle moves the payload bytes once)
+    src = spark.read.parquet(images_reenc_table_path()).repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
     def run(batches):
         import hashlib
