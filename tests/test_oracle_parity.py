@@ -453,10 +453,16 @@ def test_semdedup_first_wins_and_nonvacuous(duck):
 def test_dsir_weights_separate_target(duck):
     """DSIR's whole point: documents from the target slice must score a
     higher mean importance weight than the rest (the hashed-n-gram
-    models are fitted on exactly that split), and every doc gets a
-    weight (no drops on short docs)."""
+    models are fitted on exactly that split), and every doc WITH at
+    least one alphanumeric token gets a weight (zero-token docs produce
+    no feature rows and are dropped by construction — the fixture has
+    none, so the count equals n_docs here; ADVICE r5)."""
     rows = duck.execute(ORACLES["dsir_importance_weights"]).fetchall()
-    n_docs = duck.execute("SELECT count(*) FROM documents").fetchone()[0]
+    n_docs = duck.execute(
+        "SELECT count(*) FROM documents WHERE "
+        "len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+        "x -> x != '')) > 0"
+    ).fetchone()[0]
     assert len(rows) == n_docs
     tgt = [w for _, _, w, it in rows if it == 1]
     rest = [w for _, _, w, it in rows if it == 0]

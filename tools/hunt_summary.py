@@ -68,6 +68,7 @@ def main(paths: list[str]) -> None:
     geoms: dict[tuple, list[dict]] = {}
     prev_t = 0.0
     excluded = 0
+    derived_tag_rounds = 0
     for r in rows:
         start_t, prev_t = prev_t, r.get("t", prev_t)
         if r.get("ev") in ("pair_round", "null_round") and r.get("efficiency") is not None:
@@ -76,16 +77,26 @@ def main(paths: list[str]) -> None:
                 continue
             # early r4 hunter rounds predate the pair tag — derive the
             # geometry from the lo/hi core fields (the documented
-            # counting rule; those rounds all ran the 1x corpus)
-            pair = r.get("pair") or (
-                f"{r['lo']['cores']}to{r['hi']['cores']}"
-                if isinstance(r.get("lo"), dict) and isinstance(r.get("hi"), dict)
-                and "cores" in r["lo"] and "cores" in r["hi"]
-                else "?"
-            )
+            # counting rule; those rounds all ran the 1x corpus). When a
+            # corpus-size field IS present on an untagged round, honor it
+            # instead of silently folding a sized round into the 1x
+            # bucket (ADVICE r5), and count derived-tag rounds visibly.
+            pair = r.get("pair")
+            if not pair:
+                if (isinstance(r.get("lo"), dict) and isinstance(r.get("hi"), dict)
+                        and "cores" in r["lo"] and "cores" in r["hi"]):
+                    pair = f"{r['lo']['cores']}to{r['hi']['cores']}"
+                    cs = r.get("corpus_size") or r.get("corpus_x")
+                    if cs and str(cs) not in ("1", "1x"):
+                        pair += f"@{cs}" if str(cs).endswith("x") else f"@{cs}x"
+                    derived_tag_rounds += 1
+                else:
+                    pair = "?"
             geoms.setdefault((r["ev"], pair), []).append(r)
     if excluded:
         print(f"(excluded {excluded} round(s) overlapping recorded external pauses)")
+    if derived_tag_rounds:
+        print(f"(geometry derived from lo/hi cores for {derived_tag_rounds} pre-pair-tag round(s))")
 
     print("| measurement | n | eff best | eff median | median(stable) | rounds >= 0.8 |")
     print("|---|---|---|---|---|---|")

@@ -3704,8 +3704,15 @@ SELECT tok, CAST(cnt AS BIGINT) AS cnt, CAST(rank AS BIGINT) AS rank,
 FROM ranked WHERE rank <= {k}"""
 
 
+#: shared defaults of the SQL builders AND their DataFrame overrides —
+#: one definition so the engine path cannot silently diverge from the
+#: oracle if either default changes (ADVICE r5)
+PMI_MIN_COUNT = 5
+DSIR_BUCKETS = 256
+
+
 @register("token_bigram_pmi")
-def _q_bigram_pmi(d, sf, min_count: int = 5):
+def _q_bigram_pmi(d, sf, min_count: int = PMI_MIN_COUNT):
     """Collocation mining: pointwise mutual information of adjacent
     token pairs, PMI = ln(p(xy) / (p(x)p(y))) — the classic
     phrase-detection signal (word2vec's phrase pass, quality filters
@@ -3755,7 +3762,7 @@ CROSS JOIN n_uni u CROSS JOIN n_big m"""
 
 
 @register("dsir_importance_weights")
-def _q_dsir(d, sf, buckets: int = 256):
+def _q_dsir(d, sf, buckets: int = DSIR_BUCKETS):
     """DSIR data-selection importance weights (Xie et al. 2023,
     arXiv:2302.03169): per-document importance w(x) = log p_target(x) -
     log p_source(x) under bag-of-hashed-n-gram (unigram + bigram) bucket
@@ -5250,7 +5257,7 @@ def _dsir_spark(spark, sf_dir):
     the micro-nat weights match the DuckDB oracle exactly."""
     from pyspark.sql import functions as F
 
-    buckets = 256
+    buckets = DSIR_BUCKETS
     docs = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .select("doc_id", "text")
@@ -5333,7 +5340,7 @@ def _bigram_pmi_spark(spark, sf_dir):
     order) so the micro-nat values hash identically to the oracle."""
     from pyspark.sql import functions as F
 
-    min_count = 5
+    min_count = PMI_MIN_COUNT
     docs = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .select("doc_id", "text")
