@@ -4624,29 +4624,26 @@ def _phash_pairs_df(spark, sf_dir, gate: int):
     from pyspark.sql import functions as F
 
     def build():
-        elems = spark.sql(
-            "SELECT vec_id, dim, CAST(x AS DOUBLE) AS x FROM "
-            f"parquet.`{sf_dir}/embeddings.parquet` "
-            "LATERAL VIEW posexplode(embedding) t AS dim, x"
+        # per-row band signatures straight off the embedding array — no
+        # element explode, no (vec, band) aggregate, no collect_list
+        # join. sig_b = sum of 2^i over the band's positive dims; every
+        # term is a distinct power of two <= 2^15, so the double sum is
+        # exact and the BIGINT cast matches the SQL chain's grouped sum
+        # bit-for-bit regardless of addition order.
+        sigs_expr = F.expr(
+            "transform(sequence(0, 3), b -> CAST(aggregate("
+            "zip_with(slice(embedding, b * 16 + 1, 16), sequence(0, 15), "
+            "(x, i) -> CASE WHEN CAST(x AS DOUBLE) > 0 THEN power(2, i) "
+            "ELSE 0.0D END), "
+            "CAST(0.0 AS DOUBLE), (acc, t) -> acc + t) AS BIGINT))"
         )
-        bandsig = (
-            elems.groupBy(
-                "vec_id", F.expr("CAST(floor(dim / 16) AS INT)").alias("band_no")
+        rows = (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .select("vec_id", sigs_expr.alias("sigs"))
+            .select(
+                "vec_id", "sigs", F.posexplode("sigs").alias("band_no", "sig")
             )
-            .agg(
-                F.expr(
-                    "CAST(sum(CASE WHEN x > 0 THEN power(2, dim % 16) "
-                    "ELSE 0 END) AS BIGINT)"
-                ).alias("sig")
-            )
         )
-        sigarr = bandsig.groupBy("vec_id").agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(band_no, sig))), "
-                "p -> p.sig)"
-            ).alias("sigs")
-        )
-        rows = bandsig.join(sigarr, "vec_id")
         a = rows.select(
             "band_no", "sig", F.col("vec_id").alias("vec_a"),
             F.col("sigs").alias("sa"),
