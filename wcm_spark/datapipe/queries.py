@@ -4887,15 +4887,13 @@ def _hyperplane_prs_col(seed: str, n_planes: int):
     )
 
 
-def _ann_lsh_spark(spark, sf_dir):
-    """ann_lsh_bucketed in DataFrame form: per-row literal-plane
-    projections -> 8-bit bucket id, then the bucket self-join with exact
-    cosine verification — identical restriction to the SQL dialects
-    (candidates shuffle by bucket id only; the planes literal replaces
-    the planes-join + per-(vec, plane) aggregate)."""
+def _lsh_bucket8_df(spark, sf_dir):
+    """Per-application memoized 8-plane LSH bucket frame (vec_id,
+    bucket, v, nv) over the double-cast embeddings — the 'pl'-seeded
+    bucketing of the SQL dialects' planes CTE, shared by
+    ann_lsh_bucketed and ann_recall_at_k (whose lshcand leg is a
+    self-join of exactly this frame)."""
     from pyspark.sql import functions as F
-
-    gate = SYNTHETIC_GATES["ann_lsh_bucketed"]["min_cosine"]
 
     def build():
         emb = _ivf_emb_df(spark, sf_dir)
@@ -4920,7 +4918,19 @@ def _ann_lsh_spark(spark, sf_dir):
             .localCheckpoint(eager=True)
         )
 
-    b = _app_cached(spark, f"lsh_bucket8:{sf_dir}", build)
+    return _app_cached(spark, f"lsh_bucket8:{sf_dir}", build)
+
+
+def _ann_lsh_spark(spark, sf_dir):
+    """ann_lsh_bucketed in DataFrame form: per-row literal-plane
+    projections -> 8-bit bucket id, then the bucket self-join with exact
+    cosine verification — identical restriction to the SQL dialects
+    (candidates shuffle by bucket id only; the planes literal replaces
+    the planes-join + per-(vec, plane) aggregate)."""
+    from pyspark.sql import functions as F
+
+    gate = SYNTHETIC_GATES["ann_lsh_bucketed"]["min_cosine"]
+    b = _lsh_bucket8_df(spark, sf_dir)
     a = b.select(
         F.col("vec_id").alias("vec_a"), "bucket", F.col("v").alias("va"),
         F.col("nv").alias("na"),
@@ -5080,6 +5090,93 @@ def _ivf_fitted_spark(spark, sf_dir):
     """Fitted-cell probe in DataFrame form over the materialized
     Lloyd assignment — see _ivf_probe_top3."""
     return _ivf_probe_top3(spark, sf_dir, _ivf_final_asg_df(spark, sf_dir))
+
+
+def _ann_recall_spark(spark, sf_dir):
+    """ann_recall_at_k on the engine path (r6): the SQL dialect re-runs
+    the whole IVF Lloyd fit and the 8-plane bucketing inline per
+    invocation; the family already materializes both — the fitted
+    assignment (_ivf_final_asg_df) and the 'pl'-seeded bucket frame
+    (_lsh_bucket8_df, whose bucket/nv construction is the SQL planes
+    CTE evaluated per row). Query side is 3 vectors, so every leg is a
+    broadcast against tiny frames; cosines use the identical
+    zip_with/aggregate fold (query operand first, round 6) and the
+    identical (score DESC, vec_id) tie rule, so the top-3 sets match
+    the oracle bit-for-bit (parity-enforced)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    b = _lsh_bucket8_df(spark, sf_dir)
+    q3 = b.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("qn"),
+        F.col("bucket").alias("qbucket"),
+    )
+    dot = (
+        "aggregate(zip_with(qv, cv, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
+    )
+    cos = F.expr(f"round({dot} / (qn * cn), 6)")
+    top3 = (
+        lambda df: df.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cos").desc(), F.col("cand_id")
+                )
+            ),
+        )
+        .filter("rk <= 3")
+        .select("query_id", "cand_id")
+    )
+    cand = b.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("v").alias("cv"),
+        F.col("nv").alias("cn"),
+    )
+    exact3 = top3(
+        cand.crossJoin(F.broadcast(q3.select("query_id", "qv", "qn")))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("cos", cos)
+    )
+    asg = _ivf_final_asg_df(spark, sf_dir)
+    qcell = asg.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "cell"
+    )
+    ivf3 = top3(
+        asg.join(F.broadcast(qcell), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("cand_id"))
+        .join(cand, "cand_id")
+        .join(F.broadcast(q3.select("query_id", "qv", "qn")), "query_id")
+        .withColumn("cos", cos)
+    )
+    lshcand = (
+        b.join(
+            F.broadcast(q3.select("query_id", F.col("qbucket").alias("bucket"))),
+            "bucket",
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("cand_id"))
+        .distinct()
+    )
+
+    def recall(c3, method):
+        return (
+            exact3.join(
+                c3.withColumn("hit", F.lit(1)), ["query_id", "cand_id"], "left"
+            )
+            .groupBy("query_id")
+            .agg(
+                F.round(
+                    F.count("hit").cast("double") / F.lit(3.0), 4
+                ).alias("recall_at_3")
+            )
+            .select("query_id", F.lit(method).alias("method"), "recall_at_3")
+        )
+
+    return recall(ivf3, "ivf_fitted").unionAll(recall(lshcand, "lsh_bucket"))
 
 
 def _semdedup_spark(spark, sf_dir):
@@ -5662,27 +5759,35 @@ def _pq_fit_from_sub(spark, sub, m: int, k: int, int_micro_avg: bool = False):
     # ever reads the argmin; the per-query distance tables need d2s for
     # vec_id < 10 only (10*m rows), recomputed in a second tiny job over
     # the same expression (identical values — same literal, same rounding)
+    # r6b: ONE encode job serves both consumers — the checkpoint stays
+    # narrow (the full d2s row is kept only for the 10 query vectors,
+    # whose per-query ADC distance tables need it), and the second
+    # distance pass + codebook re-analysis the old separate qd job paid
+    # are gone. Values identical: same d1 expression, projected twice.
     d1 = dist_col(cb1)
-    codes = (
+    enc = (
         sub.withColumn("d2s", d1)
-        .select("vec_id", "s", code_of("d2s").alias("code"))
+        .select(
+            "vec_id",
+            "s",
+            code_of("d2s").alias("code"),
+            F.when(F.col("vec_id") < 10, F.col("d2s")).alias("qds"),
+        )
         .localCheckpoint(eager=True)
     )
-    # qd is 10*m*k rows — eager-checkpointing it is one tiny job and
-    # spares every consumer (adc + recall run it twice per family) a
-    # re-analysis of the codebook-literal expression tree
+    codes = enc.select("vec_id", "s", "code")
+    # qd is 10*m*k rows — a projection over the shared encode checkpoint
+    # (adc + recall run it twice per family; no re-analysis either way)
     qd = (
-        sub.filter(F.col("vec_id") < 10)
-        .withColumn("d2s", d1)
+        enc.filter(F.col("vec_id") < 10)
         .select(
             F.col("vec_id").alias("query_id"),
             "s",
-            F.posexplode("d2s").alias("code0", "pd"),
+            F.posexplode("qds").alias("code0", "pd"),
         )
         .select(
             "query_id", "s", F.col("code0").cast("int").alias("code"), "pd"
         )
-        .localCheckpoint(eager=True)
     )
     return codes, qd
 
@@ -6136,6 +6241,7 @@ _SPARK_OVERRIDES = {
     "ann_ivf_kmeans": _ivf_kmeans_spark,
     "ann_ivf_fitted": _ivf_fitted_spark,
     "ann_ivf_multiprobe": _ivf_multiprobe_spark,
+    "ann_recall_at_k": _ann_recall_spark,
     "semdedup_prune": _semdedup_spark,
     "dsir_importance_weights": _dsir_spark,
     "token_bigram_pmi": _bigram_pmi_spark,
