@@ -5643,83 +5643,188 @@ def _ivf_multiprobe_spark(spark, sf_dir):
     )
 
 
+def _round6_half_up_np(a):
+    """Spark-exact ``round(x, 6)`` over a NON-NEGATIVE float64 ndarray.
+    Spark rounds doubles as BigDecimal.valueOf(x).setScale(6, HALF_UP) —
+    HALF_UP over the SHORTEST round-trip decimal repr of x. The fast
+    path (floor of x*1e6 with the half carried) is provably identical
+    outside a ±1e-6 band around the half boundary: both x*1e6 and
+    shortest_repr(x)*1e6 sit within y*2^-52 of the true scaled value,
+    < 1e-6 for every y below ~4e9 (asserted — squared subvector
+    distances are bounded far under that). Inside the band the value is
+    re-rounded through Decimal(repr(x)) — Python's repr is the same
+    shortest round-trip decimal as Java's Double.toString, so the tie
+    rule matches digit-for-digit (audited against Spark on 1.5M
+    adversarial values incl. exact 7th-digit-5 ties: 0 mismatches)."""
+    import numpy as np
+
+    y = a * 1e6
+    assert not y.size or float(np.nanmax(y)) < 1e9, "round6 fast path bound"
+    f = np.floor(y)
+    r = y - f
+    out = np.where(r >= 0.5, f + 1.0, f) / 1e6
+    band = np.abs(r - 0.5) < 1e-6
+    if band.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal("0.000001")
+        flat = out.ravel()
+        af = a.ravel()
+        for i in np.nonzero(band.ravel())[0]:
+            flat[i] = float(Decimal(repr(float(af[i]))).quantize(q, ROUND_HALF_UP))
+        out = flat.reshape(out.shape)
+    return out
+
+
+def _pq_dists_codes(xs2d, s_arr, cb):
+    """Rounded squared-L2 distance rows (r, k) + first-minimum codes
+    (r,) of subvector rows against codebook ``cb`` (m, k, w; NaN rows =
+    unassigned codes, ranked +Inf). Fold order matches the SQL
+    dialects' unrolled per-dimension sum (left-assoc, p ascending);
+    np.argmin returns the FIRST minimum = lowest code, the SQL
+    array_position tie rule."""
+    import numpy as np
+
+    k = cb.shape[1]
+    w = cb.shape[2]
+    d2 = np.zeros((len(s_arr), k))
+    cbs = cb[s_arr]  # (r, k, w) per-row codebook gather
+    for p in range(w):
+        t = xs2d[:, p][:, None] - cbs[:, :, p]
+        d2 += t * t
+    finite = np.isfinite(d2)
+    d2r = np.full_like(d2, np.inf)
+    if finite.any():
+        vals = _round6_half_up_np(np.where(finite, d2, 0.0))
+        d2r[finite] = vals[finite]
+    codes = np.argmin(d2r, axis=1).astype(np.int32)
+    return d2r, codes
+
+
+def _arrow_sub_batch(batch, w):
+    """(s int64 ndarray, xs (r, w) float64 ndarray) views of a sub-row
+    record batch — the fixed-width subvector lists flatten to one
+    contiguous values buffer (guide §4.2)."""
+    import numpy as np
+
+    s_arr = batch.column("s").to_numpy(zero_copy_only=False).astype(np.int64)
+    xs = batch.column("xs").flatten().to_numpy(zero_copy_only=False)
+    return s_arr, np.ascontiguousarray(xs).reshape(len(s_arr), w)
+
+
+def _pq_assign_exploded_df(sub, cb):
+    """Init-assignment rows (code, s, p, x) — the Lloyd update's input —
+    emitted straight from the NumPy kernel: per batch, assign every
+    subvector row to its nearest cb entry and explode the w dimensions
+    (same multiset as the old per-row transform + posexplode)."""
+    w = cb.shape[2]
+
+    def fn(it):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in it:
+            s_arr, xs2d = _arrow_sub_batch(batch, w)
+            _, codes = _pq_dists_codes(xs2d, s_arr, cb)
+            r = len(s_arr)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(codes, w), type=pa.int32()),
+                    pa.array(
+                        np.repeat(s_arr.astype(np.int32), w), type=pa.int32()
+                    ),
+                    pa.array(
+                        np.tile(np.arange(w, dtype=np.int32), r),
+                        type=pa.int32(),
+                    ),
+                    pa.array(xs2d.ravel(), type=pa.float64()),
+                ],
+                names=["code", "s", "p", "x"],
+            )
+
+    return sub.select("s", "xs").mapInArrow(
+        fn, "code INT, s INT, p INT, x DOUBLE"
+    )
+
+
+def _pq_encode_df(sub, cb):
+    """Final encode rows (vec_id, s, code, qds) — codes for every
+    subvector row, the full rounded distance row kept ONLY for the 10
+    query vectors (their per-query ADC distance tables read it)."""
+    w = cb.shape[2]
+
+    def fn(it):
+        import pyarrow as pa
+
+        for batch in it:
+            s_arr, xs2d = _arrow_sub_batch(batch, w)
+            d2r, codes = _pq_dists_codes(xs2d, s_arr, cb)
+            vec = batch.column("vec_id")
+            vid = vec.to_numpy(zero_copy_only=False)
+            qds = [
+                d2r[i].tolist() if vid[i] < 10 else None
+                for i in range(len(vid))
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    vec,
+                    pa.array(s_arr.astype("int32"), type=pa.int32()),
+                    pa.array(codes, type=pa.int32()),
+                    pa.array(qds, type=pa.list_(pa.float64())),
+                ],
+                names=["vec_id", "s", "code", "qds"],
+            )
+
+    return sub.mapInArrow(
+        fn, "vec_id BIGINT, s INT, code INT, qds ARRAY<DOUBLE>"
+    )
+
+
 def _pq_fit_from_sub(spark, sub, m: int, k: int, int_micro_avg: bool = False):
-    """The literal-state PQ fit+encode chain over pinned subvector rows
+    """The PQ fit+encode chain over pinned subvector rows
     ``sub(vec_id, s, xs)`` (w-dim arrays) — shared by the flat-PQ state
     (_pq_state) and the IVF-PQ residual path (_ivfpq_spark).
 
     The codebook is MODEL state, not data: k*m*w = a few thousand
-    doubles at any corpus size. The fit runs the same two-step Lloyd
-    chain as the SQL dialects with the codebook as a driver-side literal
-    (each collect is O(k*m*w), independent of n — the same bounded state
-    a production PQ fit broadcasts) and distance + argmin become pure
-    array projections over the n*m subvector rows: unrolled squared-L2
-    against the literal, array_min + array_position for the code (first
-    minimum = lowest code, the SQL tie rule). No join, no aggregate, no
-    window anywhere in the encode path. All rounding happens at the same
-    6-decimal points as the SQL dialects, so codes and distance tables
-    are identical (oracle parity enforced).
+    doubles at any corpus size — each collect is O(k*m*w), independent
+    of n, the same bounded state a production PQ fit broadcasts. r6b:
+    distance + argmin run as a NumPy mapInArrow kernel (guide §4.2)
+    with the codebook shipped in the task closure, replacing the
+    interpreted 64-cell transform over a 100 KB codebook literal whose
+    parse/analyze/eval dominated the fit. Rounding is the exact Spark
+    BigDecimal HALF_UP rule (_round6_half_up_np), argmin the same
+    first-minimum/lowest-code tie rule, fold order the same left-assoc
+    per-dimension sum — codes and distance tables are bit-identical to
+    the old chain (A/B-verified at 4 scales; oracle parity enforced).
+    No join, no window anywhere in the encode path; the Lloyd mean
+    stays the same Spark hash aggregate over the same exploded rows.
 
     Returns: codes (vec_id, s, code), qd (query_id, s, code, pd) — the
     per-query ADC distance tables for vec_id < 10, one row per code
     (unassigned codes carry +Inf and can never join the encode
     table)."""
+    import numpy as np
+
     from pyspark.sql import functions as F
 
     w = 64 // m
 
-    def cb_literal(rows):
-        """array<array<array<double>>> SQL literal: CB[s+1][code+1] = the
-        w-dim centroid, NULL where the code is unassigned (a duplicate
-        init subvector can tie its own code away — SQL's cb1 simply
-        lacks such rows; NULL keeps index alignment)."""
-        by_s = {}
+    def cb_arr(rows):
+        """(m, k, w) codebook ndarray: CB[s][code] = the w-dim centroid,
+        NaN where the code is unassigned (a duplicate init subvector can
+        tie its own code away — SQL's cb1 simply lacks such rows; NaN
+        keeps index alignment and ranks +Inf in the kernel)."""
+        cb = np.full((m, k, w), np.nan)
         for s, code, xs in rows:
-            by_s.setdefault(s, {})[code] = xs
-        parts = []
-        for s in range(m):
-            cells = []
-            for c in range(k):
-                xs = by_s.get(s, {}).get(c)
-                if xs is None:
-                    cells.append("CAST(NULL AS ARRAY<DOUBLE>)")
-                else:
-                    vals = ", ".join(_dlit(x) for x in xs)
-                    cells.append(f"array({vals})")
-            parts.append("array(" + ", ".join(cells) + ")")
-        return "array(" + ", ".join(parts) + ")"
-
-    def dist_col(cb_expr):
-        """k rounded squared-L2 distances of xs against codebook row s —
-        unassigned codes rank as +Inf (never the minimum). w is known at
-        build time, so the per-dimension sum unrolls to plain arithmetic
-        (left-assoc, p ascending — the same fold order as the SQL
-        aggregate) instead of an array-allocating zip_with per code."""
-        sq = " + ".join(
-            f"(element_at(xs, {p}) - element_at(c, {p})) "
-            f"* (element_at(xs, {p}) - element_at(c, {p}))"
-            for p in range(1, w + 1)
-        )
-        return F.expr(
-            f"transform(element_at({cb_expr}, s + 1), c -> "
-            "CASE WHEN c IS NULL THEN CAST('Infinity' AS DOUBLE) ELSE "
-            f"round({sq}, 6) END)"
-        )
-
-    def code_of(d2s):
-        return (
-            F.array_position(F.col(d2s), F.array_min(F.col(d2s))) - 1
-        ).cast("int")
+            cb[s, code] = xs
+        return cb
 
     # init codebook = the first k vectors' subvectors (code = vec_id)
-    cb0 = cb_literal(
+    cb0 = cb_arr(
         [
             (int(r["s"]), int(r["vec_id"]), [float(x) for x in r["xs"]])
             for r in sub.filter(F.col("vec_id") < k).collect()
         ]
-    )
-    a0 = sub.withColumn("d2s", dist_col(cb0)).select(
-        "vec_id", "s", "xs", code_of("d2s").alias("code")
     )
     # one Lloyd update: per-(code, s, p) mean of the assigned
     # subvectors — one small hash aggregate, collected as model state.
@@ -5742,7 +5847,7 @@ def _pq_fit_from_sub(spark, sub, m: int, k: int, int_micro_avg: bool = False):
         cx_agg = F.round(F.avg("x"), 6).alias("cx")
     cells = {}
     for r in (
-        a0.select("code", "s", F.posexplode("xs").alias("p", "x"))
+        _pq_assign_exploded_df(sub, cb0)
         .groupBy("code", "s", "p")
         .agg(cx_agg)
         .collect()
@@ -5750,31 +5855,14 @@ def _pq_fit_from_sub(spark, sub, m: int, k: int, int_micro_avg: bool = False):
         cells.setdefault((int(r["s"]), int(r["code"])), {})[int(r["p"])] = float(
             r["cx"]
         )
-    cb1 = cb_literal(
+    cb1 = cb_arr(
         [(s, c, [d[p] for p in sorted(d)]) for (s, c), d in cells.items()]
     )
-    # r6: checkpoint the NARROW (vec_id, s, code) encode result instead of
-    # the full scored frame — the old eager checkpoint materialized d2s
-    # (n*m rows x k doubles, ~330 MB at 20k vectors) when downstream only
-    # ever reads the argmin; the per-query distance tables need d2s for
-    # vec_id < 10 only (10*m rows), recomputed in a second tiny job over
-    # the same expression (identical values — same literal, same rounding)
-    # r6b: ONE encode job serves both consumers — the checkpoint stays
-    # narrow (the full d2s row is kept only for the 10 query vectors,
-    # whose per-query ADC distance tables need it), and the second
-    # distance pass + codebook re-analysis the old separate qd job paid
-    # are gone. Values identical: same d1 expression, projected twice.
-    d1 = dist_col(cb1)
-    enc = (
-        sub.withColumn("d2s", d1)
-        .select(
-            "vec_id",
-            "s",
-            code_of("d2s").alias("code"),
-            F.when(F.col("vec_id") < 10, F.col("d2s")).alias("qds"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    # r6: ONE narrow encode checkpoint serves both consumers — the old
+    # chain materialized the full n*m x k distance frame (~330 MB at 20k
+    # vectors) and re-ran the distance pass for the query tables; here
+    # the full distance row survives only for the 10 query vectors.
+    enc = _pq_encode_df(sub, cb1).localCheckpoint(eager=True)
     codes = enc.select("vec_id", "s", "code")
     # qd is 10*m*k rows — a projection over the shared encode checkpoint
     # (adc + recall run it twice per family; no re-analysis either way)
