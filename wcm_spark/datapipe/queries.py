@@ -4818,43 +4818,105 @@ def _ivf_emb_df(spark, sf_dir):
     )
 
 
-def _ivf_assign(emb, cents):
-    """(vec_id, cell, v) argmax-cosine assignment of every vector against
-    the DRIVER-SIDE literal centroid list (cell id = list order): round-6
-    cosine, ties to the lowest cell (array_position finds the FIRST
-    maximum). A nested-array literal + transform lambda keeps the
-    expression tree small — an unrolled per-term sum is ~1000 nodes and
-    costs seconds of analysis/codegen PER JOB."""
+def _round6_signed_np(a):
+    """_round6_half_up_np extended to signed values: Spark's HALF_UP
+    rounds away from zero and Double.toString(-x) is '-' + toString(x),
+    so round(-x, 6) == -round(x, 6) digit-for-digit; +0.0 added so a
+    -0.0 input lands as the +0.0 BigDecimal.toDouble produces."""
+    import numpy as np
+
+    out = np.empty_like(a)
+    neg = a < 0
+    out[~neg] = _round6_half_up_np(a[~neg])
+    if neg.any():
+        out[neg] = -_round6_half_up_np(-a[neg])
+    return out + 0.0
+
+
+def _ivf_cos_cells(v2d, cents, ncs):
+    """First-maximum argmax-cosine cells (r,) int64 of vectors against
+    the centroid list (cell id = list order) — the NumPy form of the
+    old transform expression: same left-assoc dot/norm folds (dimension
+    ascending, 0.0 seed), same nv * nc denominator order, Spark-exact
+    round at 6, np.argmax = first maximum = lowest cell (the SQL
+    array_position tie rule)."""
+    import numpy as np
+
+    r, dims = v2d.shape
+    nv = np.zeros(r)
+    for d in range(dims):
+        nv += v2d[:, d] * v2d[:, d]
+    nv = np.sqrt(nv)
+    cos = np.empty((r, len(cents)))
+    for i, cx in enumerate(cents):
+        dot = np.zeros(r)
+        for d in range(dims):
+            dot += v2d[:, d] * cx[d]
+        cos[:, i] = dot / (nv * ncs[i])
+    return np.argmax(_round6_signed_np(cos), axis=1).astype(np.int64)
+
+
+def _ivf_ncs(cents):
+    """Centroid norms, the exact Python fold the old literal rendered."""
     import math
 
-    from pyspark.sql import functions as F
+    return [math.sqrt(sum(c * c for c in cx)) for cx in cents]
 
-    cent_lit = "array(" + ", ".join(
-        "array(" + ", ".join(_dlit(x) for x in cx) + ")"
-        for cx in cents
-    ) + ")"
-    ncs_lit = "array(" + ", ".join(
-        _dlit(math.sqrt(sum(c * c for c in cx))) for cx in cents
-    ) + ")"
-    dps = F.expr(
-        f"transform(sequence(1, {len(cents)}), i -> "
-        f"round(aggregate(zip_with(v, element_at({cent_lit}, i), "
-        "(x, cx) -> x * cx), CAST(0.0 AS DOUBLE), (acc, t) -> acc + t) "
-        f"/ (__nv * element_at({ncs_lit}, i)), 6))"
+
+def _ivf_assign_df(emb, cents):
+    """(vec_id, cell) argmax-cosine assignment via the NumPy kernel —
+    centroids ride the task closure (O(model) state, like the old
+    driver-side literal, minus its parse/analyze and the interpreted
+    per-cell lambda eval)."""
+    ncs = _ivf_ncs(cents)
+
+    def fn(it):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in it:
+            vec = batch.column("vec_id")
+            v = batch.column("v").flatten().to_numpy(zero_copy_only=False)
+            v2d = np.ascontiguousarray(v).reshape(len(vec), 64)
+            cells = _ivf_cos_cells(v2d, cents, ncs)
+            yield pa.RecordBatch.from_arrays(
+                [vec, pa.array(cells, type=pa.int64())],
+                names=["vec_id", "cell"],
+            )
+
+    return emb.select("vec_id", "v").mapInArrow(
+        fn, "vec_id BIGINT, cell BIGINT"
     )
-    nv = F.expr(
-        "sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), "
-        "CAST(0.0 AS DOUBLE), (acc, t) -> acc + t))"
-    )
-    return (
-        emb.withColumn("__nv", nv)
-        .withColumn("__dps", dps)
-        .select(
-            "vec_id",
-            F.expr("array_position(__dps, array_max(__dps)) - 1").alias("cell"),
-            "v",
-        )
-    )
+
+
+def _ivf_assign_exploded_df(emb, cents):
+    """(cell, dim, x) rows of the assignment — the Lloyd centroid
+    update's input, exploded straight from the kernel (same multiset as
+    the old assignment + posexplode)."""
+    ncs = _ivf_ncs(cents)
+
+    def fn(it):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in it:
+            v = batch.column("v").flatten().to_numpy(zero_copy_only=False)
+            r = batch.num_rows
+            v2d = np.ascontiguousarray(v).reshape(r, 64)
+            cells = _ivf_cos_cells(v2d, cents, ncs)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(cells, 64), type=pa.int64()),
+                    pa.array(
+                        np.tile(np.arange(64, dtype=np.int32), r),
+                        type=pa.int32(),
+                    ),
+                    pa.array(v2d.ravel(), type=pa.float64()),
+                ],
+                names=["cell", "dim", "x"],
+            )
+
+    return emb.select("v").mapInArrow(fn, "cell BIGINT, dim INT, x DOUBLE")
 
 
 def _hyperplane_prs_col(seed: str, n_planes: int):
@@ -5038,35 +5100,33 @@ def _ivf_fit_df(spark, sf_dir):
         [float(x) for x in r["v"]]
         for r in emb.filter(F.col("vec_id") < n_cells).orderBy("vec_id").collect()
     ]
-    asg = None
-    for it in range(3):  # asg under cent0, cent1, cent2 (2 recomputes)
-        asg = _ivf_assign(emb, cents)
-        if it < 2:
-            rows = (
-                asg.select("cell", F.posexplode("v").alias("dim", "x"))
-                .groupBy("cell", "dim")
-                .agg(F.round(F.avg("x"), 6).alias("cx"))
-                .collect()
+    for _ in range(2):  # cent0 -> cent1 -> cent2 (2 update rounds)
+        rows = (
+            _ivf_assign_exploded_df(emb, cents)
+            .groupBy("cell", "dim")
+            .agg(F.round(F.avg("x"), 6).alias("cx"))
+            .collect()
+        )
+        upd = {}
+        for r in rows:
+            upd.setdefault(int(r["cell"]), {})[int(r["dim"])] = float(r["cx"])
+        # a cell can lose every member to a tie — keep its previous
+        # centroid only if it had one update rowset; SQL's avg join
+        # simply drops empty cells from cent, so mirror that by
+        # ranking only over cells present (empty cells never win
+        # anyway since they keep no rows — build the list in cell
+        # order from the cells that DO have updates)
+        cents = [
+            [upd[c][d] for d in range(dims)] for c in sorted(upd)
+        ]
+        if sorted(upd) != list(range(len(upd))):
+            # non-dense cell ids would desync list order from cell id
+            # — fall back to explicit id mapping
+            raise AssertionError(
+                f"non-dense IVF cells after update: {sorted(upd)}"
             )
-            upd = {}
-            for r in rows:
-                upd.setdefault(int(r["cell"]), {})[int(r["dim"])] = float(r["cx"])
-            # a cell can lose every member to a tie — keep its previous
-            # centroid only if it had one update rowset; SQL's avg join
-            # simply drops empty cells from cent, so mirror that by
-            # ranking only over cells present (empty cells never win
-            # anyway since they keep no rows — build the list in cell
-            # order from the cells that DO have updates)
-            cents = [
-                [upd[c][d] for d in range(dims)] for c in sorted(upd)
-            ]
-            if sorted(upd) != list(range(len(upd))):
-                # non-dense cell ids would desync list order from cell id
-                # — fall back to explicit id mapping
-                raise AssertionError(
-                    f"non-dense IVF cells after update: {sorted(upd)}"
-                )
-    asg = asg.select("vec_id", "cell").localCheckpoint(eager=True)
+    # final assignment under cent2
+    asg = _ivf_assign_df(emb, cents).localCheckpoint(eager=True)
     cent_rows = [
         (cell, dim, cents[cell][dim])
         for cell in range(len(cents))
@@ -5512,9 +5572,7 @@ def _ivf_spark(spark, sf_dir):
             [float(x) for x in r["v"]]
             for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
         ]
-        return _ivf_assign(emb, cents).select("vec_id", "cell").localCheckpoint(
-            eager=True
-        )
+        return _ivf_assign_df(emb, cents).localCheckpoint(eager=True)
 
     return _ivf_probe_top3(
         spark, sf_dir, _app_cached(spark, f"ivf_onestep:{sf_dir}", build)
