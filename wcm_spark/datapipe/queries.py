@@ -1769,9 +1769,41 @@ def _image_pick_frames(spark, gate: int):
     from pyspark.sql import functions as F
 
     def build():
-        pairs = spark.sql(
-            f"WITH {_image_pair_ctes('spark', gate)} "
-            "SELECT ia AS a, ib AS b FROM ipairs"
+        # r6: one scan with phash riding the band rows replaces the SQL
+        # chain's 4-scan band union + DISTINCT + double join-back (the
+        # hamming gate needs both phashes; carrying them through the
+        # band self-join makes the verify map-side). Same pair set: the
+        # gate commutes with the cross-band dedup (hamming is
+        # pair-determined), and ia < ib is preserved.
+        it = spark.sql(
+            f"SELECT image_id, phash FROM {_images_tbl('spark')}"
+        )
+        bands = it.select(
+            "image_id",
+            "phash",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, 3), "
+                    "b -> shiftright(phash, b * 16) & 65535)"
+                )
+            ).alias("band_no", "sig"),
+        )
+        a = bands.select(
+            "band_no", "sig",
+            F.col("image_id").alias("ia"), F.col("phash").alias("pha"),
+        )
+        b = bands.select(
+            "band_no", "sig",
+            F.col("image_id").alias("ib"), F.col("phash").alias("phb"),
+        )
+        pairs = (
+            a.join(b, ["band_no", "sig"])
+            .filter(F.col("ia") < F.col("ib"))
+            .filter(
+                F.expr("bit_count(pha ^ phb)") <= F.lit(gate)
+            )
+            .select(F.col("ia").alias("a"), F.col("ib").alias("b"))
+            .dropDuplicates(["a", "b"])
         )
         final = _lsh_component_labels(spark, pairs, IMG_CC_ITERS, "image_id")
         imgs = spark.sql(

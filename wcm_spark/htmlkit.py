@@ -56,6 +56,10 @@ class Node:
     children: list = field(default_factory=list)  # Node or str
     pos: int = 0  # document order
     xml: bool = False  # set on the document root by parse_html
+    # document-order element list, captured during _fast_parse on the
+    # ROOT node only (creation order IS pre-order) — walk() returns it
+    # without re-traversing; subtree walks keep the stack loop
+    elems: "list | None" = None
 
     def element_children(self):
         return [c for c in self.children if isinstance(c, Node)]
@@ -77,7 +81,11 @@ class Node:
                 yield from c.iter()
 
     def walk(self) -> list:
-        """All element nodes in document order (iterative, no generators)."""
+        """All element nodes in document order (iterative, no generators).
+        The root of a _fast_parse tree answers from the creation-order
+        list captured during the parse (identical pre-order)."""
+        if self.elems is not None:
+            return self.elems
         out = []
         stack = [self]
         while stack:
@@ -289,6 +297,8 @@ def _stdlib_starttag_fallback(text: str, i: int):
 
 def _fast_parse(text: str, xml: bool) -> Node:
     root = Node(tag=None)
+    elems: list = []
+    root.elems = elems
     stack = [root]
     counter = 0
     pos = 0
@@ -308,9 +318,9 @@ def _fast_parse(text: str, xml: bool) -> Node:
         self_closing = False
         m = _FAST_TAG_RE.match(text, lt)
         if m is not None:
-            close, ctag, tag_name, raw_attrs = m.group(
-                "close", "ctag", "tag", "attrs"
-            )
+            # positional groups (close, ctag, tag, attrs in appearance
+            # order) — named lookup costs a dict hop per tag
+            close, ctag, tag_name, raw_attrs = m.group(1, 2, 3, 4)
             if raw_attrs and not _CANON_ATTRS_RE.fullmatch(raw_attrs):
                 m = None  # non-canonical attr region: exact fallback path
         if m:
@@ -399,6 +409,7 @@ def _fast_parse(text: str, xml: bool) -> Node:
             stack.pop()
         counter += 1
         node = Node(tag=tag, attrs=attr_map, parent=stack[-1], pos=counter)
+        elems.append(node)
         stack[-1].children.append(node)
         if not self_closing and tag not in VOID_ELEMENTS:
             if not xml and tag in ("script", "style"):

@@ -168,15 +168,28 @@ def scrape_resolve_children(
     # dropped by make_child regardless of base, so this list is exhaustive
     # for cache-worthy base-independent literals
     _ABS_SCHEMES = ("http://", "https://", "ftp://", "ws://", "wss://")
+    # root-relative literals ("/x", not "//x") resolve against the base's
+    # scheme+authority ONLY (urljoin takes netloc from base and the whole
+    # path from the literal), so (origin, literal) keys a sound memo —
+    # the dominant link shape (~93% of bench-corpus links are
+    # root-relative site nav repeated across every page of a site). The
+    # origin must be a clean scheme://authority prefix: a '?' or '#'
+    # before the first '/' would drag base query/fragment state in, so
+    # such bases (and authority-less ones) fall through uncached.
+    import re as _re
+
+    _ORIGIN_RE = _re.compile(r"[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]+")
 
     def fused(batches):
         hk_cache: dict = {}
         # absolute nav/footer links repeat across every page of a site —
-        # memoize the full resolve+digest for them. ONLY fully-absolute
-        # literals are cacheable-by-literal: a relative literal resolves
-        # against its page's base, which differs per page, so caching
-        # those is all-miss overhead (measured). Bounded as a guard.
+        # memoize the full resolve+digest for them, and root-relative
+        # literals under their base's (origin, literal) key. A PATH-
+        # relative literal resolves against its page's base directory,
+        # which differs per page, so caching those is all-miss overhead
+        # (measured). Bounded as a guard.
         mc_cache: dict = {}
+        origin_cache: dict = {}
         seen_sets = [b.value for b in seen_bcs] if seen_bcs else None
         best: dict = {} if local_first_wins else None
         for pdf in batches:
@@ -216,6 +229,29 @@ def scrape_resolve_children(
                             )
                             if len(mc_cache) < (1 << 20):
                                 mc_cache[mk] = child
+                    elif lit[:1] == "/" and lit[1:2] != "/":
+                        base = it["base"]
+                        origin = origin_cache.get(base, _MISS)
+                        if origin is _MISS:
+                            om = _ORIGIN_RE.match(base)
+                            origin = om.group(0) if om else None
+                            if len(origin_cache) < (1 << 20):
+                                origin_cache[base] = origin
+                        if origin is not None:
+                            mk = (origin, lit, it["method"], it["params"])
+                            child = mc_cache.get(mk, _MISS)
+                            if child is _MISS:
+                                child = make_child(
+                                    lit, base, it["method"], it["params"],
+                                    redundancy,
+                                )
+                                if len(mc_cache) < (1 << 20):
+                                    mc_cache[mk] = child
+                        else:
+                            child = make_child(
+                                lit, base, it["method"], it["params"],
+                                redundancy,
+                            )
                     else:
                         child = make_child(
                             lit, it["base"], it["method"], it["params"],
