@@ -304,24 +304,34 @@ def _fast_parse(text: str, xml: bool) -> Node:
     pos = 0
     n = len(text)
     lower = None  # lazily lowered copy for CDATA end scans
+    # hot-loop local bindings (one LOAD_FAST vs LOAD_GLOBAL + attr hop
+    # per tag; the loop runs once per '<' of every parsed page)
+    find = text.find
+    tag_match = _FAST_TAG_RE.match
+    canon_full = _CANON_ATTRS_RE.fullmatch
+    attr_finditer = _FAST_ATTR_RE.finditer
+    autoclose_get = _AUTOCLOSE.get
+    unescape = _unescape
+    elems_append = elems.append
 
     while pos < n:
-        lt = text.find("<", pos)
+        lt = find("<", pos)
         if lt < 0:
             if pos < n:
-                stack[-1].children.append(_unescape(text[pos:]))
+                seg = text[pos:]
+                stack[-1].children.append(
+                    unescape(seg) if "&" in seg else seg
+                )
             break
         if lt > pos:
-            stack[-1].children.append(_unescape(text[pos:lt]))
-        tag = None
-        attr_map: dict = {}
-        self_closing = False
-        m = _FAST_TAG_RE.match(text, lt)
+            seg = text[pos:lt]
+            stack[-1].children.append(unescape(seg) if "&" in seg else seg)
+        m = tag_match(text, lt)
         if m is not None:
             # positional groups (close, ctag, tag, attrs in appearance
             # order) — named lookup costs a dict hop per tag
             close, ctag, tag_name, raw_attrs = m.group(1, 2, 3, 4)
-            if raw_attrs and not _CANON_ATTRS_RE.fullmatch(raw_attrs):
+            if raw_attrs and not canon_full(raw_attrs):
                 m = None  # non-canonical attr region: exact fallback path
         if m:
             pos = m.end()
@@ -335,6 +345,8 @@ def _fast_parse(text: str, xml: bool) -> Node:
             if not tag_name:
                 continue  # comment / doctype / PI
             tag = tag_name.lower()
+            attr_map = {}
+            self_closing = False
             raw_attrs = raw_attrs or ""
             # Self-closing when the trailing '/' is NOT part of a bare
             # attribute value: html.parser's bare-value scan consumes
@@ -351,8 +363,8 @@ def _fast_parse(text: str, xml: bool) -> Node:
                     # '='-leading ambiguity was routed to the fallback
                     _words = _ra[:-1].split()
                     self_closing = bool(_words) and "=" not in _words[-1]
-            if raw_attrs and raw_attrs.strip("/ \t\r\n"):
-                for am in _FAST_ATTR_RE.finditer(raw_attrs):
+            if raw_attrs and _ra.strip("/ \t\r\n"):
+                for am in attr_finditer(raw_attrs):
                     g1, g2, g3, g4 = am.group(1, 2, 3, 4)
                     name = g1.lower().rstrip("/")
                     if not name or name in attr_map:
@@ -361,8 +373,11 @@ def _fast_parse(text: str, xml: bool) -> Node:
                         attr_map[name] = None
                     else:
                         val = g3 if g3 is not None else (g4 if g4 is not None else g2)
-                        attr_map[name] = _unescape(val)
+                        attr_map[name] = unescape(val) if "&" in val else val
         else:
+            tag = None
+            attr_map = {}
+            self_closing = False
             c1 = text[lt + 1 : lt + 2]
             c2 = text[lt + 2 : lt + 3]
             if c1 == "/" and not (c2.isascii() and c2.isalpha()):
@@ -404,12 +419,12 @@ def _fast_parse(text: str, xml: bool) -> Node:
                 stack[-1].children.append("<")
                 pos = lt + 1
                 continue
-        rule = _AUTOCLOSE.get(tag)
+        rule = autoclose_get(tag)
         if rule and stack[-1].tag in rule:
             stack.pop()
         counter += 1
         node = Node(tag=tag, attrs=attr_map, parent=stack[-1], pos=counter)
-        elems.append(node)
+        elems_append(node)
         stack[-1].children.append(node)
         if not self_closing and tag not in VOID_ELEMENTS:
             if not xml and tag in ("script", "style"):
