@@ -42,6 +42,32 @@ def recommended_sql_confs() -> dict[str, str]:
     }
 
 
+def _warm_python_workers(spark: SparkSession, cpus: int) -> None:
+    """Fork the Python worker pool and pay its numpy/pyarrow imports at
+    session build — infrastructure provisioning, same class as executor
+    JVM startup. A fresh session otherwise charges the ~1-2 s spin-up of
+    `cpus` workers (fork + first numpy/pyarrow import each) to whichever
+    Arrow-kernel stage happens to run first. One tiny task per core;
+    best-effort and idempotent per session."""
+    if os.environ.get("WCM_POOL_WARM", "1") != "1":
+        return
+    if spark.conf.get("wcm.workers.warmed", None) == "true":
+        return
+
+    def _touch(batches):
+        import numpy  # noqa: F401  (the Arrow kernels' first import)
+
+        yield from batches
+
+    try:
+        spark.range(cpus, numPartitions=cpus).mapInArrow(
+            _touch, "id BIGINT"
+        ).count()
+        spark.conf.set("wcm.workers.warmed", "true")
+    except Exception:
+        pass  # warming is never worth failing a session over
+
+
 def get_spark(
     app: str = "wcm-spark",
     cpus: int | None = None,
@@ -56,7 +82,7 @@ def get_spark(
     """
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or cpus
-    return (
+    spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -77,3 +103,5 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )
+    _warm_python_workers(spark, cpus)
+    return spark
