@@ -211,6 +211,38 @@ def test_spark_only_queries_run(spark):
         assert df.count() >= 0, name
 
 
+def test_caption_sigs_array_form_matches_grouped_min(spark):
+    """The caption chain's zero-shuffle signature derivation (per-image
+    array_min over the memoized bigram arrays, _sigs_from_arrays) must
+    equal the oracle's shape: explode the distinct bigrams to rows, md5
+    each, grouped min per 32-bit hex slice. Pins the r6 array-form
+    restructure of _caption_arrays_df/_caption_buckets_df."""
+    from pyspark.sql import functions as F
+
+    from wcm_spark.datapipe.queries import _caption_arrays_df, _sigs_from_arrays
+
+    arrays = _caption_arrays_df(spark)
+    fast = _sigs_from_arrays(arrays)
+
+    tok_set = arrays.select("doc_id", F.explode("toks").alias("tok"))
+    hashed = tok_set.select(
+        "doc_id",
+        F.md5(F.concat(F.lit("a"), F.col("tok"))).alias("ha"),
+        F.md5(F.concat(F.lit("b"), F.col("tok"))).alias("hb"),
+    )
+    slow = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.substring(F.col("ha" if i < 4 else "hb"), (i % 4) * 8 + 1, 8)
+            ).alias(f"mh{i}")
+            for i in range(8)
+        ]
+    )
+    assert fast.exceptAll(slow).count() == 0
+    assert slow.exceptAll(fast).count() == 0
+    assert fast.count() == slow.count() > 0
+
+
 # ---------------------------------------------------------------------------
 # third-implementation pins for the scrub/ingest family: pure-Python
 # recomputes (re + hashlib), independent of both SQL dialects

@@ -4156,29 +4156,6 @@ def _minhash_sigs_df(spark, sf_dir):
     )
 
 
-def _sigs_from_tokset(tok_set):
-    """(doc_id, mh0..mh7) from any distinct (doc_id, tok) frame, under
-    the family's scheme (_minhash_sig_select: two md5s per token sliced
-    into 32-bit hex chunks, min-aggregated) — shared by the document
-    (3-gram) and caption (bigram) anchors so the DataFrame paths can
-    never drift from the SQL oracle's signatures."""
-    from pyspark.sql import functions as F
-
-    hashed = tok_set.select(
-        "doc_id",
-        F.md5(F.concat(F.lit("a"), F.col("tok"))).alias("ha"),
-        F.md5(F.concat(F.lit("b"), F.col("tok"))).alias("hb"),
-    )
-    return hashed.groupBy("doc_id").agg(
-        *[
-            F.min(
-                F.substring(F.col("ha" if i < 4 else "hb"), (i % 4) * 8 + 1, 8)
-            ).alias(f"mh{i}")
-            for i in range(8)
-        ]
-    )
-
-
 def _buckets_from_sigs(sigs):
     """(doc_id, band_no, bucket) rows: 4 bands of 2 signature columns.
     One-pass unpivot (stack) instead of a 4-way UNION ALL re-scan."""
@@ -4196,17 +4173,19 @@ def _buckets_from_sigs(sigs):
     )
 
 
-def _minhash_sigs_build(spark, sf_dir):
-    """(doc_id, mh0..mh7) via per-doc ARRAY minima over the memoized
-    shingle arrays — value-identical to _sigs_from_tokset's grouped min
-    (same md5s, same substrings, min over the same per-doc set) but with
-    zero shuffle: the old shape aggregated the 2.6M exploded token rows.
-    The two md5 arrays materialize in their own projection so the eight
-    minima share them (multi-referenced non-cheap aliases are not
-    collapsed)."""
+def _sigs_from_arrays(arrays):
+    """(doc_id, mh0..mh7) via per-doc ARRAY minima over a distinct-
+    shingle ARRAY frame (doc_id, toks), under the family's scheme
+    (_minhash_sig_select: two md5s per token sliced into 32-bit hex
+    chunks, min-aggregated) — value-identical to the oracle's grouped min
+    over the exploded token rows (same md5s, same substrings, min over
+    the same per-doc set) but with zero shuffle. The two md5 arrays
+    materialize in their own projection so the eight minima share them
+    (multi-referenced non-cheap aliases are not collapsed). Shared by the
+    document (3-gram) and caption (bigram) anchors so the DataFrame paths
+    can never drift from the SQL oracle's signatures."""
     from pyspark.sql import functions as F
 
-    arrays = _shingle_arrays_df(spark, sf_dir)
     hashed = arrays.select(
         "doc_id",
         F.expr("transform(toks, t -> md5(concat('a', t)))").alias("ha"),
@@ -4221,7 +4200,13 @@ def _minhash_sigs_build(spark, sf_dir):
             ).alias(f"mh{i}")
             for i in range(8)
         ],
-    ).localCheckpoint(eager=True)
+    )
+
+
+def _minhash_sigs_build(spark, sf_dir):
+    return _sigs_from_arrays(_shingle_arrays_df(spark, sf_dir)).localCheckpoint(
+        eager=True
+    )
 
 
 def _minhash_buckets_build(spark, sf_dir):
@@ -4232,12 +4217,16 @@ def _minhash_buckets_build(spark, sf_dir):
     )
 
 
-def _caption_tokset_df(spark):
-    """Distinct (image_id, caption-bigram) rows — the caption anchor of
-    _minhash_chain_ctes (_caption_shingles_cte), memoized per app so the
-    near-dup override pays the tokenize->shingle chain once. Keyed on the
-    resolved fixture path: WCM_IMAGES_N changes the table between bench
-    and driver runs."""
+def _caption_arrays_df(spark):
+    """Per-image DISTINCT caption-bigram ARRAYS (doc_id, toks) — the
+    caption anchor of _minhash_chain_ctes (_caption_shingles_cte) in the
+    same array form _shingle_arrays_df gives the document chain: ONE
+    tokenize pass, ONE materialization, and the signature minima / verify
+    intersections derive per-row with no explode→groupBy round trip.
+    Images with < 2 caption tokens produce no bigram and are dropped
+    here, exactly the rows the exploded relation never produced. Keyed on
+    the resolved fixture path: WCM_IMAGES_N changes the table between
+    bench and driver runs."""
     from pyspark.sql import functions as F
 
     from .fixtures import images_table_path
@@ -4262,10 +4251,10 @@ def _caption_tokset_df(spark):
             ).alias("shingles"),
         ).localCheckpoint(eager=False)
         return grams.select(
-            "doc_id", F.explode(F.array_distinct("shingles")).alias("tok")
+            "doc_id", F.array_distinct("shingles").alias("toks")
         ).localCheckpoint(eager=True)
 
-    return _app_cached(spark, f"caption_tokset:{p}", build)
+    return _app_cached(spark, f"caption_arrays:{p}", build)
 
 
 def _caption_buckets_df(spark):
@@ -4276,23 +4265,22 @@ def _caption_buckets_df(spark):
         spark,
         f"caption_buckets:{p}",
         lambda: _buckets_from_sigs(
-            _sigs_from_tokset(_caption_tokset_df(spark))
+            _sigs_from_arrays(_caption_arrays_df(spark))
         ).localCheckpoint(eager=True),
     )
 
 
 def _caption_neardup_spark(spark, sf_dir, min_jaccard: float = 0.5):
-    """image_caption_neardup served from memoized caption tok-set/bucket
-    frames: the SQL dialect inlines the whole tokenize->shingle->sig
-    chain at every CTE reference (tok_set appears three times in the
-    verify join alone), re-executing it per reference — the last
-    multi-reference chain in the sweep. Row-for-row identical to the
-    SQL builder (same signature scheme via _sigs_from_tokset; A/B
+    """image_caption_neardup served from the memoized caption bigram-
+    ARRAY/bucket frames: the SQL dialect inlines the whole
+    tokenize->shingle->sig chain at every CTE reference (tok_set appears
+    three times in the verify join alone), re-executing it per reference
+    — the last multi-reference chain in the sweep. Row-for-row identical
+    to the SQL builder (same signature scheme via _sigs_from_arrays; A/B
     exceptAll = 0)."""
     from pyspark.sql import functions as F
 
     buckets = _caption_buckets_df(spark)
-    tok_set = _caption_tokset_df(spark)
     reps = buckets.groupBy("band_no", "bucket").agg(F.min("doc_id").alias("rep"))
     cand = (
         buckets.join(reps, ["band_no", "bucket"])
@@ -4302,10 +4290,11 @@ def _caption_neardup_spark(spark, sf_dir, min_jaccard: float = 0.5):
     )
     # r6: per-pair array_intersect over per-image bigram arrays replaces
     # the token-row double join (see _jaccard_spark — same identity,
-    # both sides are distinct sets)
-    ds = tok_set.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("tok")).alias("toks"),
-        F.count(F.lit(1)).alias("n"),
+    # both sides are distinct sets); the arrays come straight off the
+    # memoized anchor frame instead of a collect_list re-aggregation of
+    # its explode
+    ds = _caption_arrays_df(spark).select(
+        "doc_id", "toks", F.size("toks").cast("long").alias("n")
     )
     da = ds.select(
         F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"),
