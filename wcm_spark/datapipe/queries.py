@@ -5453,17 +5453,24 @@ def _dsir_spark(spark, sf_dir):
             "tokens"
         ),
     )
-    uni = toks.select("doc_id", F.explode("tokens").alias("g"))
-    bi = toks.filter(F.size("tokens") >= 2).select(
+    # ONE tokenize + ONE explode: the old uni/bi UNION referenced the
+    # unmaterialized toks twice, so Spark inlined (and ran) the
+    # tokenize chain once per leg. Exploding the concatenated
+    # unigram+bigram string arrays yields the identical (doc_id, g)
+    # multiset (_seq1 is empty for size(tokens) < 2, exactly the rows
+    # the old `bi` filter excluded); the md5 bucket stays in the
+    # codegen'd projection ABOVE the Generate, not inside an
+    # interpreted transform lambda.
+    bigram = "concat(element_at(tokens, i), ' ', element_at(tokens, i + 1))"
+    feat = toks.select(
         "doc_id",
         F.explode(
             F.expr(
-                f"transform({_seq1('size(tokens) - 1')}, "
-                "i -> concat(element_at(tokens, i), ' ', element_at(tokens, i + 1)))"
+                f"concat(tokens, "
+                f"transform({_seq1('size(tokens) - 1')}, i -> {bigram}))"
             )
         ).alias("g"),
-    )
-    feat = uni.unionByName(bi).select(
+    ).select(
         "doc_id",
         F.expr(
             f"cast(conv(substr(md5(g), 1, 15), 16, 10) as bigint) % {buckets}"
@@ -5536,28 +5543,39 @@ def _bigram_pmi_spark(spark, sf_dir):
             "tokens"
         ),
     )
-    uni = (
-        toks.select(F.explode("tokens").alias("tok"))
-        .groupBy("tok")
+    # ONE tokenize + ONE explode + ONE shuffle: the old shape built the
+    # unigram and bigram count tables from separate subtrees over the
+    # unmaterialized toks, running the tokenize chain once per table.
+    # A tagged (kind, gram) stream aggregates both models in one
+    # vocabulary-sized groupBy; _seq1 is empty for size(tokens) < 2,
+    # exactly the rows the old bigram filter excluded. The kind tag is
+    # derived AFTER the explode (codegen) rather than built inside an
+    # interpreted transform lambda: unigrams are split on [^a-z0-9]+ so
+    # they can never contain the space every bigram carries.
+    bigram = "concat(element_at(tokens, i), ' ', element_at(tokens, i + 1))"
+    counts = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    f"concat(tokens, "
+                    f"transform({_seq1('size(tokens) - 1')}, i -> {bigram}))"
+                )
+            ).alias("g")
+        )
+        .select(F.expr("CASE WHEN g LIKE '% %' THEN 1 ELSE 0 END").alias("k"), "g")
+        .groupBy("k", "g")
         .agg(F.count(F.lit(1)).alias("c"))
         .localCheckpoint(eager=True)
     )
-    bigall = (
-        toks.filter(F.size("tokens") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    f"transform({_seq1('size(tokens) - 1')}, "
-                    "i -> concat(element_at(tokens, i), ' ', element_at(tokens, i + 1)))"
-                )
-            ).alias("bg")
-        )
-        .groupBy("bg")
-        .agg(F.count(F.lit(1)).alias("c_xy"))
-        .localCheckpoint(eager=True)
+    uni = counts.filter("k = 0").select(F.col("g").alias("tok"), "c")
+    bigall = counts.filter("k = 1").select(
+        F.col("g").alias("bg"), F.col("c").alias("c_xy")
     )
-    n = int(uni.agg(F.sum("c")).collect()[0][0])
-    m = int(bigall.agg(F.sum("c_xy")).collect()[0][0])
+    tot = counts.agg(
+        F.sum(F.when(F.col("k") == 0, F.col("c")).otherwise(0)).alias("n"),
+        F.sum(F.when(F.col("k") == 1, F.col("c")).otherwise(0)).alias("m"),
+    ).collect()[0]
+    n, m = int(tot["n"]), int(tot["m"])
     big = bigall.filter(F.col("c_xy") >= min_count)
     ux = uni.select(F.col("tok").alias("w1"), F.col("c").alias("cx"))
     uy = uni.select(F.col("tok").alias("w2"), F.col("c").alias("cy"))
