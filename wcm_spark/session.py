@@ -39,6 +39,13 @@ def recommended_sql_confs() -> dict[str, str]:
             "WCM_EXCLUDED_OPT_RULES",
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         ),
+        # generic conf escape hatch for A/B experiments and site tuning:
+        # semicolon-separated key=value pairs, applied last
+        **dict(
+            kv.split("=", 1)
+            for kv in os.environ.get("WCM_SQL_CONF_EXTRA", "").split(";")
+            if "=" in kv
+        ),
     }
 
 
