@@ -141,6 +141,94 @@ def test_live_robots_fetch_and_gate(spark):
         srv.shutdown()
 
 
+def test_bounded_robots_cache_spill_same_verdicts(spark):
+    """robots_cache_max_hosts bounds the driver-side body dict: overflow
+    bodies spill FIFO to a parquet side table the fetch-time gate joins,
+    so gating verdicts (and the visit set) are IDENTICAL to the
+    unbounded cache while driver memory stays at <= cap bodies. Two
+    hosts (127.0.0.1 / localhost), cap=1: fetching the second host's
+    robots evicts the first's body; a link to the first host's
+    disallowed path discovered AFTER the eviction must still be gated —
+    via the spill join, since the broadcast no longer has those rules."""
+    import threading
+    from collections import Counter
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from wcm_spark.scheduler import Crawler, CrawlConfig
+
+    hits: Counter = Counter()
+    lock = threading.Lock()
+
+    class H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            with lock:
+                hits[f"{self.headers.get('Host', '')}{self.path}"] += 1
+            port = srv.server_address[1]
+            if self.path == "/robots.txt":
+                body, ct = b"User-agent: *\nDisallow: /private/\n", "text/plain"
+            elif self.path == "/index.html":
+                # wave 1 (127.0.0.1): one allowed same-host leaf, one
+                # disallowed same-host path (gated at enqueue — rules
+                # known), and the second host's entry page
+                body = (
+                    f'<a href="/pub/a.html">a</a>'
+                    f'<a href="/private/x.html">x</a>'
+                    f'<a href="http://localhost:{port}/pub/b.html">b</a>'
+                    .encode()
+                )
+                ct = "text/html"
+            elif self.path == "/pub/b.html":
+                # discovered in wave 2, AFTER 127.0.0.1's body is evicted:
+                # links back to the first host's disallowed path — only the
+                # spill join still knows those rules
+                body = (
+                    f'<a href="http://127.0.0.1:{port}/private/w.html">w</a>'
+                    .encode()
+                )
+                ct = "text/html"
+            else:
+                body, ct = b"leaf", "text/html"
+            self.send_response(200)
+            self.send_header("Content-Type", ct)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+
+    def crawl(cap):
+        cfg = CrawlConfig(
+            fetch_mode="http", use_bloom=False, expected_urls=100,
+            http_timeout=5.0, respect_robots=True, max_waves=6,
+            robots_cache_max_hosts=cap,
+        )
+        c = Crawler(spark, None, cfg)
+        res = c.run([f"{base}/index.html"])
+        return c, {r["request_url"] for r in res.visits.collect()}
+
+    try:
+        _, unbounded = crawl(None)
+        hits.clear()
+        c, bounded = crawl(1)
+        assert bounded == unbounded  # same verdicts, same visit set
+        assert len(c._robots_bodies) <= 1  # driver dict bounded
+        assert c._robots_spill_dir is not None  # eviction actually spilled
+        # disallowed paths never requested on either host, before or
+        # after the eviction
+        assert not [k for k in hits if "/private/" in k]
+        # the late cross-host discovery exercised the spill path: the
+        # allowed leaf on the EVICTED host was fetched in a wave after
+        # its body left the broadcast
+        assert any(k.endswith("/pub/a.html") for k in hits)
+    finally:
+        srv.shutdown()
+
+
 def test_fetch_time_robots_gate_drains_frontier(spark):
     """Regression: a frontier row gated away at FETCH time (its host's
     robots rules were unknown at enqueue, learned only when the row came

@@ -87,6 +87,14 @@ class CrawlConfig:
     credentials: dict | None = None        # F8: host_key -> userinfo (UserAgent.pm:17-31)
     respect_robots: bool = False           # north-rule robots.txt gate (off = reference parity)
     robots_agent: str = "wcm-spark"
+    robots_cache_max_hosts: int | None = None  # bound on robots BODIES held in the
+                                           # driver dict + broadcast (live http mode).
+                                           # None = unbounded. Overflow bodies spill
+                                           # FIFO to a parquet side table that the
+                                           # fetch-time gate left-joins, so gating
+                                           # verdicts are identical at any host count;
+                                           # declared Crawl-delays are retained in a
+                                           # separate (tiny) never-evicted dict
     min_delay_waves: int = 0               # F6 politeness budget: waves a host rests between fetches
     broadcast_seen_max: int = 4_000_000    # D2 in-UDF probe while the exact digest set fits a broadcast
     fetch_mode: str = "corpus"             # "corpus" (test/bench join) | "http" (live network fetch)
@@ -186,6 +194,11 @@ class Crawler:
         self._robots_bc = None
         self._robots_bodies: dict[str, str] = {}
         self._robots_hosts: set[str] = set()
+        # bounded-cache spill state (live http mode, robots_cache_max_hosts):
+        # bodies evicted from the driver dict live in this parquet dir and
+        # re-attach to waves by join; delays are tiny and never evicted
+        self._robots_spill_dir: str | None = None
+        self._robots_delays: dict[str, float] = {}
         # piggybacked driver state (maintained from the per-wave digest
         # collect while the exact seen mirror is alive; None = unknown):
         # count of pending userinfo-carrier rows, and every host_key that
@@ -272,6 +285,33 @@ class Crawler:
                     self._robots_hosts.add(hk)
                     if body:
                         self._robots_bodies[hk] = body
+                        # retain declared Crawl-delays outside the bounded
+                        # body cache: a float per declaring host, so the
+                        # politeness dimension survives body eviction
+                        d = RobotsCache(
+                            {hk: body}, agent=cfg.robots_agent
+                        ).host_delays()
+                        self._robots_delays.update(d)
+            cap = cfg.robots_cache_max_hosts
+            if cap is not None and len(self._robots_bodies) > cap:
+                # §5 driver-memory bound: FIFO-evict oldest-fetched bodies
+                # (dict preserves insertion order) to a parquet side table;
+                # the gate below re-attaches them by join, so verdicts are
+                # identical to the unbounded cache at any host count
+                import tempfile
+
+                n_evict = len(self._robots_bodies) - cap
+                evicted = [
+                    (hk, self._robots_bodies.pop(hk))
+                    for hk in list(self._robots_bodies)[:n_evict]
+                ]
+                if self._robots_spill_dir is None:
+                    self._robots_spill_dir = tempfile.mkdtemp(
+                        prefix="wcm_robots_spill_"
+                    )
+                self.spark.createDataFrame(
+                    evicted, "host_key string, robots_body string"
+                ).write.mode("append").parquet(self._robots_spill_dir)
             if self._robots_bc is not None:
                 self._robots_bc.unpersist()
             self._robots_bc = self.spark.sparkContext.broadcast(
@@ -286,6 +326,42 @@ class Crawler:
         import pandas as pd
 
         from pyspark.sql.types import BooleanType
+
+        if self._robots_spill_dir is not None:
+            # evicted hosts: rules ride the wave as a joined body column
+            # and parse per batch — the broadcast stays bounded
+            agent = cfg.robots_agent
+            spill = self.spark.read.parquet(self._robots_spill_dir)
+
+            @F.pandas_udf(BooleanType())
+            def allowed_spill(host_keys, urls, bodies):
+                from .robots import RobotsCache
+
+                cache = RobotsCache.from_state(bc.value)
+                batch_bodies = {
+                    hk: b
+                    for hk, b in zip(host_keys, bodies)
+                    if b is not None
+                }
+                spilled = RobotsCache(batch_bodies, agent=agent)
+                return pd.Series(
+                    [
+                        spilled.allowed(hk, u)
+                        if b is not None
+                        else cache.allowed(hk, u)
+                        for hk, u, b in zip(host_keys, urls, bodies)
+                    ]
+                )
+
+            return (
+                wave.join(spill, "host_key", "left")
+                .filter(
+                    allowed_spill(
+                        F.col("host_key"), F.col("url"), F.col("robots_body")
+                    )
+                )
+                .drop("robots_body")
+            )
 
         @F.pandas_udf(BooleanType())
         def allowed(host_keys, urls):
@@ -489,6 +565,9 @@ class Crawler:
                 host_delays = RobotsCache.from_state(
                     self._robots_bc.value
                 ).host_delays()
+            if self._robots_delays:
+                # delays retained across body eviction (bounded robots cache)
+                host_delays = {**host_delays, **self._robots_delays}
             if self.config.min_delay_sec > 0 or host_delays:
                 # a host must not span partitions, or in-partition request
                 # spacing would not be globally polite for the wave
