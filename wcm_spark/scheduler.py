@@ -329,7 +329,10 @@ class Crawler:
 
         if self._robots_spill_dir is not None:
             # evicted hosts: rules ride the wave as a joined body column
-            # and parse per batch — the broadcast stays bounded
+            # and parse per batch — the broadcast stays bounded. isinstance
+            # guards, not `is not None`: a null string cell can surface as
+            # NaN in some pandas versions, and evicted bodies are always
+            # non-empty strings.
             agent = cfg.robots_agent
             spill = self.spark.read.parquet(self._robots_spill_dir)
 
@@ -341,26 +344,27 @@ class Crawler:
                 batch_bodies = {
                     hk: b
                     for hk, b in zip(host_keys, bodies)
-                    if b is not None
+                    if isinstance(b, str)
                 }
                 spilled = RobotsCache(batch_bodies, agent=agent)
                 return pd.Series(
                     [
                         spilled.allowed(hk, u)
-                        if b is not None
+                        if isinstance(b, str)
                         else cache.allowed(hk, u)
                         for hk, u, b in zip(host_keys, urls, bodies)
                     ]
                 )
 
-            return (
+            cols = wave.columns  # the using-column join moves host_key
+            return (                # first; restore the wave's exact schema
                 wave.join(spill, "host_key", "left")
                 .filter(
                     allowed_spill(
                         F.col("host_key"), F.col("url"), F.col("robots_body")
                     )
                 )
-                .drop("robots_body")
+                .select(*cols)
             )
 
         @F.pandas_udf(BooleanType())
